@@ -1,0 +1,76 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is warmed once (plan compile + scan setup) and then timed on
+a full ``collect()`` — every headline query returns a small (top-k /
+aggregated) result, so ``collect()`` measures end-to-end plan execution
+without a driver-transfer bottleneck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from lake_satellite_image_etl_spark.session import get_spark
+
+    bench_names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    if bench_names:
+        names = [n for n in bench_names.split(",") if n in queries]
+    else:
+        names = list(queries)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = queries[name]
+        try:
+            fn(spark, SF_DIR).limit(1).collect()  # warm: plan + scan setup
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 4)
+        total += dt if dt == dt else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Table IO: fixture readers and the source registry.
+
+The engine's canonical storage is columnar parquet on a distributed
+store — Catalyst gets predicate pushdown, column pruning, and partition
+pruning for free (SURVEY.md §4). The reference instead pushed SQL
+strings to Postgres (main.py:467-486) and a lazy builder to Earth
+Engine (main.py:395-408); both collapse here into ``spark.read`` +
+declarative ``filter``/``select``.
+
+At 100 TB the layout matters more than the code: fact tables should be
+written ``partitionBy(<date col>)`` (the reference's incremental unit is
+capture date, main.py:45-46) so the daily 30-day-lookback scan prunes
+~99% of files before reading a byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: every fixture table the driver materializes (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (columnar scan, pushdown-capable)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table_or_query: str,
+    *,
+    is_query: bool = False,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC scan (S1/S2 in SURVEY.md §2.1; reference: main.py:467-486).
+
+    Unlike the reference's single ``pd.read_sql`` into driver memory,
+    this is a distributed scan: with ``partition_column`` bounds Spark
+    issues ``num_partitions`` parallel range queries. Catalyst pushes
+    filters/projections into the remote SQL exactly as the reference
+    hand-authored them.
+    """
+    reader = spark.read.format("jdbc").option("url", url)
+    reader = reader.option("query" if is_query else "dbtable", table_or_query)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 32))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Binary-file source (S4 analog): path, mtime, length, content bytes.
+
+    The multimodal scan primitive — each row is one blob; downstream
+    kernels run as Arrow-batched pandas UDFs over ``content``.
+    """
+    return (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
