@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` — flagship query (SURVEY.md E1) on sf0.001.
-``queries()`` — one entry per implemented operator from SURVEY.md §2.
-``oracle_sql()`` — matching DuckDB SQL for the correctness gate.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(collected from the package registry; keys are operator IDs).
+``oracle_sql()`` — matching DuckDB SQL for the correctness gate;
+queries without an entry get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -11,23 +13,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lake_satellite_image_etl_spark.plans import flagship as _flagship
+from lake_satellite_image_etl_spark.plans.flagship import flagship as _flagship
+from lake_satellite_image_etl_spark.registry import load_all
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _flagship.flagship(spark, "/root/testdata/sf0.001")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, QueryFn]:
-    q: dict[str, QueryFn] = {}
-    q["flagship_catalog"] = _flagship.flagship
-    return q
+    return dict(load_all()[0])
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "flagship_catalog": _flagship.FLAGSHIP_ORACLE_SQL,
-    }
+    return dict(load_all()[1])

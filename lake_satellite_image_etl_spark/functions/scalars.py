@@ -1,0 +1,201 @@
+"""Scalar functions F1-F14 (SURVEY.md §2.8) — all JVM-side built-ins,
+inside whole-stage codegen; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+
+def artifact_key(
+    prefix_id: Column, entity_id: Column, ts: Column, suffix: str
+) -> Column:
+    """K3/F1/F2: deterministic artifact key
+    ``{prefix}/{entity}_{yyyyMMddHHmmss}{suffix}``.
+
+    The reference's format string (main.py:142) is buggy — strftime
+    ``%Y%M%d%H%m%S`` swaps month/minute (%M is minute, %m is month).
+    We implement the *intended* semantics (year month day hour minute
+    second); divergence documented here and in tests.
+    """
+    return F.concat(
+        prefix_id.cast("string"),
+        F.lit("/"),
+        entity_id.cast("string"),
+        F.lit("_"),
+        F.date_format(ts, "yyyyMMddHHmmss"),
+        F.lit(suffix),
+    )
+
+
+@query(
+    "scalar_string_keys",
+    oracle="""
+    SELECT event_id,
+           user_id::VARCHAR || '/' || event_id::VARCHAR || '_'
+             || strftime(ts, '%Y%m%d%H%M%S') || '.tif' AS filename,
+           user_id::VARCHAR || '/' || event_id::VARCHAR || '_'
+             || strftime(ts, '%Y%m%d%H%M%S') || '_thumbnail.png'
+             AS thumbnail_filename
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def scalar_string_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2+K3: filename/key generation (main.py:141-148,313-317)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return ev.select(
+        "event_id",
+        artifact_key(F.col("user_id"), F.col("event_id"), F.col("ts"), ".tif").alias(
+            "filename"
+        ),
+        artifact_key(
+            F.col("user_id"), F.col("event_id"), F.col("ts"), "_thumbnail.png"
+        ).alias("thumbnail_filename"),
+    )
+
+
+@query(
+    "scalar_epoch_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_millis,
+           epoch_ms(epoch_ms(ts)) AS ts_roundtrip
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def scalar_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: epoch-millis → timestamp decode (main.py:416-424 reads
+    properties['system:time_start'] ms and divides by 1000)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_millis"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+    )
+
+
+@query(
+    "scalar_dates",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_date,
+           o_orderdate - INTERVAL 30 DAY AS lookback_start,
+           date_part('year', o_orderdate)::INT AS order_year,
+           date_part('month', o_orderdate)::INT AS order_month
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5: ISO date strings (main.py:398,471) and the 30-day
+    lookback arithmetic (main.py:45-46)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_date"),
+        (F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS")).alias("lookback_start"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+
+
+@query(
+    "scalar_math_extents",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - p_size) AS extent,
+           (p_size // 7)::BIGINT AS thumb_w,
+           (p_size * 20 // 7)::BIGINT AS thumb_h,
+           (0.6 * 255)::INT AS white_threshold,
+           round(p_retailprice / 7, 4) AS scaled
+    FROM part WHERE p_size >= 7
+    """,
+)
+def scalar_math_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6+F7+F8: abs-extent (main.py:379-380), integer-truncated
+    thumbnail dims ÷7 (main.py:290-292, main.py:40), int() thresholds
+    (main.py:277)."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") >= 7)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - F.col("p_size")).alias("extent"),
+        F.floor(F.col("p_size") / 7).alias("thumb_w"),
+        F.floor(F.col("p_size") * 20 / 7).alias("thumb_h"),
+        F.lit(int(0.6 * 255)).alias("white_threshold"),
+        F.round(F.col("p_retailprice") / 7, 4).alias("scaled"),
+    )
+
+
+@query(
+    "scalar_json_props",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::INT AS k_value,
+           to_json(struct_pack(event_type := event_type,
+                               user_id := user_id)) AS encoded
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9+F10: JSON-string properties — decode one field
+    (properties['system:time_start'] analog, main.py:416) and encode a
+    struct back to a JSON string (json.dumps analog, main.py:335)."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.to_json(F.struct("event_type", "user_id")).alias("encoded"),
+    )
+
+
+@query(
+    "scalar_nested_arrays",
+    oracle="""
+    -- polygon = ring of [x, y, z] points built from order lines;
+    -- drop the z coordinate (main.py:374-377 analog).
+    WITH geom AS (
+        SELECT l_orderkey AS body_id,
+               array_agg([l_quantity, l_discount * 100, l_tax * 100]
+                         ORDER BY l_linenumber, l_quantity,
+                                  l_discount * 100, l_tax * 100) AS ring
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT body_id,
+           list_transform(ring, p -> list_slice(p, 1, 2)) AS ring_2d,
+           len(ring) AS n_points
+    FROM geom WHERE body_id % 50 = 0
+    """,
+)
+def scalar_nested_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12+F13: nested-array geometry manipulation — build
+    ring-of-points arrays, drop the z coordinate with a nested
+    ``transform``+``slice`` (exact shape of main.py:374-377), all
+    JVM-side array HOFs."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    geom = li.groupBy(F.col("l_orderkey").alias("body_id")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber",
+                        F.array(
+                            F.col("l_quantity"),
+                            F.col("l_discount") * 100,
+                            F.col("l_tax") * 100,
+                        ).alias("p"),
+                    )
+                )
+            ),
+            lambda s: s["p"],
+        ).alias("ring")
+    )
+    return geom.select(
+        "body_id",
+        F.transform("ring", lambda p: F.slice(p, 1, 2)).alias("ring_2d"),
+        F.size("ring").alias("n_points"),
+    )

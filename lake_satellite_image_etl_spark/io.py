@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: every fixture table the driver materializes (TESTDATA.md)
 TABLES = (
@@ -37,8 +38,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table (columnar scan, pushdown-capable)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one fixture table (columnar scan, pushdown-capable).
+
+    ``events.parquet`` is written with nanosecond timestamps, which
+    Spark's vectorized parquet reader rejects; we read them as raw
+    int64 (``nanosAsLong``) and truncate to microseconds — exactly the
+    precision DuckDB keeps, so oracle comparisons stay aligned.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

@@ -1,0 +1,260 @@
+"""Aggregations (SURVEY.md §2.5, A1-A5 + EXT distinct/rollup/cube).
+
+All of these compile to HashAggregateExec with map-side partial
+aggregation — at 100 TB the shuffle carries only (group key, partial
+state), never raw rows. Float-valued aggregates are explicitly
+``round``-ed so results are engine-independent (partial-aggregation
+order must not leak into the output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+
+@query(
+    "agg_collect_array",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           list_sort(array_agg(n_name)) AS nations,
+           count(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: grouped ARRAY_AGG (main.py:468-473). Sorted for determinism —
+    the reference consumes the array only as a membership set."""
+    n = read_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_filtered_mean",
+    oracle="""
+    WITH px AS (
+        SELECT l_returnflag AS flag,
+               (l_partkey % 256)::INT AS red,
+               (l_suppkey % 256)::INT AS green,
+               ((l_partkey + l_suppkey) % 256)::INT AS blue
+        FROM lineitem
+    )
+    SELECT flag,
+           round(avg(CASE WHEN red   != 0 THEN red   END), 6) AS red_average,
+           round(avg(CASE WHEN green != 0 THEN green END), 6) AS green_average,
+           round(avg(CASE WHEN blue  != 0 THEN blue  END), 6) AS blue_average
+    FROM px GROUP BY flag
+    """,
+)
+def agg_filtered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-channel mean excluding nodata==0 — exact semantics of
+    ``np.mean(channel[channel != 0])`` (main.py:247-251), re-expressed
+    relationally on the long pixel form so it is oracle-checkable."""
+    li = read_table(spark, sf_dir, "lineitem")
+    px = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_partkey") % 256).cast("int").alias("red"),
+        (F.col("l_suppkey") % 256).cast("int").alias("green"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 256).cast("int").alias("blue"),
+    )
+
+    def masked_avg(c: str) -> F.Column:
+        return F.round(F.avg(F.when(F.col(c) != 0, F.col(c))), 6).alias(
+            f"{c}_average"
+        )
+
+    return px.groupBy("flag").agg(
+        masked_avg("red"), masked_avg("green"), masked_avg("blue")
+    )
+
+
+@query(
+    "agg_conditional_fraction",
+    oracle="""
+    WITH px AS (
+        SELECT l_linestatus AS status,
+               (l_partkey % 256)::INT AS red,
+               (l_suppkey % 256)::INT AS green,
+               ((l_partkey + l_suppkey) % 256)::INT AS blue
+        FROM lineitem
+    )
+    SELECT status,
+           round(
+             sum(CASE WHEN least(red, green, blue) >= 153
+                       AND greatest(red, green, blue) - least(red, green, blue) <= 25
+                      THEN 1 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
+                        THEN 1 ELSE 0 END),
+             6) AS white_fraction,
+           count(*) - sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
+                               THEN 1 ELSE 0 END) AS n_out_of_bounds
+    FROM px GROUP BY status
+    """,
+)
+def agg_conditional_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4+A5: white_fraction = sum(is_white)/count(in_bounds), with
+    row-wise least/greatest across channels and the masked-element
+    count — main.py:276-281 semantics, thresholds int-truncated to
+    153/25 exactly as main.py:277."""
+    li = read_table(spark, sf_dir, "lineitem")
+    px = li.select(
+        F.col("l_linestatus").alias("status"),
+        (F.col("l_partkey") % 256).cast("int").alias("red"),
+        (F.col("l_suppkey") % 256).cast("int").alias("green"),
+        ((F.col("l_partkey") + F.col("l_suppkey")) % 256).cast("int").alias("blue"),
+    )
+    lo = F.least("red", "green", "blue")
+    hi = F.greatest("red", "green", "blue")
+    is_white = (lo >= 153) & ((hi - lo) <= 25)
+    in_bounds = ~((F.col("red") == 0) & (F.col("green") == 0) & (F.col("blue") == 0))
+    return px.groupBy("status").agg(
+        F.round(
+            F.sum(F.when(is_white, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(in_bounds, 1).otherwise(0)),
+            6,
+        ).alias("white_fraction"),
+        (F.count(F.lit(1)) - F.sum(F.when(in_bounds, 1).otherwise(0))).alias(
+            "n_out_of_bounds"
+        ),
+    )
+
+
+@query(
+    "agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)           AS sum_qty,
+           round(sum(l_extendedprice), 2)      AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                               AS sum_charge,
+           round(avg(l_quantity), 6)           AS avg_qty,
+           round(avg(l_extendedprice), 6)      AS avg_price,
+           round(avg(l_discount), 6)           AS avg_disc,
+           count(*)                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT headline aggregation (TPC-H Q1 shape): two grouping columns,
+    8 aggregates, one map-side-combined shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT exact distinct counts (dedup north-star support)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL sketches are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT approx_count_distinct — the 100 TB path for cardinality
+    (HyperLogLog++, no exact-distinct double shuffle). Rows-only check:
+    sketch estimates are engine-specific by construction; a pytest
+    asserts the estimate is within 5% of exact."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT hierarchical subtotals (free from Catalyst: expands to a
+    grouping-sets union over one shuffle)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT full cross-tabulation."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 6) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           round(median(c_acctbal), 4) AS med_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT summary statistics incl. exact median (percentile).
+
+    At 100 TB prefer ``percentile_approx`` (mergeable t-digest-style
+    sketch) — exact percentile needs the whole group; kept exact here
+    because the oracle gate demands engine-independent values.
+    """
+    c = read_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med_bal"),
+    )

@@ -1,0 +1,122 @@
+"""Incremental / idempotent ingest operators (SURVEY.md §2.9 T1-T3, K1).
+
+The reference's incremental contract: a daily run fetches only a
+30-day lookback window (main.py:34,45-46), skips already-ingested
+images via an anti-join-shaped membership test (main.py:468-473,415),
+and upserts with ON CONFLICT DO NOTHING on PK (waterbody_id,
+captured_ts) (main.py:106-107,453-457). Distributed form: partition-
+pruned scan + left-anti join + dropDuplicates-on-PK append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+
+@query(
+    "incremental_lookback",
+    oracle="""
+    WITH hi AS (SELECT max(ts) AS mx FROM events)
+    SELECT e.event_id, e.user_id, e.ts, e.event_type
+    FROM events e, hi
+    WHERE e.ts >= hi.mx - INTERVAL 7 DAY
+    """,
+)
+def incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: lookback-window scan, anchored at max(ts) so results are
+    deterministic (the reference anchors at date.today(), main.py:45-46).
+
+    On a date-partitioned 100 TB layout this predicate is *partition
+    pruning*: the daily run opens ~7/N of the files and reads nothing
+    else. The max(ts) anchor is a scalar subquery → broadcast scalar.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hi = ev.agg(F.max("ts").alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(hi))
+        .filter(F.col("ts") >= F.col("mx") - F.expr("INTERVAL 7 DAYS"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@query(
+    "incremental_new_keys",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 1 DAY AS c FROM events),
+    seen AS (
+        SELECT DISTINCT user_id, event_type FROM events, cutoff WHERE ts < c
+    ),
+    fresh AS (
+        SELECT e.* FROM events e, cutoff WHERE e.ts >= cutoff.c
+    )
+    SELECT f.event_id, f.user_id, f.event_type, f.ts
+    FROM fresh f
+    ANTI JOIN seen s ON f.user_id = s.user_id AND f.event_type = s.event_type
+    """,
+)
+def incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/J4: the incremental seen-set as a left-anti join — new-window
+    rows whose key never appeared before the cutoff. This replaces the
+    reference's ARRAY_AGG-membership scheme (main.py:469-472,415) with
+    the form that scales: the seen-set stays relational, one shuffle
+    (or broadcast when the key set is small)."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("c"))
+    ev_c = ev.crossJoin(F.broadcast(cutoff))
+    seen = (
+        ev_c.filter(F.col("ts") < F.col("c"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        ev_c.filter(F.col("ts") >= F.col("c"))
+        .join(seen, ["user_id", "event_type"], "left_anti")
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "dedup_primary_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+    ) = 1
+    """,
+)
+def dedup_primary_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/T3: idempotent-upsert semantics — exactly one surviving row
+    per PK. ON CONFLICT DO NOTHING keeps the *first* arrival
+    (main.py:455); here "first" is made explicit (earliest ts, then
+    event_id) so the result is deterministic, unlike raw
+    ``dropDuplicates`` which keeps an arbitrary partition winner."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def idempotent_append(
+    new_rows: DataFrame, existing: DataFrame, pk: list[str]
+) -> DataFrame:
+    """K1 as a reusable sink-side plan: rows to actually append =
+    PK-deduped new rows anti-joined against existing PKs.
+
+    ``existing`` only needs its PK columns — at 100 TB read just the PK
+    columns of the target (column pruning) or a bloom-filter index.
+    Run-twice property: appending the result, then calling this again
+    with the same ``new_rows``, yields an empty frame (tested in
+    tests/test_incremental.py).
+    """
+    deduped = new_rows.dropDuplicates(pk)
+    return deduped.join(existing.select(*pk).distinct(), pk, "left_anti")

@@ -1,0 +1,226 @@
+"""Joins (SURVEY.md §2.4, J1-J5 + EXT as-of/range).
+
+The reference never chooses a join algorithm — it ships SQL to
+Postgres (main.py:467-486). Here every join is declared by *type* and
+Catalyst/AQE choose the strategy; we only add `broadcast()` hints where
+one side is a dimension that stays small at any fact-table scale, which
+removes the shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+
+@query(
+    "join_dim_enrich",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+    FROM supplier s
+    LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def join_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join dim enrichment (water_bodies ⟕ geometries,
+    main.py:477-478). Both dims broadcast — zero shuffles at any scale."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                F.col("r_name").alias("region"))
+    )
+
+
+@query(
+    "join_cross_configs",
+    oracle="""
+    WITH configs AS (
+        SELECT * FROM (VALUES
+            ('COPERNICUS/S2_SR_HARMONIZED', 'CLOUDY_PIXEL_PERCENTAGE', 20.0),
+            ('LANDSAT/LC09/C02/T1_L2', 'CLOUD_COVER', 20.0)
+        ) c(dataset, cloud_field, cloud_limit)
+    )
+    SELECT n.n_nationkey AS body_id, n.n_name AS body_name,
+           c.dataset, c.cloud_field, c.cloud_limit
+    FROM nation n CROSS JOIN configs c
+    """,
+)
+def join_cross_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: work rows × dataset configs.
+
+    The reference loops every water body over every dataset config
+    (main.py:433-440; configs main.py:74-92). Distributed form: a
+    crossJoin against a broadcast literal config DataFrame — the
+    BroadcastNestedLoopJoin costs |configs| × scan, no shuffle.
+    """
+    n = read_table(spark, sf_dir, "nation")
+    configs = spark.createDataFrame(
+        [
+            ("COPERNICUS/S2_SR_HARMONIZED", "CLOUDY_PIXEL_PERCENTAGE", 20.0),
+            ("LANDSAT/LC09/C02/T1_L2", "CLOUD_COVER", 20.0),
+        ],
+        "dataset string, cloud_field string, cloud_limit double",
+    )
+    return n.crossJoin(F.broadcast(configs)).select(
+        F.col("n_nationkey").alias("body_id"),
+        F.col("n_name").alias("body_name"),
+        "dataset",
+        "cloud_field",
+        "cloud_limit",
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts
+    FROM events e
+    ANTI JOIN (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ) seen USING (user_id)
+    WHERE e.event_type = 'click'
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti join — the idiomatic replacement for the
+    reference's ARRAY_AGG + membership skip (main.py:469-472,415).
+
+    At 100 TB this is the *only* sane form: the seen-set never
+    materializes as per-row arrays; it stays a keyed relation that
+    shuffles (or broadcasts) once.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    seen = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .join(seen, "user_id", "left_anti")
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@query(
+    "join_fanout_1n",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,
+           round(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_fanout_1n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: key-preserving 1:N expansion — one parent row fans out to N
+    children carrying parent fields (query → images, main.py:412-427)."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "net_price"
+        ),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT as-of join: for each click, the latest purchase at-or-before
+    it, per user. Spark lacks a native ASOF; the scalable composition is
+    union → window ``last(ignorenulls)`` partitioned by key ordered by
+    (ts, side) — one shuffle on the key, no per-row range scan.
+
+    Ties (click.ts == purchase.ts): the purchase sorts first (side 0 <
+    side 1), so it is visible to the click — matching ASOF ``>=``.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+
+    unioned = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("p_id"),
+    ).unionByName(
+        purch.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("click_id"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "p_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("purchase_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("purchase_ts", F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+
+
+@query(
+    "join_range_bucket",
+    oracle="""
+    WITH buckets AS (
+        SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+        FROM range(6) t(i)
+    )
+    SELECT b.bucket_id, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN buckets b
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT range join, scale form: when ranges are a uniform grid the
+    non-equi join collapses to an *equi*-join on a computed bucket key —
+    O(n) instead of the O(n·m) nested-loop a naive BETWEEN join plans.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    buckets = spark.range(6).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    li_b = li.withColumn(
+        "bucket_id", F.floor(F.col("l_quantity") / 10.0).cast("long")
+    )
+    return (
+        li_b.join(F.broadcast(buckets), "bucket_id")
+        .filter((F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

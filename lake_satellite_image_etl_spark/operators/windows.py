@@ -1,0 +1,127 @@
+"""Time windows over the events stream-analog table (SURVEY.md §2.9 EXT).
+
+Batch forms of the Structured Streaming windows: ``F.window`` produces
+the identical bucketing the streaming engine uses, so these plans are
+copy-pasteable into a ``readStream`` pipeline (see streaming/ingest.py)
+— the watermark is the only addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+
+@query(
+    "window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT tumbling window: 1-hour buckets × event_type."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    -- Spark's sliding window semantics: an event at ts belongs to every
+    -- 1h window whose 15-min-aligned start is in (ts-1h, ts].
+    SELECT time_bucket(INTERVAL 15 MINUTE, e.ts) - (k.k * INTERVAL 15 MINUTE)
+               AS window_start,
+           count(*) AS n,
+           round(sum(e.value), 4) AS total_value
+    FROM events e CROSS JOIN range(4) k(k)
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT sliding window: 1 hour long, sliding 15 minutes — each event
+    lands in 4 windows. Spark expands this without a self-join."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    -- Sessionization: a session breaks when the per-user gap > 30 min.
+    WITH gaps AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT session window (30-min gap), batch form.
+
+    Built from lag + cumulative-sum — one shuffle on user_id, identical
+    result to streaming ``session_window(ts, '30 minutes')`` on this
+    data. Returns per-session extent and aggregates.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = ev.withColumn(
+        "is_start",
+        F.when(
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = gaps.withColumn("session_no", F.sum("is_start").over(wsum))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    ).drop("session_no")
