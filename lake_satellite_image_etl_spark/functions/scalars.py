@@ -157,25 +157,33 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_nested_arrays",
     oracle="""
     -- polygon = ring of [x, y, z] points built from order lines;
-    -- drop the z coordinate (main.py:374-377 analog).
+    -- drop the z coordinate (main.py:374-377 analog), then flatten to
+    -- one scalar row per 2-D point for the hashable gate output.
     WITH geom AS (
         SELECT l_orderkey AS body_id,
                array_agg([l_quantity, l_discount * 100, l_tax * 100]
                          ORDER BY l_linenumber, l_quantity,
                                   l_discount * 100, l_tax * 100) AS ring
-        FROM lineitem GROUP BY l_orderkey
+        FROM lineitem
+        WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey
+    ),
+    flat AS (
+        SELECT body_id, len(ring) AS n_points,
+               unnest(list_transform(ring, p -> list_slice(p, 1, 2))) AS pt
+        FROM geom
     )
-    SELECT body_id,
-           list_transform(ring, p -> list_slice(p, 1, 2)) AS ring_2d,
-           len(ring) AS n_points
-    FROM geom WHERE body_id % 50 = 0
+    SELECT body_id, round(pt[1], 6) AS x, round(pt[2], 6) AS y, n_points
+    FROM flat
     """,
 )
 def scalar_nested_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12+F13: nested-array geometry manipulation — build
     ring-of-points arrays, drop the z coordinate with a nested
     ``transform``+``slice`` (exact shape of main.py:374-377), all
-    JVM-side array HOFs."""
+    JVM-side array HOFs. The gate output is exploded to one scalar row
+    per 2-D point (driver hasher can't factorize nested lists); the
+    ring-building stays the internal API."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
     geom = li.groupBy(F.col("l_orderkey").alias("body_id")).agg(
         F.transform(
@@ -194,8 +202,18 @@ def scalar_nested_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["p"],
         ).alias("ring")
     )
-    return geom.select(
-        "body_id",
-        F.transform("ring", lambda p: F.slice(p, 1, 2)).alias("ring_2d"),
-        F.size("ring").alias("n_points"),
+    return (
+        geom.select(
+            "body_id",
+            F.size("ring").alias("n_points"),
+            F.explode(
+                F.transform("ring", lambda p: F.slice(p, 1, 2))
+            ).alias("pt"),
+        )
+        .select(
+            "body_id",
+            F.round(F.col("pt")[0], 6).alias("x"),
+            F.round(F.col("pt")[1], 6).alias("y"),
+            "n_points",
+        )
     )

@@ -20,17 +20,19 @@ from lake_satellite_image_etl_spark.registry import query
     "agg_collect_array",
     oracle="""
     SELECT n_regionkey AS region_key,
-           list_sort(array_agg(n_name)) AS nations,
+           array_to_string(list_sort(array_agg(n_name)), ',') AS nations,
            count(*) AS n
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: grouped ARRAY_AGG (main.py:468-473). Sorted for determinism —
-    the reference consumes the array only as a membership set."""
+    the reference consumes the array only as a membership set. The array
+    is serialized to a scalar string at the output boundary because the
+    driver's hasher cannot factorize list cells."""
     n = read_table(spark, sf_dir, "nation")
     return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -92,8 +94,11 @@ def agg_filtered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
              / sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
                         THEN 1 ELSE 0 END),
              6) AS white_fraction,
-           count(*) - sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
-                               THEN 1 ELSE 0 END) AS n_out_of_bounds
+           -- ::BIGINT: duckdb's count(*) - sum(...) is HUGEINT, which
+           -- pandas surfaces as float64 and the driver hash would then
+           -- distinguish from Spark's bigint.
+           (count(*) - sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
+                                THEN 1 ELSE 0 END))::BIGINT AS n_out_of_bounds
     FROM px GROUP BY status
     """,
 )

@@ -162,9 +162,12 @@ def filter_membership_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH px AS (
         SELECT l_orderkey AS image_id, l_linenumber AS pix,
-               (l_partkey % 256)::INT AS red,
-               (l_suppkey % 256)::INT AS green,
-               ((l_partkey + l_suppkey) % 256)::INT AS blue
+               (CASE WHEN l_quantity < 2 THEN 0
+                     ELSE 140 + (l_partkey % 60) END)::INT AS red,
+               (CASE WHEN l_quantity < 2 THEN 0
+                     ELSE 140 + (l_suppkey % 60) END)::INT AS green,
+               (CASE WHEN l_quantity < 2 THEN 0
+                     ELSE 140 + ((l_partkey + l_suppkey) % 60) END)::INT AS blue
         FROM lineitem
     )
     SELECT image_id, pix, red, green, blue
@@ -179,16 +182,25 @@ def filter_pixel_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact semantics of main.py:276-277 with the int-truncated
     thresholds int(0.6*255)=153 and int(0.1*255)=25, on the long pixel
-    form (pixels derived deterministically from lineitem keys so the
-    oracle sees the same table).
+    form. Pixels are derived deterministically from lineitem keys so
+    the oracle sees the same table: low-quantity rows become nodata
+    (0,0,0) pixels — excluded by P9 — and the rest land in [140,200),
+    so a real fraction satisfies the white predicate (P10). Both
+    branches of the predicate are exercised (non-vacuous; asserted in
+    tests/test_oracle_gate.py).
     """
     li = read_table(spark, sf_dir, "lineitem")
+    nodata_row = F.col("l_quantity") < 2
+
+    def chan(expr: F.Column) -> F.Column:
+        return F.when(nodata_row, 0).otherwise(140 + (expr % 60)).cast("int")
+
     px = li.select(
         F.col("l_orderkey").alias("image_id"),
         F.col("l_linenumber").alias("pix"),
-        (F.col("l_partkey") % 256).cast("int").alias("red"),
-        (F.col("l_suppkey") % 256).cast("int").alias("green"),
-        ((F.col("l_partkey") + F.col("l_suppkey")) % 256).cast("int").alias("blue"),
+        chan(F.col("l_partkey")).alias("red"),
+        chan(F.col("l_suppkey")).alias("green"),
+        chan(F.col("l_partkey") + F.col("l_suppkey")).alias("blue"),
     )
     nodata = (F.col("red") == 0) & (F.col("green") == 0) & (F.col("blue") == 0)
     lo = F.least("red", "green", "blue")

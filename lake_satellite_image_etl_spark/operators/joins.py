@@ -84,7 +84,8 @@ def join_cross_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.user_id, e.ts
     FROM events e
     ANTI JOIN (
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90
     ) seen USING (user_id)
     WHERE e.event_type = 'click'
     """,
@@ -95,10 +96,16 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the *only* sane form: the seen-set never
     materializes as per-row arrays; it stays a keyed relation that
-    shuffles (or broadcasts) once.
+    shuffles (or broadcasts) once. The seen-set is the big-ticket
+    purchasers (value > 90) so the anti-join keeps a real remainder at
+    every scale factor (non-vacuous; asserted in tests).
     """
     ev = read_table(spark, sf_dir, "events")
-    seen = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    seen = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
     return (
         ev.filter(F.col("event_type") == "click")
         .join(seen, "user_id", "left_anti")
@@ -110,23 +117,32 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fanout_1n",
     oracle="""
     SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,
-           round(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+           round(l.l_extendedprice::DECIMAL(18,6)
+                 * (1 - l.l_discount::DECIMAL(18,6)), 2)::DOUBLE AS net_price
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'F'
     """,
 )
 def join_fanout_1n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: key-preserving 1:N expansion — one parent row fans out to N
-    children carrying parent fields (query → images, main.py:412-427)."""
+    children carrying parent fields (query → images, main.py:412-427).
+
+    Money arithmetic is done in DECIMAL before rounding: ``round`` on a
+    raw double is not engine-independent (Spark rounds the exact binary
+    value HALF_UP, other engines differ on fp halfway cases). The input
+    doubles carry ≤2 fractional digits, so the DECIMAL(18,6) cast is
+    exact and both engines round identical decimal values.
+    """
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = read_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
     return o.join(li, o.o_orderkey == li.l_orderkey).select(
         "o_orderkey",
         "o_orderpriority",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-            "net_price"
-        ),
+        F.round(net, 2).cast("double").alias("net_price"),
     )
 
 

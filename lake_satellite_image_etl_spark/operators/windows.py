@@ -76,7 +76,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     -- Sessionization: a session breaks when the per-user gap > 30 min.
     WITH gaps AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_start
@@ -86,7 +86,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess AS (
         SELECT user_id, ts, value,
                sum(is_start) OVER (
-                   PARTITION BY user_id ORDER BY ts
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_no
         FROM gaps
     )
@@ -104,15 +104,23 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Same ordering as `w` so both window functions share ONE sort (a
+    # differently-ordered cumulative window would add a second sort of
+    # every partition) — and the tie-break makes session numbering
+    # deterministic when timestamps collide.
     wsum = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Gap test at full microsecond precision (unix_micros), matching the
+    # oracle's ts - lag(ts) > INTERVAL comparison — a cast('long') diff
+    # would truncate to whole seconds and split 1800.4s gaps differently.
     gaps = ev.withColumn(
         "is_start",
         F.when(
-            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800,
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 1_800_000_000,
             1,
         )
         .when(F.lag("ts").over(w).isNull(), 1)

@@ -55,13 +55,19 @@ def flagship(spark: SparkSession, sf_dir: str, *, limit: int = 1100) -> DataFram
         # P3 — numeric range filter (pushed to the customer scan).
         .filter(F.col("c_acctbal") < 9000.0)
         # P1 — explicit projection (column pruning reaches the scans).
+        # The key array is serialized to a scalar string at the output
+        # boundary: the driver's correctness hasher (pandas sort+hash)
+        # cannot factorize list-valued cells. The array-producing plan
+        # stays the internal API; only the gate projection flattens.
         .select(
             "c_custkey",
             "c_name",
             "c_acctbal",
             "c_mktsegment",
             "n_name",
-            "order_keys",
+            F.concat_ws(",", F.col("order_keys").cast("array<string>")).alias(
+                "order_keys"
+            ),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
         # O1 — top-k: TakeOrderedAndProject, not a global sort.
@@ -79,7 +85,8 @@ WITH already AS (
     FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment, n.n_name,
-       a.order_keys, coalesce(a.n_orders, 0) AS n_orders
+       coalesce(array_to_string(a.order_keys, ','), '') AS order_keys,
+       coalesce(a.n_orders, 0) AS n_orders
 FROM customer c
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 LEFT JOIN already a ON c.c_custkey = a.o_custkey

@@ -42,24 +42,33 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class UnhashableColumn(TypeError):
+    """A list/dict/ndarray-valued cell: the driver's pandas sort+hash
+    canonicalization raises on these, so the local gate must too —
+    otherwise local-green does not predict driver-green."""
+
+
 def _canon_cell(v):
-    """Canonicalize one value for order-insensitive comparison."""
+    """Canonicalize one value for order-insensitive comparison.
+
+    Mirrors the driver's gate: unhashable (nested) values are an ERROR,
+    not silently canonicalized — queries must serialize/explode array
+    output at the boundary.
+    """
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return None  # treat NaN like NULL (duckdb/pandas blur them)
         return v
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon_cell(x) for x in v)
-    # numpy scalars / arrays
+    if isinstance(v, (list, tuple, dict)):
+        raise UnhashableColumn(f"unhashable cell of type {type(v).__name__}: {v!r}")
+    # numpy scalars (0-d) are fine; numpy arrays are not
     if hasattr(v, "tolist"):
         out = v.tolist()
         if isinstance(out, list):
-            return tuple(_canon_cell(x) for x in out)
+            raise UnhashableColumn(f"unhashable ndarray cell: {out!r}")
         return _canon_cell(out)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _canon_cell(x)) for k, x in v.items()))
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
@@ -112,7 +121,24 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
     if len(spark_pdf) != len(oracle_pdf):
         res.detail = "row count mismatch"
         return res
-    s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
+    # dtype-kind strictness: the driver's value hash distinguishes
+    # int64 2 from float64 2.0 — an int-vs-float column kind mismatch
+    # must fail locally too.
+    for c in res.schema_spark:
+        ks, ko = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+        if {ks, ko} <= {"i", "u"}:
+            continue  # signedness width is not hashed
+        if ks != ko and len(spark_pdf):
+            res.detail = (
+                f"dtype kind mismatch on '{c}': spark {spark_pdf[c].dtype} "
+                f"vs oracle {oracle_pdf[c].dtype}"
+            )
+            return res
+    try:
+        s_rows, o_rows = canon_rows(spark_pdf), canon_rows(oracle_pdf)
+    except UnhashableColumn as e:
+        res.detail = f"UNHASHABLE (driver would error): {e}"
+        return res
     if s_rows == o_rows:
         res.ok = True
         return res
