@@ -1,0 +1,326 @@
+"""Text-analysis scalar surface over the ``documents`` table
+(SURVEY.md §2.8 EXT) — the LLM-data-pipeline text block: tokenization
++ token counting, quality scoring, language-ID heuristic, document
+fingerprinting, and edit distance.
+
+Everything is JVM-side (``pyspark.sql.functions`` + array higher-order
+functions) inside whole-stage codegen — zero Python UDFs, so at 100 TB
+these run at scan speed with no serialization boundary, and every
+query is DuckDB-oracle checkable.
+
+Cross-engine determinism notes:
+- Hashing uses ``md5`` (identical hex output everywhere); 60-bit
+  integer hashes are the first 15 hex chars parsed base-16 (Spark
+  ``conv``, DuckDB ``('0x'||…)::BIGINT`` — verified bit-identical).
+- The rolling fingerprint is a left-fold polynomial hash kept under
+  2^63 by a double modulus, so integer arithmetic never overflows in
+  either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+# -- shared expression builders (imported by operators/dedup.py) --------
+
+#: English-ish stopword markers present in the fixture vocabulary.
+STOPWORDS = ("the", "a")
+
+#: per-language marker stopword lists for the n-gram/stopword
+#: language-ID heuristic. Checked in this priority order on ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de5", "le5", "shi4", "zai4"),  # pinyin-romanized markers
+}
+
+POLY_MUL = 31
+POLY_TOK_MOD = 1_000_000_007
+POLY_ACC_MOD = 1_000_000_000_000
+
+
+def tokens_of(c: Column) -> Column:
+    """Whitespace tokenization of lowercased text (array<string>)."""
+    return F.split(F.lower(c), " ")
+
+
+def tok_hash60(t: Column) -> Column:
+    """Deterministic 60-bit integer hash of a token: first 15 hex chars
+    of md5, parsed base-16. Engine-independent (DuckDB:
+    ``('0x' || substring(md5(t),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). Documents shorter
+    than ``n`` tokens contribute their whole token list as one
+    shingle — mirrors DuckDB ``list_slice`` clamping."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda j: F.concat_ws(" ", F.slice(toks, j, n)),
+        )
+    )
+
+
+def _arr_sum_long(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _arr_sum_double(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# DuckDB fragment for the token list, kept identical to tokens_of().
+_SQL_TOKS = "string_split(lower(text), ' ')"
+
+
+@query(
+    "text_tokenize_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id, n_chars,
+           len(toks)::BIGINT AS n_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+           list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT))::BIGINT
+               AS n_bpe_ish_tokens,
+           round(list_sum(list_transform(toks, t -> length(t)::DOUBLE))
+                 / len(toks), 6) AS avg_token_len
+    FROM t
+    """,
+)
+def text_tokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    subword estimate (ceil(len/4) per token ≈ 4 chars/subword), and
+    mean token length. All array HOFs — one narrow map stage, no
+    shuffle, scan-speed at any scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        _arr_sum_long(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long"))
+        ).alias("n_bpe_ish_tokens"),
+        F.round(
+            _arr_sum_double(F.transform(toks, lambda t: F.length(t).cast("double")))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+_SQL_STOPS = "['" + "','".join(STOPWORDS) + "']"
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, n_chars,
+               len(toks)::DOUBLE AS n_tokens,
+               len(list_filter(toks, t -> list_contains({_SQL_STOPS}, t)))::DOUBLE
+                   AS n_stop,
+               len(list_distinct(toks))::DOUBLE AS n_distinct
+        FROM t
+    )
+    SELECT doc_id,
+           round(n_stop / n_tokens, 6) AS stopword_ratio,
+           round(least(n_chars / 400.0, 1.0), 6) AS length_score,
+           round(n_distinct / n_tokens, 6) AS diversity,
+           round(0.4 * least(n_chars / 400.0, 1.0)
+                 + 0.3 * (n_distinct / n_tokens)
+                 + 0.3 * (1.0 - abs(n_stop / n_tokens - 0.1)), 6) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length score (saturating at 400 chars),
+    stopword ratio (target ≈ 0.1), lexical diversity, and a weighted
+    composite — the standard pre-training corpus-filter features
+    (length/stopword/diversity heuristics), all engine-independent
+    double arithmetic."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+        "double"
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_ratio = n_stop / n_tokens
+    diversity = n_distinct / n_tokens
+    return docs.select(
+        "doc_id",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * (1.0 - F.abs(stop_ratio - 0.1)),
+            6,
+        ).alias("quality"),
+    )
+
+
+def _lang_sql_scores() -> str:
+    parts = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "['" + "','".join(markers) + "']"
+        parts.append(
+            f"round(len(list_filter(toks, t -> list_contains({lst}, t)))::DOUBLE"
+            f" / len(toks), 6) AS {lang}_score"
+        )
+    return ",\n           ".join(parts)
+
+
+_LANG_PRIORITY = list(LANG_MARKERS)  # en first on ties
+
+
+def _lang_sql_argmax() -> str:
+    # CASE chain in fixed priority order — identical tie-break both engines
+    best = " , ".join(f"{l}_score" for l in _LANG_PRIORITY)
+    chain = []
+    for lang in _LANG_PRIORITY:
+        chain.append(f"WHEN {lang}_score = greatest({best}) THEN '{lang}'")
+    return "CASE " + " ".join(chain) + " END"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+           {_lang_sql_scores()}
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_lang_sql_argmax()} AS predicted_lang,
+           en_score, de_score, es_score, fr_score, zh_score
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language marker-stopword hit ratios,
+    argmax with a fixed priority tie-break.
+
+    NOTE: the fixture generator labels ``lang`` but draws every
+    language's text from one shared English-ish vocabulary, so content
+    cannot recover the label — the heuristic (correctly) scores 'en'
+    for everything. The machinery is what this query demonstrates; on
+    real corpora the marker lists do the work."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        marker_arr = F.array(*[F.lit(x) for x in markers])
+        hits = F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        return F.round(F.size(hits).cast("double") / F.size(toks), 6)
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            marker_score(markers).alias(f"{lang}_score")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"{l}_score") for l in _LANG_PRIORITY])
+    expr = None
+    for lang in _LANG_PRIORITY:
+        cond = F.col(f"{lang}_score") == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        expr.alias("predicted_lang"),
+        *[f"{l}_score" for l in _LANG_PRIORITY],
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(toks, ' ')) AS content_md5,
+           list_reduce(
+               [0::BIGINT] || list_transform(
+                   toks,
+                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {POLY_TOK_MOD}),
+               (acc, x) -> (acc * {POLY_MUL} + x) % {POLY_ACC_MOD}
+           ) AS rolling_hash
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: a normalized content md5 plus a rolling
+    polynomial hash over token hashes (left fold, acc*31 + h mod 1e12 —
+    order-sensitive, so it distinguishes permuted documents that a
+    bag-of-words hash would collide). Both are narrow map-side
+    expressions; the rolling hash never exceeds 31*1e12 + 1e9 < 2^63,
+    so integer arithmetic is exact in both engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("content_md5"),
+        F.aggregate(
+            F.transform(toks, lambda t: tok_hash60(t) % POLY_TOK_MOD),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * POLY_MUL + x) % POLY_ACC_MOD,
+        ).alias("rolling_hash"),
+    )
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, 60), substring(b.text, 1, 60))
+               AS prefix_edit_distance
+    FROM documents a
+    JOIN documents b
+      ON b.doc_id = a.doc_id + 20 AND a.source = b.source
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between successive documents of the same source
+    (doc_id stride 20 = the source round-robin). Levenshtein is O(n*m)
+    per pair, so it runs on 60-char prefixes and — the scale rule —
+    only on *candidate* pairs produced by a cheap blocking join, never
+    all-pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("source").alias("source_a"),
+        F.substring("text", 1, 60).alias("pa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("source").alias("source_b"),
+        F.substring("text", 1, 60).alias("pb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_a") + 20)
+            & (F.col("source_a") == F.col("source_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
+        )
+    )

@@ -1,0 +1,209 @@
+"""Similarity search over ``embeddings`` — SURVEY.md §2.4/§2.10 EXT:
+brute-force cosine top-k (the exact baseline) and a sign-random-
+projection LSH-bucketed variant (the 100 TB path).
+
+The random hyperplanes are derived from md5 at module import
+(deterministic, data-independent) and inlined as literals into BOTH
+the Spark plan and the oracle SQL — so the bucket assignment is
+bit-identical across engines and the probabilistic recall loss of LSH
+does not affect the correctness gate.
+
+Arithmetic: quantized integer vectors (see functions/vectors.py) —
+integer projections and dot products are exact, so bucket signs and
+cosine ordering can never diverge between engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.functions.vectors import (
+    SQL_QVEC,
+    cosine,
+    qvec_of,
+    sql_cosine,
+)
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+TOP_K = 5
+QUERY_STRIDE = 53  # vec_id % 53 == 0 → ~10 query vectors at sf0.01
+
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic integer hyperplane component in [-1000, 1000]:
+    md5-derived, public recipe, identical in any language/engine."""
+    h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001) - 1000
+
+
+#: N_PLANES × DIM integer hyperplane matrix, inlined on both sides.
+PLANES: list[list[int]] = [
+    [_plane_weight(p, d) for d in range(DIM)] for p in range(N_PLANES)
+]
+
+_SQL_PLANES = (
+    "[" + ", ".join("[" + ", ".join(str(w) for w in row) + "]" for row in PLANES) + "]"
+)
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+               {sql_cosine("a.qv", "b.qv")} AS cos_sim
+        FROM q a JOIN q b ON b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_STRIDE} = 0
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    candidate scan, rank per query.
+
+    Scale: the query side broadcasts (queries are always the small
+    side of ANN search), so candidates stream through map-side —
+    the only shuffle is the per-query top-k window, keyed by query_id
+    with ≤ |candidates| rows per key; a 100 TB refinement is partial
+    top-k per partition before the window (same result, bounded
+    shuffle), which AQE approximates here. The true scale path is the
+    LSH-bucketed variant below."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    queries = q.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cands = q.select(
+        F.col("vec_id").alias("candidate_id"), F.col("qv").alias("c_qv")
+    )
+    cos = cosine(F.col("q_qv"), F.col("c_qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_exact"), F.asc("candidate_id")
+    )
+    return (
+        cands.join(
+            F.broadcast(queries), F.col("candidate_id") != F.col("query_id")
+        )
+        .select("query_id", "candidate_id", cos.alias("cos_sim_exact"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round("cos_sim_exact", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def _bucket_expr(qv):
+    """LSH bucket id: bit p = sign of the integer projection onto
+    hyperplane p. Planes are literal arrays — data-independent, known
+    at plan time, constant-folded by Catalyst."""
+    planes = F.array(
+        *[F.array(*[F.lit(w).cast("long") for w in row]) for row in PLANES]
+    )
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(N_PLANES)])
+    projections = F.transform(
+        planes,
+        lambda row: F.aggregate(
+            F.zip_with(qv, row, lambda x, w: x * w),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(projections, lambda pr: F.when(pr >= 0, 1).otherwise(0))
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda x, p: x.cast("long") * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_BUCKET = f"""list_sum(list_transform(generate_series(1, {N_PLANES}),
+    p -> CASE WHEN list_sum(list_transform(generate_series(1, {DIM}),
+                  d -> qv[d] * ({_SQL_PLANES})[p][d])) >= 0
+              THEN (1::BIGINT << (p - 1)) ELSE 0::BIGINT END))::BIGINT"""
+
+
+@query(
+    "similarity_lsh_bucketed",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    b AS (SELECT vec_id, qv, {_SQL_BUCKET} AS bucket FROM q),
+    pairs AS (
+        SELECT a.vec_id AS query_id, c.vec_id AS candidate_id,
+               {sql_cosine("a.qv", "c.qv")} AS cos_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_STRIDE} = 0
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, scale path: sign-random-projection LSH — 8
+    deterministic hyperplanes → 256 buckets → equi-join queries to
+    candidates on bucket id → exact cosine re-rank within bucket.
+
+    Scale: candidate generation is an equi-join on a uniform 8-bit
+    key — the pair space shrinks by ~2⁸ vs brute force and shuffles
+    by bucket with no skew (hyperplane signs of centered data are
+    ~balanced). Recall is probabilistic (nearby vectors agree on all 8
+    signs with prob Π(1-θᵢ/π)); both engines share the identical
+    plane matrix, so the gate compares exactly. Multi-probe or
+    multiple tables would raise recall at the same join shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    queries = b.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        "bucket",
+    )
+    cands = b.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("qv").alias("c_qv"),
+        "bucket",
+    )
+    cos = cosine(F.col("q_qv"), F.col("c_qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_exact"), F.asc("candidate_id")
+    )
+    return (
+        cands.join(F.broadcast(queries), "bucket")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id", cos.alias("cos_sim_exact"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round("cos_sim_exact", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

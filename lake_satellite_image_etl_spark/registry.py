@@ -53,8 +53,10 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
         try:
             import_module(mod)
         except ModuleNotFoundError as e:
-            # module not built yet (incremental development) — only
-            # tolerate *our own* missing modules, never typos in deps
-            if not e.name.startswith("lake_satellite_image_etl_spark"):
+            # Tolerate only the listed module itself being absent (not
+            # built yet) — a broken *transitive* import inside an
+            # existing module must raise, or typos would silently drop
+            # queries from the driver contract.
+            if not (e.name == mod or mod.startswith(e.name + ".")):
                 raise
     return QUERIES, ORACLES
