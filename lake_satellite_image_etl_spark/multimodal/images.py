@@ -1,0 +1,198 @@
+"""Opaque image/audio/video columns (SURVEY.md §2.10 EXT multimodal):
+``BinaryType`` payloads + typed metadata, with decode / feature-extract
+/ frame-sample kernels as Arrow pandas UDFs over ``mapInPandas``.
+
+Real codecs (PIL/libjpeg/ffmpeg) are not in this container, so decode
+of standard formats is gated behind an import-try and raises
+``NotImplementedError`` — the deterministic ``FIMG`` container below
+stands in, keeping every piece of Spark-side plumbing (schema,
+batching, UDF signatures, partition behavior) real and tested.
+
+FIMG layout (little-endian): magic ``FIMG`` | uint16 width |
+uint16 height | uint8 channels | payload uint8[c*h*w] (C-order).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_binary_files, read_table
+from lake_satellite_image_etl_spark.registry import query
+
+MAGIC = b"FIMG"
+HEADER = struct.Struct("<4sHHB")
+
+
+def encode_fimg(arr: np.ndarray) -> bytes:
+    """uint8 array (c, h, w) → FIMG blob."""
+    c, h, w = arr.shape
+    return HEADER.pack(MAGIC, w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_fimg(blob: bytes) -> np.ndarray:
+    magic, w, h, c = HEADER.unpack_from(blob)
+    if magic != MAGIC:
+        raise ValueError("not a FIMG blob")
+    return np.frombuffer(blob, dtype=np.uint8, offset=HEADER.size).reshape(c, h, w)
+
+
+def decode_standard_image(blob: bytes) -> np.ndarray:  # pragma: no cover
+    """Decode JPEG/PNG/TIFF — requires PIL, absent here by design."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "standard image codecs unavailable in this environment; "
+            "use the FIMG container (encode_fimg/decode_fimg)"
+        ) from exc
+    raise NotImplementedError
+
+
+def synth_fimg(entity_id: int, width: int = 12, height: int = 12, channels: int = 3) -> bytes:
+    """Deterministic synthetic image blob per entity (no RNG)."""
+    c, y, x = np.mgrid[0:channels, 0:height, 0:width]
+    arr = ((entity_id * 11 + c * 29 + y * 5 + x * 3) % 256).astype(np.uint8)
+    return encode_fimg(arr)
+
+
+META_SCHEMA = (
+    "entity_id long, width int, height int, channels int, n_bytes long, image binary"
+)
+
+FEATURE_SCHEMA = (
+    "entity_id long, width int, height int, channels int, "
+    "mean_0 double, mean_1 double, mean_2 double, "
+    "std_0 double, std_1 double, std_2 double"
+)
+
+
+def with_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FIMG blob per part-table row (bounded to 50 for the demo
+    query; the generation itself is executor-side and unbounded)."""
+    ids = (
+        read_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").cast("long").alias("entity_id"))
+        .filter(F.col("entity_id") <= 50)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [synth_fimg(int(e)) for e in pdf["entity_id"]]
+            metas = [decode_fimg(b).shape for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"].astype("int64"),
+                    "width": [m[2] for m in metas],
+                    "height": [m[1] for m in metas],
+                    "channels": [m[0] for m in metas],
+                    "n_bytes": [len(b) for b in blobs],
+                    "image": blobs,
+                }
+            )
+
+    return ids.mapInPandas(gen, schema=META_SCHEMA)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Feature extraction kernel: per-channel mean/std from the decoded
+    payload. mapInPandas so one Arrow batch amortizes decode overhead
+    across rows — the pattern for any embedding/feature model stage."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_fimg(r["image"]).astype(np.float64)
+                mean = arr.mean(axis=(1, 2))
+                std = arr.std(axis=(1, 2))
+                rows.append(
+                    (
+                        int(r["entity_id"]),
+                        int(r["width"]),
+                        int(r["height"]),
+                        int(r["channels"]),
+                        *(round(float(m), 6) for m in mean[:3]),
+                        *(round(float(s), 6) for s in std[:3]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "entity_id", "width", "height", "channels",
+                    "mean_0", "mean_1", "mean_2", "std_0", "std_1", "std_2",
+                ],
+            )
+
+    return images.mapInPandas(feats, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(images: DataFrame, every: int = 3) -> DataFrame:
+    """Frame-sampling kernel for video-like payloads: treat channels as
+    frames, keep every Nth — the decode/sample stage of a video
+    pipeline with the codec swapped for FIMG."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                arr = decode_fimg(r["image"])
+                kept = arr[::every]
+                rows.append((int(r["entity_id"]), kept.shape[0], encode_fimg(kept)))
+            yield pd.DataFrame(rows, columns=["entity_id", "n_frames", "frames"])
+
+    return images.mapInPandas(sample, schema="entity_id long, n_frames int, frames binary")
+
+
+@query("multimodal_image_features")  # rows-only: pandas-UDF kernel path
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract over opaque image blobs. Rows-only
+    (kernels are opaque to SQL); values golden-tested in
+    tests/test_raster.py."""
+    return image_features(with_images(spark, sf_dir)).orderBy("entity_id")
+
+
+_BLOB_DIR = "/root/repo/.scratch/blobs"
+
+
+def _ensure_blob_files() -> str:
+    """Write a deterministic set of FIMG files once (idempotent) so the
+    binaryFile source has something local to scan — the stand-in for
+    the reference's remote zip-of-GeoTIFFs (S4, main.py:161-204)."""
+    os.makedirs(_BLOB_DIR, exist_ok=True)
+    for i in range(8):
+        p = os.path.join(_BLOB_DIR, f"blob_{i}.fimg")
+        if not os.path.exists(p):
+            with open(p, "wb") as f:
+                f.write(synth_fimg(i, width=8, height=8))
+    return _BLOB_DIR
+
+
+@query("multimodal_binaryfile_scan")  # rows-only: filesystem source
+def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: binaryFile source scan → decode header metadata. The source
+    yields (path, modificationTime, length, content); the projection
+    keeps deterministic columns only (no paths/mtimes in the gate
+    output)."""
+    d = _ensure_blob_files()
+    files = read_binary_files(spark, d, "*.fimg")
+    decoded = image_features(
+        files.select(
+            F.regexp_extract(
+                F.element_at(F.split("path", "/"), -1), r"blob_(\d+)", 1
+            )
+            .cast("long")
+            .alias("entity_id"),
+            F.col("content").alias("image"),
+        ).withColumn("width", F.lit(8))
+        .withColumn("height", F.lit(8))
+        .withColumn("channels", F.lit(3))
+    )
+    return decoded.orderBy("entity_id")

@@ -1,0 +1,378 @@
+"""Raster kernel surface (SURVEY.md §2.10 U1-U7) — the reference's
+per-image numpy stage re-expressed as Arrow pandas UDFs over binary
+columns.
+
+Raster representation: an opaque ``BinaryType`` payload of C-order
+uint8 ``[bands, height, width]`` plus typed metadata columns
+(width/height/bands). The real GeoTIFF/PNG codecs (rasterio/PIL) are
+not in this container, so the *codec* steps are stubbed behind
+import-guards with deterministic raw-byte equivalents — the Spark
+plumbing (schema, Arrow batching, grouped stacking, kernel signatures)
+is real and tested (tests/test_raster.py golden 4×4 rasters).
+
+Kernel ↔ reference parity:
+- U1 fetch+unzip      → fetch_remote_bands (stub; main.py:161-204)
+- U2 band stack       → stack_bands applyInPandas (main.py:206-232)
+- U3 polygon clip     → clip_to_polygon (main.py:241-243; rasterio.mask
+                        crop+nodata semantics, ray-casting point test)
+- U4 channel means    → channel_means (main.py:247-251:
+                        np.mean(channel[channel != 0]))
+- U5 white fraction   → white_fraction (main.py:272-281: transpose,
+                        oob = max(2)==0, white = min(2)>=153 &
+                        max(2)-min(2)<=25, ratio vs in-bounds count)
+- U6 thumbnail        → thumbnail (main.py:288-308: w//7, h//7;
+                        BICUBIC+PNG stubbed as deterministic
+                        nearest-neighbor decimation, divergence noted)
+- U7 polygon union    → operators/geometry.py
+
+Scale notes (100 TB of imagery): kernels are *opaque to Catalyst* —
+every relational filter must run before them (SURVEY.md §4), which the
+pipeline queries below do (catalog predicates first, kernels on the
+pruned set). ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+Arrow batch memory: at 2100×2100×3 rasters (main.py:39) a batch of 32
+rows is ~423 MB, so real deployments set it to 8-16; the fixtures use
+16×16 so the default is fine. ``repartition`` before the I/O-bound
+fetch stage replaces the reference's 10-thread pool with cluster-wide
+parallelism.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+#: main.py:41 — reserved nodata pixel value.
+NODATA = 0
+#: main.py:277 — int-truncated white thresholds (0.6*255, 0.1*255).
+WHITE_MIN = int(0.6 * 255)  # 153
+WHITE_SPREAD = int(0.1 * 255)  # 25
+#: main.py:40 — thumbnail downsample factor.
+THUMBNAIL_SCALE_FACTOR = 7
+
+BAND_NAMES = ("red", "green", "blue")  # main.py:86-90 TCI_R/G/B → colors
+
+
+# ---------------------------------------------------------------- synth
+
+def synth_band_array(entity_id: int, band_idx: int, width: int, height: int) -> np.ndarray:
+    """Deterministic synthetic single-band raster (no RNG — replayable
+    on any executor): base gradient mod 251, a planted 'white' blob
+    (all bands high & close → exercises U5), and planted nodata pixels
+    (all bands 0 at the same coords → exercises U4/U5 masking)."""
+    y, x = np.mgrid[0:height, 0:width]
+    arr = ((entity_id * 7 + band_idx * 13 + 31 * y + x) % 251).astype(np.uint8)
+    white = ((x * y + entity_id) % 23) == 0
+    arr[white] = 230 - band_idx * 5  # within WHITE_SPREAD across bands
+    nodata = ((x + y + entity_id) % 17) == 0
+    arr[nodata] = NODATA
+    return arr
+
+
+BAND_ROW_SCHEMA = (
+    "entity_id long, band_idx int, band string, width int, height int, data binary"
+)
+
+
+def synth_band_rows(
+    spark: SparkSession, sf_dir: str, *, width: int = 16, height: int = 16
+) -> DataFrame:
+    """U1 stand-in: one row per (entity, band) with the band raster as
+    a binary payload — the shape ``download_layers`` produces
+    (main.py:161-204), minus the network. mapInPandas keeps the
+    generation executor-side and Arrow-batched; at scale this stage is
+    the fetch and gets a ``repartition`` for I/O parallelism."""
+    ids = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("entity_id")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for eid in pdf["entity_id"]:
+                for b, name in enumerate(BAND_NAMES):
+                    out.append(
+                        (
+                            int(eid),
+                            b,
+                            name,
+                            width,
+                            height,
+                            synth_band_array(int(eid), b, width, height).tobytes(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "entity_id", "band_idx", "band", "width", "height", "data",
+                ],
+            )
+
+    return ids.mapInPandas(gen, schema=BAND_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------- U2
+
+STACKED_SCHEMA = "entity_id long, width int, height int, bands int, data binary"
+
+
+def stack_bands(band_rows: DataFrame) -> DataFrame:
+    """U2: group per entity, stack band payloads into one multiband
+    raster [bands, h, w] (main.py:206-232 stacks per-band GeoTIFFs with
+    np.stack at main.py:223). Grouped-map pandas UDF: the shuffle key
+    is entity_id, each group is one image's bands — tiny state."""
+
+    def _stack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("band_idx")
+        w = int(pdf["width"].iloc[0])
+        h = int(pdf["height"].iloc[0])
+        arrs = [
+            np.frombuffer(b, dtype=np.uint8).reshape(h, w) for b in pdf["data"]
+        ]
+        img = np.stack(arrs)  # (bands, h, w) — main.py:223
+        assert img.dtype == np.uint8  # main.py:270 dtype invariant
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["entity_id"].iloc[0]),
+                    w,
+                    h,
+                    len(arrs),
+                    img.tobytes(),
+                )
+            ],
+            columns=["entity_id", "width", "height", "bands", "data"],
+        )
+
+    return band_rows.groupBy("entity_id").applyInPandas(_stack, STACKED_SCHEMA)
+
+
+# ---------------------------------------------------------------- U4/U5
+
+# NOTE: explicit DataType (not a DDL string) — string return types are
+# parsed lazily on the executor, where no SparkSession exists.
+@pandas_udf(ArrayType(DoubleType()))
+def channel_means(data: pd.Series, width: pd.Series, height: pd.Series, bands: pd.Series) -> pd.Series:
+    """U4: per-channel mean excluding nodata — exactly
+    ``np.mean(channel[channel != 0])`` per channel (main.py:247-251).
+    An all-nodata channel yields NULL (numpy NaN → None), mirroring
+    the reference's NaN."""
+    out = []
+    for blob, w, h, nb in zip(data, width, height, bands):
+        img = np.frombuffer(blob, dtype=np.uint8).reshape(int(nb), int(h), int(w))
+        means = []
+        for channel in img:
+            masked = channel[channel != NODATA]
+            means.append(float(np.mean(masked)) if masked.size else None)
+        out.append(means)
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
+def white_fraction(data: pd.Series, width: pd.Series, height: pd.Series, bands: pd.Series) -> pd.Series:
+    """U5: white-pixel fraction (main.py:259-286). Transpose to
+    (w, h, c); out-of-bounds = max across channels == nodata;
+    white = min >= 153 and spread <= 25; fraction = white / in-bounds."""
+    out = []
+    for blob, w, h, nb in zip(data, width, height, bands):
+        img = (
+            np.frombuffer(blob, dtype=np.uint8)
+            .reshape(int(nb), int(h), int(w))
+            .transpose((2, 1, 0))  # main.py:272
+        )
+        is_oob = img.max(2) == NODATA  # main.py:276
+        is_white = (img.min(2) >= WHITE_MIN) & (
+            (img.max(2) - img.min(2)) <= WHITE_SPREAD
+        )  # main.py:277
+        n_in_bounds = is_oob.size - is_oob.sum()  # main.py:279
+        out.append(float(is_white.sum() / n_in_bounds) if n_in_bounds else None)
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------- U3
+
+CLIP_SCHEMA = "entity_id long, width int, height int, bands int, data binary"
+
+
+def _point_in_polygon(px: np.ndarray, py: np.ndarray, poly: list[tuple[float, float]]) -> np.ndarray:
+    """Vectorized ray-casting point-in-polygon (pure numpy — shapely is
+    kept out of the engine; SURVEY.md §7 'keep geo libs inside UDFs'
+    and none are available here)."""
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        crosses = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1 + 1e-300) + x1
+        )
+        inside ^= crosses
+    return inside
+
+
+def clip_to_polygon(stacked: DataFrame, polygon_of) -> DataFrame:
+    """U3: crop to the polygon bbox and fill outside-polygon pixels
+    with nodata — the semantics of ``rasterio.mask(..., crop=True,
+    nodata=0)`` (main.py:241-243) without the GeoTIFF codec.
+
+    ``polygon_of(entity_id) -> [(x, y), ...]`` supplies the pixel-space
+    boundary (the reference's lon/lat polygon arrives via an affine
+    transform — out of scope without rasterio)."""
+
+    def _clip(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            w, h, nb = int(r["width"]), int(r["height"]), int(r["bands"])
+            img = np.frombuffer(r["data"], dtype=np.uint8).reshape(nb, h, w).copy()
+            poly = polygon_of(int(r["entity_id"]))
+            xs = [p[0] for p in poly]
+            ys = [p[1] for p in poly]
+            x0, x1 = max(0, int(np.floor(min(xs)))), min(w - 1, int(np.ceil(max(xs))))
+            y0, y1 = max(0, int(np.floor(min(ys)))), min(h - 1, int(np.ceil(max(ys))))
+            crop = img[:, y0 : y1 + 1, x0 : x1 + 1]
+            yy, xx = np.mgrid[y0 : y1 + 1, x0 : x1 + 1]
+            inside = _point_in_polygon(
+                xx.astype(float) + 0.5, yy.astype(float) + 0.5, poly
+            )
+            crop = np.where(inside[None, :, :], crop, NODATA).astype(np.uint8)
+            rows.append(
+                (
+                    int(r["entity_id"]),
+                    crop.shape[2],
+                    crop.shape[1],
+                    nb,
+                    crop.tobytes(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["entity_id", "width", "height", "bands", "data"]
+        )
+
+    return stacked.groupBy("entity_id").applyInPandas(_clip, CLIP_SCHEMA)
+
+
+# ---------------------------------------------------------------- U6
+
+THUMB_SCHEMA = "entity_id long, thumb_width int, thumb_height int, thumb binary"
+
+
+def thumbnail(stacked: DataFrame) -> DataFrame:
+    """U6: downsample by THUMBNAIL_SCALE_FACTOR with int-truncated dims
+    (main.py:290-292: int(width/7)). The reference uses PIL BICUBIC +
+    PNG encode (main.py:303-308); PIL is absent here, so the resample
+    is deterministic nearest-neighbor decimation and the payload is raw
+    bytes — divergence documented, geometry identical."""
+
+    def _thumb(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            w, h, nb = int(r["width"]), int(r["height"]), int(r["bands"])
+            tw = int(w / THUMBNAIL_SCALE_FACTOR)
+            th = int(h / THUMBNAIL_SCALE_FACTOR)
+            img = np.frombuffer(r["data"], dtype=np.uint8).reshape(nb, h, w)
+            if tw and th:
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                t = img[:, ys][:, :, xs]
+            else:
+                tw = th = 0
+                t = np.zeros((nb, 0, 0), dtype=np.uint8)
+            rows.append((int(r["entity_id"]), tw, th, t.tobytes()))
+        return pd.DataFrame(
+            rows, columns=["entity_id", "thumb_width", "thumb_height", "thumb"]
+        )
+
+    return stacked.groupBy("entity_id").applyInPandas(_thumb, THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------- U1
+
+def fetch_remote_bands(spark: SparkSession, urls: DataFrame) -> DataFrame:
+    """U1: remote fetch + unzip of per-band blobs (main.py:161-204).
+    Network access is unavailable in this environment — the signature
+    and partitioning contract are real (repartition before the fetch;
+    one HTTP get per row inside mapInPandas), the transport is stubbed.
+    """
+    try:  # pragma: no cover - never importable here
+        import requests  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "remote fetch requires an HTTP client; use synth_band_rows "
+            "or read_binary_files for local blobs"
+        ) from exc
+    raise NotImplementedError("remote fetch not wired in this environment")
+
+
+# ---------------------------------------------------------------- queries
+
+def _diamond(eid: int) -> list[tuple[float, float]]:
+    """Per-entity pixel-space clip polygon: a diamond whose size cycles
+    with the id — deterministic, always inside a 16×16 raster."""
+    r = 4 + (eid % 4)
+    cx = cy = 8.0
+    return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
+
+
+@query("raster_stats_pipeline")  # rows-only: kernels are opaque to SQL
+def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1→U2→U4/U5→U6 end-to-end: synth bands → stack → channel means
+    + white fraction + thumbnail dims. Rows-only (the oracle cannot run
+    pandas UDFs); kernel values are golden-tested in
+    tests/test_raster.py and cross-checked against the relational twins
+    (A2/A3) there."""
+    stacked = stack_bands(synth_band_rows(spark, sf_dir))
+    stats = stacked.select(
+        "entity_id",
+        "width",
+        "height",
+        channel_means("data", "width", "height", "bands").alias("means"),
+        white_fraction("data", "width", "height", "bands").alias("white_frac"),
+    ).select(
+        "entity_id",
+        "width",
+        "height",
+        F.round(F.col("means")[0], 6).alias("red_average"),
+        F.round(F.col("means")[1], 6).alias("green_average"),
+        F.round(F.col("means")[2], 6).alias("blue_average"),
+        F.round("white_frac", 6).alias("white_fraction"),
+    )
+    thumbs = thumbnail(stacked).select("entity_id", "thumb_width", "thumb_height")
+    return stats.join(thumbs, "entity_id").orderBy("entity_id")
+
+
+@query("raster_clip_pipeline")  # rows-only
+def raster_clip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 in the chain: stack → polygon clip (crop + nodata fill) →
+    stats on the clipped raster — the reference's exact order
+    (main.py:241-251). Output adds the cropped dims so the crop
+    geometry is asserted by the gate's row hash."""
+    stacked = stack_bands(synth_band_rows(spark, sf_dir))
+    clipped = clip_to_polygon(stacked, _diamond)
+    return (
+        clipped.select(
+            "entity_id",
+            F.col("width").alias("clip_width"),
+            F.col("height").alias("clip_height"),
+            channel_means("data", "width", "height", "bands").alias("means"),
+            white_fraction("data", "width", "height", "bands").alias("white_frac"),
+        )
+        .select(
+            "entity_id",
+            "clip_width",
+            "clip_height",
+            F.round(F.col("means")[0], 6).alias("red_average"),
+            F.round(F.col("means")[1], 6).alias("green_average"),
+            F.round(F.col("means")[2], 6).alias("blue_average"),
+            F.round("white_frac", 6).alias("white_fraction"),
+        )
+        .orderBy("entity_id")
+    )

@@ -1,0 +1,200 @@
+"""Golden-raster unit tests for the multimodal kernel surface
+(SURVEY.md §5 item 2): hand-computed 4×4 rasters reproducing the
+reference's numpy semantics (main.py:247-281) — nodata exclusion,
+int-truncated white thresholds 153/25, max==0 out-of-bounds — plus
+the clip/thumbnail/stack kernels and the FIMG image kernels.
+
+The scalar kernels are exercised twice: directly through the pandas
+functions (no JVM — the golden check) and end-to-end through Spark
+(the plumbing check)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from lake_satellite_image_etl_spark.multimodal import images as im
+from lake_satellite_image_etl_spark.multimodal import raster as rk
+
+
+def golden_image() -> np.ndarray:
+    """3×4×4 uint8 image with one nodata pixel, two white pixels, and
+    hand-checkable channel values."""
+    red = np.array(
+        [[0, 230, 160, 100], [50, 60, 70, 80], [90, 100, 110, 120], [1, 2, 3, 4]],
+        dtype=np.uint8,
+    )
+    green = np.array(
+        [[0, 225, 160, 150], [55, 65, 75, 85], [95, 105, 115, 125], [5, 6, 7, 8]],
+        dtype=np.uint8,
+    )
+    blue = np.array(
+        [[0, 220, 190, 140], [53, 63, 73, 83], [93, 103, 113, 123], [200, 201, 202, 203]],
+        dtype=np.uint8,
+    )
+    # pixel (0,0) = (0,0,0)       → out-of-bounds (max == 0)
+    # pixel (0,1) = (230,225,220) → white (min 220 ≥ 153, spread 10 ≤ 25)
+    # pixel (3,3) = (4,8,203)     → in-bounds, not white
+    img = np.stack([red, green, blue])
+    # plant a second white pixel at (2,3): close channels ≥ 153
+    img[:, 2, 3] = (180, 170, 165)
+    return img
+
+
+def expected_channel_means(img: np.ndarray) -> list[float]:
+    return [float(np.mean(c[c != 0])) for c in img]
+
+
+def expected_white_fraction(img: np.ndarray) -> float:
+    t = img.transpose((2, 1, 0))
+    oob = t.max(2) == 0
+    white = (t.min(2) >= 153) & ((t.max(2) - t.min(2)) <= 25)
+    return float(white.sum() / (oob.size - oob.sum()))
+
+
+def _call_means(img: np.ndarray):
+    h, w = img.shape[1], img.shape[2]
+    return rk.channel_means.func(
+        pd.Series([img.tobytes()]), pd.Series([w]), pd.Series([h]),
+        pd.Series([img.shape[0]]),
+    ).iloc[0]
+
+
+def _call_white(img: np.ndarray):
+    h, w = img.shape[1], img.shape[2]
+    return rk.white_fraction.func(
+        pd.Series([img.tobytes()]), pd.Series([w]), pd.Series([h]),
+        pd.Series([img.shape[0]]),
+    ).iloc[0]
+
+
+def test_channel_means_golden():
+    img = golden_image()
+    got = _call_means(img)
+    exp = expected_channel_means(img)
+    assert got == pytest.approx(exp)
+    # hand value: red channel nonzero mean
+    red = img[0]
+    assert got[0] == pytest.approx(red[red != 0].mean())
+
+
+def test_channel_means_all_nodata_is_null():
+    img = np.zeros((3, 2, 2), dtype=np.uint8)
+    assert all(v is None for v in _call_means(img))
+
+
+def test_white_fraction_golden():
+    img = golden_image()
+    # 16 pixels, 1 out-of-bounds, 2 white → 2/15
+    assert _call_white(img) == pytest.approx(2 / 15)
+    assert _call_white(img) == pytest.approx(expected_white_fraction(img))
+
+
+def test_white_thresholds_are_int_truncated():
+    """main.py:277 uses int(0.6*255)=153 and int(0.1*255)=25 — a pixel
+    at exactly (153,153,178) is white; (152,...) is not."""
+    img = np.full((3, 1, 1), 153, dtype=np.uint8)
+    img[2, 0, 0] = 178  # spread exactly 25
+    assert _call_white(img) == pytest.approx(1.0)
+    img[0, 0, 0] = 152  # min below threshold
+    assert _call_white(img) == pytest.approx(0.0)
+    img2 = np.full((3, 1, 1), 160, dtype=np.uint8)
+    img2[2, 0, 0] = 186  # spread 26 > 25
+    assert _call_white(img2) == pytest.approx(0.0)
+
+
+def test_kernel_matches_relational_twin():
+    """The UDF kernels and the relational A2/A3 forms (long pixel
+    table) must agree on the same synthetic raster."""
+    img = rk.synth_band_array(3, 0, 16, 16)
+    full = np.stack(
+        [rk.synth_band_array(3, b, 16, 16) for b in range(3)]
+    )
+    means = _call_means(full)
+    # relational twin: avg(when(px != 0, px)) per channel
+    for b in range(3):
+        px = full[b].ravel().astype(float)
+        rel = px[px != 0].mean()
+        assert means[b] == pytest.approx(rel)
+    wf = _call_white(full)
+    t = full.transpose((2, 1, 0))
+    lo, hi = t.min(2), t.max(2)
+    rel_wf = ((lo >= 153) & (hi - lo <= 25)).sum() / (hi != 0).sum()
+    assert wf == pytest.approx(rel_wf)
+    assert img.dtype == np.uint8
+
+
+def test_clip_crops_and_masks():
+    sq = [(4.0, 4.0), (12.0, 4.0), (12.0, 12.0), (4.0, 12.0)]
+    inside = rk._point_in_polygon(
+        np.array([8.0, 1.0]), np.array([8.0, 1.0]), sq
+    )
+    assert inside.tolist() == [True, False]
+
+
+def test_thumbnail_dims_truncate():
+    """main.py:290-292: int(width/7) — 16→2, 6→0."""
+    img = rk.synth_band_array(1, 0, 16, 16)
+    full = np.stack([img] * 3).tobytes()
+    arr = np.frombuffer(full, dtype=np.uint8).reshape(3, 16, 16)
+    tw, th = int(16 / 7), int(16 / 7)
+    assert (tw, th) == (2, 2)
+    ys = (np.arange(th) * 16) // th
+    xs = (np.arange(tw) * 16) // tw
+    t = arr[:, ys][:, :, xs]
+    assert t.shape == (3, 2, 2)
+
+
+def test_raster_pipeline_end_to_end(spark):
+    from lake_satellite_image_etl_spark.multimodal.raster import (
+        raster_clip_pipeline,
+        raster_stats_pipeline,
+    )
+
+    stats = raster_stats_pipeline(spark, SF_SMOKE).collect()
+    assert len(stats) == 25
+    r0 = {r["entity_id"]: r for r in stats}[0]
+    # golden recomputation for entity 0
+    full = np.stack([rk.synth_band_array(0, b, 16, 16) for b in range(3)])
+    assert r0["red_average"] == pytest.approx(
+        round(float(np.mean(full[0][full[0] != 0])), 6)
+    )
+    assert r0["white_fraction"] == pytest.approx(
+        round(expected_white_fraction(full), 6)
+    )
+    assert (r0["thumb_width"], r0["thumb_height"]) == (2, 2)
+
+    clipped = raster_clip_pipeline(spark, SF_SMOKE).collect()
+    assert len(clipped) == 25
+    for r in clipped:
+        # diamond radius 4..7 inside 16×16 → crop is smaller than source
+        assert r["clip_width"] < 16 and r["clip_height"] < 16
+
+
+def test_fimg_roundtrip_and_features(spark):
+    arr = (np.arange(3 * 4 * 4, dtype=np.uint8)).reshape(3, 4, 4)
+    blob = im.encode_fimg(arr)
+    back = im.decode_fimg(blob)
+    assert np.array_equal(arr, back)
+    with pytest.raises(NotImplementedError):
+        im.decode_standard_image(b"\x89PNG....")
+
+    feats = im.multimodal_image_features(spark, SF_SMOKE).collect()
+    assert len(feats) == 51
+    f1 = {r["entity_id"]: r for r in feats}[1]
+    exp = im.decode_fimg(im.synth_fimg(1)).astype(np.float64)
+    assert f1["mean_0"] == pytest.approx(round(float(exp[0].mean()), 6))
+    assert f1["std_2"] == pytest.approx(round(float(exp[2].std()), 6))
+
+
+def test_binaryfile_scan(spark):
+    from lake_satellite_image_etl_spark.multimodal.images import (
+        multimodal_binaryfile_scan,
+    )
+
+    rows = multimodal_binaryfile_scan(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert [r["entity_id"] for r in rows] == list(range(8))
