@@ -1,0 +1,125 @@
+"""Idempotency / sink / streaming tests (SURVEY.md §5 items 3-4):
+- K1 run-twice property: second append writes 0 rows.
+- K2 artifact round-trip: blobs come back bit-identical under their
+  deterministic keys.
+- T1 streaming AvailableNow ingest: PK set equals the batch
+  dedup_primary_key PK set, and a re-run appends nothing.
+- approx_count_distinct within 5% of exact (promised by
+  operators/aggregates.py docstring).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+SCRATCH = "/root/repo/.scratch/test_sinks"
+
+
+@pytest.fixture(autouse=True)
+def _clean_scratch():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    yield
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def test_idempotent_append_run_twice(spark):
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.sinks import write_idempotent_append
+
+    target = os.path.join(SCRATCH, "target.parquet")
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    pk = ["user_id", "event_type"]
+    n_first = write_idempotent_append(spark, ev, target, pk)
+    assert n_first > 0
+    # PK-uniqueness of what landed
+    landed = spark.read.parquet(target)
+    assert landed.count() == landed.select(*pk).distinct().count() == n_first
+    # run twice → nothing new
+    n_second = write_idempotent_append(spark, ev, target, pk)
+    assert n_second == 0
+    assert spark.read.parquet(target).count() == n_first
+
+
+def test_binary_artifact_sink_roundtrip(spark):
+    from lake_satellite_image_etl_spark.functions.scalars import artifact_key
+    from lake_satellite_image_etl_spark.multimodal.images import (
+        decode_fimg,
+        synth_fimg,
+        with_images,
+    )
+    from lake_satellite_image_etl_spark.sinks import write_binary_artifacts
+
+    out = os.path.join(SCRATCH, "artifacts")
+    imgs = with_images(spark, SF_SMOKE).limit(10).select(
+        "entity_id",
+        F.concat(
+            F.col("entity_id").cast("string"), F.lit("/img_"),
+            F.col("entity_id").cast("string"), F.lit(".fimg"),
+        ).alias("key"),
+        "image",
+    )
+    n = write_binary_artifacts(imgs, out, "key", "image")
+    assert n == 10
+    written = sorted(glob.glob(os.path.join(out, "*", "*.fimg")))
+    assert len(written) == 10
+    # bit-identical round trip for one known entity
+    some = written[0]
+    eid = int(os.path.basename(os.path.dirname(some)))
+    with open(some, "rb") as f:
+        assert f.read() == synth_fimg(eid)
+    assert decode_fimg(synth_fimg(eid)).shape == (3, 12, 12)
+
+
+def test_streaming_available_now_matches_batch(spark):
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        dedup_primary_key,
+    )
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        PK,
+        run_available_now,
+    )
+
+    # the file streaming source wants a *directory* — stage the fixture
+    src = os.path.join(SCRATCH, "stream_src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(SCRATCH, "stream_out")
+    ckpt = os.path.join(SCRATCH, "ckpt")
+    run_available_now(spark, src, out, ckpt)
+
+    streamed = spark.read.parquet(out)
+    batch = dedup_primary_key(spark, SF_SMOKE)
+    # one row per PK, PK sets identical (streaming keeps an arbitrary
+    # first-arrival row; batch keeps the earliest — values may differ)
+    assert streamed.count() == batch.count()
+    s_keys = {tuple(r) for r in streamed.select(*PK).collect()}
+    b_keys = {tuple(r) for r in batch.select(*PK).collect()}
+    assert s_keys == b_keys
+    # re-run: checkpointed offsets → no new files, no new rows
+    run_available_now(spark, src, out, ckpt)
+    assert spark.read.parquet(out).count() == len(s_keys)
+
+
+def test_approx_distinct_within_5pct(spark):
+    from lake_satellite_image_etl_spark.io import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    got = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    for r in got.collect():
+        assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05

@@ -1,0 +1,61 @@
+"""Parametrized differential gate: every ``queries()`` entry runs
+against its DuckDB oracle (rows + schema + order-insensitive values,
+strict dtype kinds, unhashable columns rejected) — the local replica
+of the driver's CORRECTNESS gate, one pytest per query.
+
+Also asserts non-vacuousness for queries that historically passed with
+0 rows (VERDICT r1 'vacuously-passing queries').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+from lake_satellite_image_etl_spark import registry
+
+QUERIES, ORACLES = registry.load_all()
+
+#: queries whose value is only demonstrated on non-empty output
+MUST_BE_NONEMPTY = {
+    "filter_pixel_predicates",
+    "join_left_anti",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
+    "geo_point_in_polygon",
+    "text_edit_distance",
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck):
+    from tools.compare import compare_frames
+
+    spark_pdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    if name in MUST_BE_NONEMPTY:
+        assert len(spark_pdf) > 0, f"{name} returned 0 rows (vacuous pass)"
+    if name not in ORACLES:
+        # rows-only contract (kernel/UDF paths) — schema must be stable
+        assert list(spark_pdf.columns)
+        return
+    oracle_pdf = duck.execute(ORACLES[name]).fetchdf()
+    res = compare_frames(name, spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+def test_every_oracle_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_registry_has_no_phantom_modules():
+    """Every module the registry lists must import (VERDICT r1 flagged
+    six phantom entries)."""
+    from importlib import import_module
+
+    for mod in registry._MODULES:
+        import_module(mod)
