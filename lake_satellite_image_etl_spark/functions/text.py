@@ -221,14 +221,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for everything. The machinery is what this query demonstrates; on
     real corpora the marker lists do the work."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens_of(F.col("text"))
+    # tokenize ONCE into a column; the five language scores all read it
+    # (inlining tokens_of into each score would re-split per language)
+    with_toks = docs.select(
+        "doc_id", "lang", tokens_of(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
 
     def marker_score(markers: tuple[str, ...]) -> Column:
         marker_arr = F.array(*[F.lit(x) for x in markers])
         hits = F.filter(toks, lambda t: F.array_contains(marker_arr, t))
         return F.round(F.size(hits).cast("double") / F.size(toks), 6)
 
-    scored = docs.select(
+    scored = with_toks.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         *[

@@ -47,10 +47,22 @@ def dot_long(a: Column, b: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of quantized vectors — exact integer dots,
-    one IEEE sqrt/divide at the end (identical across engines)."""
-    return dot_long(a, b).cast("double") / (
-        F.sqrt(dot_long(a, a).cast("double")) * F.sqrt(dot_long(b, b).cast("double"))
-    )
+    one IEEE sqrt/divide at the end (identical across engines).
+
+    NOTE: recomputes both norms per call. In pairwise joins use
+    ``norm`` to precompute each side's norm ONCE per vector and divide
+    by the product — same doubles (identical op order), 3× less work.
+    """
+    return dot_long(a, b).cast("double") / (norm(a) * norm(b))
+
+
+def norm(a: Column) -> Column:
+    """L2 norm of a quantized vector (double)."""
+    return F.sqrt(dot_long(a, a).cast("double"))
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)}::DOUBLE)"
 
 
 # DuckDB mirrors of dot_long/cosine over list columns.

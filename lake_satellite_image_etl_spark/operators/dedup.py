@@ -30,9 +30,11 @@ from lake_satellite_image_etl_spark.functions.text import (
 )
 from lake_satellite_image_etl_spark.functions.vectors import (
     SQL_QVEC,
-    cosine,
+    dot_long,
+    norm,
     qvec_of,
-    sql_cosine,
+    sql_dot,
+    sql_norm,
 )
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
@@ -71,39 +73,96 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_sig(shingles):
-    """MinHash signature: for seed i, min over shingles of
-    md5(i || '|' || shingle). md5-hex min is taken lexicographically —
-    a uniform hash with a total order is all MinHash needs, and hex
-    strings compare identically in every engine."""
+#: universal-hash modulus and per-seed (a, b) coefficients, md5-derived
+#: at import (public recipe) and inlined identically into the oracle.
+#: a*x + b with x, a, b < P keeps products < 1e18 < 2^63 — exact
+#: integer arithmetic in both engines.
+MINHASH_P = 1_000_000_007
+
+
+def _minhash_coeff(i: int, which: str) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"minhash-{which}-{i}".encode()).hexdigest()[:15], 16)
+    return (h % (MINHASH_P - 1)) + 1
+
+
+MINHASH_A = [_minhash_coeff(i, "a") for i in range(MINHASH_K)]
+MINHASH_B = [_minhash_coeff(i, "b") for i in range(MINHASH_K)]
+
+
+def minhash_sig_from_hashes(hsh):
+    """MinHash signature via k universal linear permutations over ONE
+    base hash per shingle: base = 60-bit shingle hash mod P,
+    h_i = (a_i·base + b_i) mod P, sig_i = min over shingles.
+
+    One md5 per shingle instead of k — the signature stage is the hot
+    loop of corpus dedup, and this is the textbook way to make k
+    permutations cost k multiply-adds, not k cryptographic hashes."""
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
+    bases = F.transform(hsh, lambda h: h % MINHASH_P)
     return F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        F.sequence(F.lit(1), F.lit(MINHASH_K)),
         lambda i: F.array_min(
             F.transform(
-                shingles, lambda s: F.md5(F.concat_ws("|", i.cast("string"), s))
+                bases,
+                lambda x: (F.element_at(a_arr, i) * x + F.element_at(b_arr, i))
+                % MINHASH_P,
             )
         ),
     )
 
 
-_SQL_MINHASH = (
-    f"list_transform(generate_series(0, {MINHASH_K - 1}), "
-    "i -> list_min(list_transform(shingles, "
-    "s -> md5(i::VARCHAR || '|' || s))))"
+_SQL_A = "[" + ", ".join(str(a) for a in MINHASH_A) + "]"
+_SQL_B = "[" + ", ".join(str(b) for b in MINHASH_B) + "]"
+
+#: signature over pre-hashed shingles (column ``hsh``: 60-bit ints)
+_SQL_MINHASH = f"""list_transform(generate_series(1, {MINHASH_K}),
+    i -> list_min(list_transform(
+        list_transform(hsh, h -> h % {MINHASH_P}),
+        x -> (({_SQL_A})[i] * x + ({_SQL_B})[i]) % {MINHASH_P})))"""
+
+#: hashed shingle set — ONE md5 per shingle feeds both the signature
+#: and the Jaccard verify (long-array intersect ≫ faster than string).
+_SQL_HSHINGLES = (
+    f"list_transform({_SQL_SHINGLES}, "
+    "s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)"
 )
+
+
+def hashed_shingles(toks) -> "F.Column":
+    """Distinct shingles hashed to 60-bit ints — the only md5 pass."""
+    return F.transform(shingles_of(toks), lambda s: tok_hash60(s))
+
+
+def pair_combos(members):
+    """All ordered pairs (i < j) within a sorted bucket-member array —
+    array<struct<a, b>> built with HOFs, no self-join."""
+    n = F.size(members)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(members, i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at(members, i).alias("a"), x.alias("b")
+                ),
+            ),
+        )
+    )
 
 
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    sig AS (SELECT doc_id, shingles, {_SQL_MINHASH} AS sig FROM sh),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
+    sig AS (SELECT doc_id, hsh, {_SQL_MINHASH} AS sig FROM sh),
     bands AS (
         SELECT doc_id, band,
-               md5(array_to_string(
-                   list_slice(sig, band * {LSH_ROWS} + 1,
-                              band * {LSH_ROWS} + {LSH_ROWS}), '|')) AS band_key
+               sig[band * {LSH_ROWS} + 1] * {MINHASH_P}::BIGINT
+                   + sig[band * {LSH_ROWS} + 2] AS band_key
         FROM sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)
     ),
     cand AS (
@@ -113,66 +172,78 @@ _SQL_MINHASH = (
          AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                 / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+           round(len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                 / len(list_distinct(sa.hsh || sb.hsh)), 6) AS jaccard
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-          / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+          / len(list_distinct(sa.hsh || sb.hsh)) >= {JACCARD_THRESHOLD}
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (the scale path for text
-    dedup): 3-gram shingles → 12 MinHash values → 6 bands of 2 →
-    band-bucket equi-join → exact Jaccard ≥ 0.8 verification on
-    candidates only.
+    dedup): 3-gram shingles hashed to 60-bit ints (ONE md5 pass) → 12
+    universal-hash MinHash values → 6 bands of 2 packed into bigint
+    band keys → per-bucket pair expansion → exact Jaccard ≥ 0.8 on
+    long arrays.
 
-    Scale: the band join shuffles (band, band_key) — uniform md5 keys,
-    no skew — and the verify join re-fetches only candidate shingle
-    sets. Candidate recall at J=0.8 is 1-(1-0.8²)⁶ ≈ 99.8%; both
-    engines compute the identical signature, so the oracle matches
-    exactly even on the probabilistic miss set."""
+    Plan shape: signatures are computed ONCE — candidates come from a
+    groupBy(band_key) + in-bucket pair expansion carrying the hashed
+    shingle sets as struct members, so nothing in the lineage is
+    re-evaluated by a self-join. The shuffle is keyed by (band,
+    band_key) — uniform hash values, no skew. Trade-off vs the
+    self-join form: members duplicate their shingle-hash array per
+    band (6× shuffle volume of one int array per doc) — at 100 TB
+    you persist the signature table once and verify-join against it
+    instead; the candidate logic is identical.
+
+    Candidate recall at J=0.8 is 1-(1-0.8²)⁶ ≈ 99.8%; both engines
+    compute identical signatures, so the gate matches exactly even on
+    the probabilistic miss set (the oracle keeps the equivalent
+    self-join formulation — same result set)."""
     docs = read_table(spark, sf_dir, "documents")
     sh = docs.select(
-        "doc_id", shingles_of(tokens_of(F.col("text"))).alias("shingles")
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
     )
-    sig = sh.select("doc_id", "shingles", minhash_sig(F.col("shingles")).alias("sig"))
+    sig = sh.select(
+        "doc_id",
+        "hsh",
+        minhash_sig_from_hashes(F.col("hsh")).alias("sig"),
+    )
+    # band key = the band's 2 minhash values packed into one bigint
+    # (both < P, so v₁·P + v₂ < P² ≈ 1e18 is collision-free and exact).
     bands = sig.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-        F.col("sig"),
-    ).select(
-        "doc_id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                "|", F.slice("sig", F.col("band") * LSH_ROWS + 1, LSH_ROWS)
+        F.struct("doc_id", "hsh").alias("m"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda band: F.element_at("sig", band * LSH_ROWS + 1)
+                * F.lit(MINHASH_P).cast("long")
+                + F.element_at("sig", band * LSH_ROWS + 2),
             )
-        ).alias("band_key"),
+        ).alias("band", "band_key"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    pairs = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("m")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(pair_combos(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.hsh").alias("sh_a"),
+            F.col("p.b.hsh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_key"
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        pairs.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
 
 
@@ -191,20 +262,24 @@ HAMMING_THRESHOLD = 2
 
 def simhash60(toks):
     """60-bit SimHash over distinct tokens: per bit b, sum ±1 by token
-    hash bit b; fingerprint bit = (sum >= 0). Uses a precomputed
-    power-of-two array because Spark's shiftleft needs a literal shift."""
+    hash bit b; fingerprint bit = (sum >= 0).
+
+    The token hash is computed ONCE per token into an integer array
+    (one md5 each); the 60 bit-sums then run pure integer bit tests
+    over that array — not 60 re-hashes. Uses a precomputed
+    power-of-two array because Spark's shiftleft needs a literal
+    shift."""
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
-    dtoks = F.array_distinct(toks)
+    hashes = F.transform(F.array_distinct(toks), lambda t: tok_hash60(t))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         lambda bpos: F.when(
             F.aggregate(
-                dtoks,
+                hashes,
                 F.lit(0),
-                lambda acc, t: acc
+                lambda acc, h: acc
                 + F.when(
-                    tok_hash60(t).bitwiseAND(F.element_at(powers, bpos + 1)) != 0,
-                    1,
+                    h.bitwiseAND(F.element_at(powers, bpos + 1)) != 0, 1
                 ).otherwise(-1),
             )
             >= 0,
@@ -219,9 +294,8 @@ def simhash60(toks):
 
 
 _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
-    b -> CASE WHEN list_sum(list_transform(list_distinct(toks),
-            t -> CASE WHEN (('0x' || substring(md5(t), 1, 15))::BIGINT
-                            & (1::BIGINT << b)) != 0
+    b -> CASE WHEN list_sum(list_transform(hashes,
+            h -> CASE WHEN (h & (1::BIGINT << b)) != 0
                       THEN 1 ELSE -1 END)) >= 0
               THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT"""
 
@@ -230,7 +304,13 @@ _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}
     "dedup_simhash",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-    s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM t),
+    hs AS (
+        SELECT doc_id,
+               list_transform(list_distinct(toks),
+                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hashes
+        FROM t
+    ),
+    s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM hs),
     bands AS (
         SELECT doc_id, simhash, band,
                (simhash >> (band * {SIMHASH_BAND_BITS}))
@@ -261,38 +341,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     s = docs.select("doc_id", simhash60(tokens_of(F.col("text"))).alias("simhash"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
+    # fingerprints computed ONCE: members carry (doc_id, simhash)
+    # through the bucket groupBy, so no self-join re-evaluates the
+    # 60-bit fingerprint lineage.
     bands = s.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
-    ).select(
-        "doc_id",
-        "simhash",
-        "band",
-        (
-            F.when(F.col("band") == 0, F.col("simhash"))
-            .when(F.col("band") == 1, F.shiftright("simhash", SIMHASH_BAND_BITS))
-            .when(F.col("band") == 2, F.shiftright("simhash", 2 * SIMHASH_BAND_BITS))
-            .otherwise(F.shiftright("simhash", 3 * SIMHASH_BAND_BITS))
-        ).bitwiseAND(F.lit(mask)).alias("band_key"),
+        F.struct("doc_id", "simhash").alias("m"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", band * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for band in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "band", "band_key",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "band", "band_key",
-    )
-    cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+    pairs = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("m")).alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(pair_combos(F.col("members"))).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.filter(hamming <= HAMMING_THRESHOLD)
+        pairs.filter(hamming <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
 
@@ -309,14 +388,14 @@ NGRAM_JACCARD_THRESHOLD = 0.5
                {_SQL_TOKS} AS toks
         FROM documents
     ),
-    sh AS (SELECT doc_id, len_bucket, {_SQL_SHINGLES} AS shingles FROM t)
+    sh AS (SELECT doc_id, len_bucket, {_SQL_HSHINGLES} AS hsh FROM t)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+           round(len(list_intersect(a.hsh, b.hsh))::DOUBLE
+                 / len(list_distinct(a.hsh || b.hsh)), 6) AS jaccard
     FROM sh a JOIN sh b
       ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(a.shingles || b.shingles))
+    WHERE len(list_intersect(a.hsh, b.hsh))::DOUBLE
+          / len(list_distinct(a.hsh || b.hsh))
           >= {NGRAM_JACCARD_THRESHOLD}
     """,
 )
@@ -333,7 +412,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.floor(F.col("n_chars") / NGRAM_BLOCK_CHARS).alias("len_bucket"),
-        shingles_of(tokens_of(F.col("text"))).alias("shingles"),
+        hashed_shingles(tokens_of(F.col("text"))).alias("shingles"),
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"),
@@ -351,8 +430,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "len_bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= NGRAM_JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
 
 
@@ -362,11 +442,15 @@ COSINE_DUP_THRESHOLD = 0.4
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({sql_cosine("a.qv", "b.qv")}, 6) AS cos_sim
-    FROM q a JOIN q b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine("a.qv", "b.qv")} >= {COSINE_DUP_THRESHOLD}
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    n AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm FROM q),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {sql_dot("a.qv", "b.qv")}::DOUBLE / (a.nrm * b.nrm) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
+    FROM pairs WHERE cos_sim >= {COSINE_DUP_THRESHOLD}
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,14 +461,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     only because the fixture is small. The 100 TB path is the
     LSH-bucketed form in operators/similarity.py (sign-random-
     projection buckets → within-bucket exact cosine) — same verify
-    expression, candidate generation swapped."""
+    expression, candidate generation swapped. Norms are computed ONCE
+    per vector before the join (one dot per pair, not three — the
+    division by a.nrm*b.nrm produces the identical doubles)."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    a = q.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"))
-    b = q.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"))
-    cos = cosine(F.col("qa"), F.col("qb"))
+    n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_long(F.col("qa"), F.col("qb")).cast("double") / (
+        F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("cos_sim_exact", cos)
+        .filter(F.col("cos_sim_exact") >= COSINE_DUP_THRESHOLD)
+        .select(
+            "vec_a", "vec_b", F.round("cos_sim_exact", 6).alias("cos_sim")
+        )
     )

@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.functions.vectors import (
     SQL_QVEC,
-    cosine,
+    dot_long,
+    norm,
     qvec_of,
-    sql_cosine,
+    sql_dot,
+    sql_norm,
 )
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
@@ -57,10 +59,11 @@ _SQL_PLANES = (
     "similarity_topk_bruteforce",
     oracle=f"""
     WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    n AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm FROM q),
     pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
-               {sql_cosine("a.qv", "b.qv")} AS cos_sim
-        FROM q a JOIN q b ON b.vec_id != a.vec_id
+               {sql_dot("a.qv", "b.qv")}::DOUBLE / (a.nrm * b.nrm) AS cos_sim
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
         WHERE a.vec_id % {QUERY_STRIDE} = 0
     ),
     ranked AS (
@@ -87,13 +90,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant below."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    queries = q.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
+    queries = n.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
     )
-    cands = q.select(
-        F.col("vec_id").alias("candidate_id"), F.col("qv").alias("c_qv")
+    cands = n.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
     )
-    cos = cosine(F.col("q_qv"), F.col("c_qv"))
+    cos = dot_long(F.col("q_qv"), F.col("c_qv")).cast("double") / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_exact"), F.asc("candidate_id")
     )
@@ -147,10 +157,11 @@ _SQL_BUCKET = f"""list_sum(list_transform(generate_series(1, {N_PLANES}),
     "similarity_lsh_bucketed",
     oracle=f"""
     WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
-    b AS (SELECT vec_id, qv, {_SQL_BUCKET} AS bucket FROM q),
+    b AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm, {_SQL_BUCKET} AS bucket
+          FROM q),
     pairs AS (
         SELECT a.vec_id AS query_id, c.vec_id AS candidate_id,
-               {sql_cosine("a.qv", "c.qv")} AS cos_sim
+               {sql_dot("a.qv", "c.qv")}::DOUBLE / (a.nrm * c.nrm) AS cos_sim
         FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id != a.vec_id
         WHERE a.vec_id % {QUERY_STRIDE} = 0
     ),
@@ -179,18 +190,27 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple tables would raise recall at the same join shape."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    b = q.select("vec_id", "qv", _bucket_expr(F.col("qv")).alias("bucket"))
+    b = q.select(
+        "vec_id",
+        "qv",
+        norm(F.col("qv")).alias("nrm"),
+        _bucket_expr(F.col("qv")).alias("bucket"),
+    )
     queries = b.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
         "bucket",
     )
     cands = b.select(
         F.col("vec_id").alias("candidate_id"),
         F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
         "bucket",
     )
-    cos = cosine(F.col("q_qv"), F.col("c_qv"))
+    cos = dot_long(F.col("q_qv"), F.col("c_qv")).cast("double") / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim_exact"), F.asc("candidate_id")
     )
