@@ -154,6 +154,38 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_url_build",
+    oracle="""
+    -- DuckDB has no url_encode; the fixture values only contain
+    -- spaces and '#', so form-encoding is mirrored by replacement
+    -- (space -> '+', '#' -> '%23' — Spark's url_encode output).
+    SELECT p_partkey,
+           'https://example.com/api/part?id=' || p_partkey::VARCHAR
+             || '&brand=' || replace(replace(p_brand, '#', '%23'), ' ', '+')
+             || '&name=' || replace(replace(p_name, '#', '%23'), ' ', '+')
+             AS download_url
+    FROM part WHERE p_partkey % 25 = 0
+    """,
+)
+def scalar_url_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: URL building (main.py:6 urlencode import, main.py:173
+    getDownloadURL) — base + form-encoded query string, all native
+    ``concat``/``url_encode`` expressions."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0)
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://example.com/api/part?id="),
+            F.col("p_partkey").cast("string"),
+            F.lit("&brand="),
+            F.url_encode("p_brand"),
+            F.lit("&name="),
+            F.url_encode("p_name"),
+        ).alias("download_url"),
+    )
+
+
+@query(
     "scalar_nested_arrays",
     oracle="""
     -- polygon = ring of [x, y, z] points built from order lines;
