@@ -237,6 +237,42 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+               AS qty_F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+               AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_F,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT pivot (cross-tab): explicit value list so the plan is a
+    single-pass conditional aggregation — the scale form. (A pivot
+    without values adds a distinct-scan pre-pass to discover columns;
+    always pin the list on big data.)"""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "flag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_F"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_O"),
+    )
+
+
+@query(
     "agg_stats_moments",
     oracle="""
     SELECT c_mktsegment AS segment,

@@ -114,6 +114,30 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    SEMI JOIN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4's positive twin: left-semi join — existence filter without
+    fan-out or duplicate rows. The scale form of `WHERE key IN
+    (subquery)`: the probe side streams, the build side reduces to
+    distinct keys (broadcast when small)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
     "join_fanout_1n",
     oracle="""
     SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,

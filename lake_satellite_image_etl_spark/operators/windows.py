@@ -72,6 +72,48 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           rank() OVER w AS price_rank,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS delta_prev,
+           round(lead(o_totalprice) OVER w - o_totalprice, 2) AS delta_next,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT analytic window functions (rank/lag/lead/running sum) — all
+    four share ONE window spec, so the plan sorts each partition once.
+    One shuffle on the partition key; the per-key deterministic
+    tie-break (orderkey) keeps lag/lead engine-independent."""
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.rank().over(w).alias("price_rank"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+        F.round(
+            F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2
+        ).alias("delta_next"),
+        F.round(F.sum("o_totalprice").over(wsum), 2).alias("running_total"),
+    )
+
+
+@query(
     "window_session",
     oracle="""
     -- Sessionization: a session breaks when the per-user gap > 30 min.

@@ -59,6 +59,46 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", LOOKBACK).dropDuplicates(PK)
 
 
+def windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    operators/windows.window_tumbling (``F.window`` produces identical
+    buckets in both modes, so batch results predict streaming results
+    exactly once the watermark closes a window). State per (window,
+    event_type) pair, expired by the watermark.
+
+    The default watermark is 1 day (not the 30-day dedup lookback):
+    append mode only emits windows older than max(ts) − watermark, so
+    the late-data bound is a latency/completeness dial — 30 days of
+    latency on a 1-hour window would hold every window of the fixture
+    open forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession, events_glob: str, out_path: str, checkpoint: str
+) -> None:
+    """Drain-all windowed aggregation micro-batch (append mode emits
+    only watermark-closed windows; AvailableNow closes everything up
+    to max(ts) - lookback)."""
+    agg = windowed_counts(read_events_stream(spark, events_glob))
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession, events_glob: str, out_path: str, checkpoint: str
 ) -> None:

@@ -113,6 +113,38 @@ def test_streaming_available_now_matches_batch(spark):
     assert spark.read.parquet(out).count() == len(s_keys)
 
 
+def test_streaming_windowed_agg_matches_batch(spark):
+    """Streaming tumbling-window counts (watermark-closed windows) must
+    equal the batch window_tumbling counts for the same buckets —
+    F.window buckets identically in both modes."""
+    from lake_satellite_image_etl_spark.operators.windows import window_tumbling
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        run_windowed_counts_available_now,
+    )
+
+    src = os.path.join(SCRATCH, "wstream_src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(SCRATCH, "wstream_out")
+    ckpt = os.path.join(SCRATCH, "wckpt")
+    run_windowed_counts_available_now(spark, src, out, ckpt)
+
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed  # the watermark must have closed some windows
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in window_tumbling(spark, SF_SMOKE).collect()
+    }
+    for k, n in streamed.items():
+        assert batch[k] == n, k
+
+
 def test_approx_distinct_within_5pct(spark):
     from lake_satellite_image_etl_spark.io import read_table
 
