@@ -19,7 +19,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.io import read_table
@@ -286,6 +286,84 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: (acc * POLY_MUL + x) % POLY_ACC_MOD,
         ).alias("rolling_hash"),
+    )
+
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    words AS (
+        SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t
+    ),
+    tf AS (
+        SELECT doc_id, term, n_tokens,
+               count(*)::DOUBLE / n_tokens AS tf
+        FROM words GROUP BY doc_id, term, n_tokens
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words
+        GROUP BY term
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS score, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style top-{TFIDF_TOP_N} salient terms per document.
+
+    The IDF factor is the rational (N − df + 0.5)/(df + 0.5)
+    (BM25's idf argument WITHOUT the log): exact integer inputs give
+    bit-identical doubles in both engines, and it is monotone in df so
+    term ranking is unchanged — engine-independence over formula
+    aesthetics.
+
+    Plan: explode → per-(doc,term) counts (one shuffle) → term df
+    (one shuffle, tiny result) joined back by term → per-doc top-k
+    window. At 100 TB the df table is vocabulary-sized → broadcast;
+    the shuffles are the unavoidable corpus-statistics passes."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, known at plan time (metadata count)
+    words = docs.select(
+        "doc_id",
+        F.size(tokens_of(F.col("text"))).alias("n_tokens"),
+        F.explode(tokens_of(F.col("text"))).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term", "n_tokens").agg(
+        (F.count(F.lit(1)).cast("double") / F.col("n_tokens")).alias("tf")
+    )
+    df = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * (F.lit(n_docs).cast("bigint") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_N)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rnk")
     )
 
 

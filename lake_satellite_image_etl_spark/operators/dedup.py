@@ -153,10 +153,9 @@ def pair_combos(members):
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+#: the full minhash-LSH candidate+verify pipeline as reusable CTEs —
+#: shared by the pair query and the cluster-assignment oracle.
+_SQL_MINHASH_PAIR_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
     sig AS (SELECT doc_id, hsh, {_SQL_MINHASH} AS sig FROM sh),
     bands AS (
@@ -170,15 +169,24 @@ def pair_combos(members):
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
-                 / len(list_distinct(sa.hsh || sb.hsh)), 6) AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
-          / len(list_distinct(sa.hsh || sb.hsh)) >= {JACCARD_THRESHOLD}
+    ),
+    dup_pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                   / len(list_distinct(sa.hsh || sb.hsh)) AS jac
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+              / len(list_distinct(sa.hsh || sb.hsh)) >= {JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM dup_pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +441,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jac", jac)
         .filter(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+#: label-propagation rounds: cluster_id = min doc_id within this many
+#: hops. Fixture near-dup clusters are pairs/triples (diameter ≤ 2),
+#: so 4 rounds reach the true component minimum with margin.
+CLUSTER_HOPS = 4
+
+
+@query(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(v, u, d) AS (
+        SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.v, e.dst, r.d + 1
+        FROM reach r JOIN edges e ON e.src = r.u
+        WHERE r.d < {CLUSTER_HOPS}
+    )
+    SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment — the step a dedup pipeline actually
+    ships: every document in the near-dup graph gets cluster_id = the
+    smallest doc_id reachable within {CLUSTER_HOPS} hops (min-label
+    propagation, a bounded connected-components pass; canonical doc =
+    the one where doc_id == cluster_id).
+
+    The iteration count is FIXED so the plan is static and
+    oracle-checkable (a data-dependent fixpoint loop is not); with
+    real corpora you iterate log(diameter) times — each round doubles
+    nothing here, it extends reach one hop, and near-dup components
+    are shallow by construction (they are quasi-cliques: most members
+    pair directly).
+
+    Scale: each round is one shuffle of (node, label) joined against
+    the edge list — the standard large-graph CC pattern; the edge list
+    comes from the already-bucketed MinHash join, never all-pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(CLUSTER_HOPS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

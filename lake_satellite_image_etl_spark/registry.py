@@ -36,6 +36,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.functions.vectors",
     "lake_satellite_image_etl_spark.multimodal.raster",
     "lake_satellite_image_etl_spark.multimodal.images",
+    "lake_satellite_image_etl_spark.multimodal.audio",
 )
 
 

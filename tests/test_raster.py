@@ -190,6 +190,25 @@ def test_fimg_roundtrip_and_features(spark):
     assert f1["std_2"] == pytest.approx(round(float(exp[2].std()), 6))
 
 
+def test_audio_features_golden(spark):
+    from lake_satellite_image_etl_spark.multimodal import audio as au
+
+    wave, sr = au.decode_fwav(au.synth_fwav(5))
+    assert sr == 16000 and len(wave) == 2048
+    feats = au.multimodal_audio_features(spark, SF_SMOKE).collect()
+    assert len(feats) >= 5  # supplier count grows with sf; ≥5 at sf0.001
+    f5 = {r["entity_id"]: r for r in feats}[5]
+    framed = wave[: (len(wave) // au.FRAME) * au.FRAME].astype(float).reshape(
+        -1, au.FRAME
+    )
+    rms = np.sqrt((framed**2).mean(axis=1))
+    assert f5["n_frames"] == len(wave) // au.FRAME
+    assert f5["rms_mean"] == pytest.approx(round(float(rms.mean()), 6))
+    assert f5["duration_ms"] == pytest.approx(round(1000.0 * 2048 / 16000, 3))
+    with pytest.raises(NotImplementedError):
+        au.decode_standard_audio(b"RIFF....")
+
+
 def test_binaryfile_scan(spark):
     from lake_satellite_image_etl_spark.multimodal.images import (
         multimodal_binaryfile_scan,
