@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the pure-python kernel math —
+fast, no JVM: the ray-casting point test against an independent
+half-plane reference on convex polygons, and container round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lake_satellite_image_etl_spark.multimodal.audio import (
+    decode_fwav,
+    encode_fwav,
+)
+from lake_satellite_image_etl_spark.multimodal.images import (
+    decode_fimg,
+    encode_fimg,
+)
+from lake_satellite_image_etl_spark.multimodal.raster import _point_in_polygon
+
+
+@st.composite
+def convex_polygon(draw):
+    """A convex polygon: random radii around a circle, sorted by angle."""
+    n = draw(st.integers(min_value=3, max_value=8))
+    angles = np.sort(
+        np.array(
+            draw(
+                st.lists(
+                    st.floats(0.01, 2 * np.pi - 0.01),
+                    min_size=n, max_size=n, unique=True,
+                )
+            )
+        )
+    )
+    r = draw(st.floats(min_value=1.0, max_value=10.0))
+    pts = [(r * np.cos(a) + 12.0, r * np.sin(a) + 12.0) for a in angles]
+    return pts
+
+
+def _halfplane_inside(px: float, py: float, poly) -> bool:
+    """Reference: a point is inside a CCW convex polygon iff it is on
+    the left of every edge (strictly, for robustness away from edges)."""
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if cross <= 0:
+            return False
+    return True
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    poly=convex_polygon(),
+    px=st.floats(min_value=0.0, max_value=24.0),
+    py=st.floats(min_value=0.0, max_value=24.0),
+)
+def test_ray_cast_matches_halfplane_on_convex(poly, px, py):
+    # skip points near any edge (both methods are boundary-ambiguous)
+    n = len(poly)
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        ex, ey = x2 - x1, y2 - y1
+        elen = np.hypot(ex, ey)
+        dist = abs(ex * (py - y1) - ey * (px - x1)) / max(elen, 1e-9)
+        if dist < 1e-3:
+            return
+    got = bool(_point_in_polygon(np.array([px]), np.array([py]), poly)[0])
+    exp = _halfplane_inside(px, py, poly)
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    c=st.integers(1, 4),
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fimg_roundtrip_property(c, h, w, seed):
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(c, h, w), dtype=np.uint8)
+    assert np.array_equal(decode_fimg(encode_fimg(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 4096),
+    sr=st.integers(8000, 48000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fwav_roundtrip_property(n, sr, seed):
+    rng = np.random.RandomState(seed)
+    wave = rng.randint(-32768, 32768, size=n).astype(np.int16)
+    back, got_sr = decode_fwav(encode_fwav(wave, sr))
+    assert got_sr == sr and np.array_equal(back, wave)
