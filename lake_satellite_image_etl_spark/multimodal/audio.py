@@ -64,14 +64,21 @@ def synth_fwav(entity_id: int, n_samples: int = 2048) -> bytes:
 
 AUDIO_FEATURE_SCHEMA = (
     "entity_id long, n_samples long, sample_rate int, n_frames int, "
-    "duration_ms double, rms_mean double, rms_max double, zcr_mean double"
+    "duration_ms double, rms_global double, rms_frame_max double, "
+    "zcr double"
 )
 
 
 def audio_features(clips: DataFrame) -> DataFrame:
-    """Per-clip frame features: RMS per 256-sample frame (mean/max)
-    and zero-crossing rate — the framing+aggregate stage every audio
-    pipeline starts with, with the codec swapped for FWAV."""
+    """Per-clip frame features: global RMS, loudest-frame RMS
+    (256-sample frames), and zero-crossing rate — the
+    framing+aggregate stage every audio pipeline starts with, with the
+    codec swapped for FWAV.
+
+    All three are computed from exact integer sums (int16 squares sum
+    exactly in int64), so one IEEE sqrt/divide at the end makes the
+    values engine-independent — a mean-of-floats formulation would
+    depend on summation order."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -80,13 +87,14 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 wave, sr = decode_fwav(r["audio"])
                 n = len(wave)
                 n_frames = n // FRAME
-                framed = (
-                    wave[: n_frames * FRAME].astype(np.float64).reshape(
-                        n_frames, FRAME
-                    )
-                )
-                rms = np.sqrt((framed**2).mean(axis=1))
-                zc = (np.diff(np.signbit(framed), axis=1) != 0).mean(axis=1)
+                used = wave[: n_frames * FRAME].astype(np.int64)
+                framed = used.reshape(n_frames, FRAME)
+                frame_sq = (framed * framed).sum(axis=1)  # exact int64
+                rms_global = float(np.sqrt(float(frame_sq.sum()) / (n_frames * FRAME)))
+                rms_frame_max = float(np.sqrt(float(frame_sq.max()) / FRAME))
+                neg = framed < 0
+                n_cross = int((neg[:, 1:] != neg[:, :-1]).sum())
+                zcr = n_cross / (n_frames * (FRAME - 1))
                 rows.append(
                     (
                         int(r["entity_id"]),
@@ -94,27 +102,65 @@ def audio_features(clips: DataFrame) -> DataFrame:
                         sr,
                         n_frames,
                         round(1000.0 * n / sr, 3),
-                        round(float(rms.mean()), 6),
-                        round(float(rms.max()), 6),
-                        round(float(zc.mean()), 6),
+                        round(rms_global, 6),
+                        round(rms_frame_max, 6),
+                        round(zcr, 6),
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "entity_id", "n_samples", "sample_rate", "n_frames",
-                    "duration_ms", "rms_mean", "rms_max", "zcr_mean",
+                    "duration_ms", "rms_global", "rms_frame_max", "zcr",
                 ],
             )
 
     return clips.mapInPandas(feats, schema=AUDIO_FEATURE_SCHEMA)
 
 
-@query("multimodal_audio_features")  # rows-only: pandas-UDF kernel path
+#: the synthetic waveform, regenerated relationally for the oracle
+def _sql_wave(tvar: str) -> str:
+    return f"(((entity_id * 37 + {tvar} * ({tvar} + 3)) % 2000) - 1000)"
+
+
+@query(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH ids AS (
+        SELECT s_suppkey::BIGINT AS entity_id FROM supplier
+        WHERE s_suppkey <= 40
+    ),
+    samples AS (
+        SELECT entity_id, t, t // {FRAME} AS frame, {_sql_wave("t")} AS x
+        FROM ids, unnest(generate_series(0, 2047)) AS ut(t)
+    ),
+    frames AS (
+        SELECT entity_id, frame,
+               sum(x * x)::BIGINT AS sq,
+               sum(CASE WHEN t % {FRAME} < {FRAME - 1}
+                         AND (x < 0) != ({_sql_wave("(t + 1)")} < 0)
+                        THEN 1 ELSE 0 END)::BIGINT AS crossings
+        FROM samples GROUP BY entity_id, frame
+    )
+    SELECT entity_id,
+           2048::BIGINT AS n_samples,
+           16000 AS sample_rate,
+           (2048 // {FRAME})::INT AS n_frames,
+           round(1000.0 * 2048 / 16000, 3) AS duration_ms,
+           round(sqrt(sum(sq)::DOUBLE / 2048), 6) AS rms_global,
+           round(sqrt(max(sq)::DOUBLE / {FRAME}), 6) AS rms_frame_max,
+           round(sum(crossings)::DOUBLE / (count(*) * {FRAME - 1}), 6) AS zcr
+    FROM frames GROUP BY entity_id ORDER BY entity_id
+    """,
+)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize one clip per supplier row (bounded to 40), frame,
-    and feature-extract. Rows-only; values golden-tested in
-    tests/test_raster.py."""
+    and feature-extract.
+
+    FULL oracle: the FWAV payload is deterministic integer math; the
+    oracle regenerates every sample relationally, re-frames it, and
+    verifies the framing/RMS/ZCR kernel exactly (integer-sum formulas
+    on both sides)."""
     ids = (
         read_table(spark, sf_dir, "supplier")
         .select(F.col("s_suppkey").cast("long").alias("entity_id"))

@@ -110,17 +110,27 @@ def image_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                arr = decode_fimg(r["image"]).astype(np.float64)
-                mean = arr.mean(axis=(1, 2))
-                std = arr.std(axis=(1, 2))
+                # integer-sum statistics: sums of uint8 pixels are exact
+                # int64, so mean and std are single IEEE divisions/sqrt —
+                # bit-identical to any engine computing the same formula
+                # (an incremental/pairwise float std would not be).
+                arr = decode_fimg(r["image"]).astype(np.int64)
+                n = arr.shape[1] * arr.shape[2]
+                s = arr.sum(axis=(1, 2))
+                sq = (arr * arr).sum(axis=(1, 2))
+                mean = [float(si) / n for si in s]
+                std = [
+                    float(np.sqrt((sqi - (float(si) * si) / n) / n))
+                    for si, sqi in zip(s, sq)
+                ]
                 rows.append(
                     (
                         int(r["entity_id"]),
                         int(r["width"]),
                         int(r["height"]),
                         int(r["channels"]),
-                        *(round(float(m), 6) for m in mean[:3]),
-                        *(round(float(s), 6) for s in std[:3]),
+                        *(round(m, 6) for m in mean[:3]),
+                        *(round(v, 6) for v in std[:3]),
                     )
                 )
             yield pd.DataFrame(
@@ -151,11 +161,40 @@ def sample_frames(images: DataFrame, every: int = 3) -> DataFrame:
     return images.mapInPandas(sample, schema="entity_id long, n_frames int, frames binary")
 
 
-@query("multimodal_image_features")  # rows-only: pandas-UDF kernel path
+def _sql_img_chan_stats(c: int, n: int = 144) -> str:
+    """Per-channel mean/std over the regenerated synthetic pixels —
+    the same integer-sum formula the kernel uses (n = pixels/channel)."""
+    v = f"((entity_id * 11 + {c} * 29 + y * 5 + x * 3) % 256)"
+    return f"""round(sum({v})::DOUBLE / {n}, 6) AS mean_{c},
+           round(sqrt((sum({v} * {v}) - (sum({v})::DOUBLE * sum({v})) / {n})
+                      / {n}), 6) AS std_{c}"""
+
+
+@query(
+    "multimodal_image_features",
+    oracle=f"""
+    WITH ids AS (
+        SELECT p_partkey::BIGINT AS entity_id FROM part WHERE p_partkey <= 50
+    ),
+    px AS (
+        SELECT entity_id, x, y FROM ids,
+             unnest(generate_series(0, 11)) AS ux(x),
+             unnest(generate_series(0, 11)) AS uy(y)
+    )
+    SELECT entity_id, 12 AS width, 12 AS height, 3 AS channels,
+           {_sql_img_chan_stats(0)},
+           {_sql_img_chan_stats(1)},
+           {_sql_img_chan_stats(2)}
+    FROM px GROUP BY entity_id ORDER BY entity_id
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → feature-extract over opaque image blobs. Rows-only
-    (kernels are opaque to SQL); values golden-tested in
-    tests/test_raster.py."""
+    """Decode → feature-extract over opaque image blobs.
+
+    FULL oracle: the FIMG payload is deterministic integer math, so
+    the oracle regenerates the pixels relationally and verifies the
+    decode+feature kernel bit-for-bit (integer-sum mean/std formula on
+    both sides)."""
     return image_features(with_images(spark, sf_dir)).orderBy("entity_id")
 
 
@@ -175,12 +214,30 @@ def _ensure_blob_files() -> str:
     return _BLOB_DIR
 
 
-@query("multimodal_binaryfile_scan")  # rows-only: filesystem source
+@query(
+    "multimodal_binaryfile_scan",
+    oracle=f"""
+    WITH ids AS (
+        SELECT i::BIGINT AS entity_id FROM range(8) r(i)
+    ),
+    px AS (
+        SELECT entity_id, x, y FROM ids,
+             unnest(generate_series(0, 7)) AS ux(x),
+             unnest(generate_series(0, 7)) AS uy(y)
+    )
+    SELECT entity_id, 8 AS width, 8 AS height, 3 AS channels,
+           {_sql_img_chan_stats(0, 64)},
+           {_sql_img_chan_stats(1, 64)},
+           {_sql_img_chan_stats(2, 64)}
+    FROM px GROUP BY entity_id ORDER BY entity_id
+    """,
+)
 def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: binaryFile source scan → decode header metadata. The source
+    """S4: binaryFile source scan → decode → features. The source
     yields (path, modificationTime, length, content); the projection
-    keeps deterministic columns only (no paths/mtimes in the gate
-    output)."""
+    keeps deterministic columns only (no paths/mtimes), so even this
+    filesystem-source path gets a FULL oracle — the blobs' contents
+    are deterministic integer math the oracle regenerates."""
     d = _ensure_blob_files()
     files = read_binary_files(spark, d, "*.fimg")
     decoded = image_features(

@@ -322,13 +322,60 @@ def _diamond(eid: int) -> list[tuple[float, float]]:
     return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
 
 
-@query("raster_stats_pipeline")  # rows-only: kernels are opaque to SQL
+#: DuckDB replica of synth_band_array for channel b (0/1/2): the synth
+#: raster is deterministic integer math, so the oracle can regenerate
+#: the exact pixels relationally and verify the pandas-UDF kernel path
+#: END TO END — nodata override last (wins over the white blob), as in
+#: synth_band_array. Sums of ≤256 ints are exact in double, so means
+#: and fractions are bit-identical to numpy's.
+def _sql_chan(b: int) -> str:
+    return f"""CASE WHEN (x + y + entity_id) % 17 = 0 THEN 0
+         WHEN (x * y + entity_id) % 23 = 0 THEN {230 - b * 5}
+         ELSE (entity_id * 7 + {b} * 13 + 31 * y + x) % 251 END"""
+
+
+_SQL_RASTER_PX = f"""
+    ids AS (SELECT n_nationkey::BIGINT AS entity_id FROM nation),
+    px AS (
+        SELECT entity_id, x, y,
+               {_sql_chan(0)} AS red,
+               {_sql_chan(1)} AS green,
+               {_sql_chan(2)} AS blue
+        FROM ids,
+             unnest(generate_series(0, 15)) AS ux(x),
+             unnest(generate_series(0, 15)) AS uy(y)
+    )"""
+
+
+@query(
+    "raster_stats_pipeline",
+    oracle=f"""
+    WITH {_SQL_RASTER_PX}
+    SELECT entity_id, 16 AS width, 16 AS height,
+           round(avg(CASE WHEN red   != 0 THEN red   END), 6) AS red_average,
+           round(avg(CASE WHEN green != 0 THEN green END), 6) AS green_average,
+           round(avg(CASE WHEN blue  != 0 THEN blue  END), 6) AS blue_average,
+           round(sum(CASE WHEN least(red, green, blue) >= {WHITE_MIN}
+                           AND greatest(red, green, blue)
+                               - least(red, green, blue) <= {WHITE_SPREAD}
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN greatest(red, green, blue) != 0
+                            THEN 1 ELSE 0 END), 6) AS white_fraction,
+           2 AS thumb_width, 2 AS thumb_height
+    FROM px GROUP BY entity_id
+    ORDER BY entity_id
+    """,
+)
 def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1→U2→U4/U5→U6 end-to-end: synth bands → stack → channel means
-    + white fraction + thumbnail dims. Rows-only (the oracle cannot run
-    pandas UDFs); kernel values are golden-tested in
-    tests/test_raster.py and cross-checked against the relational twins
-    (A2/A3) there."""
+    + white fraction + thumbnail dims.
+
+    FULL oracle despite the pandas-UDF path: the synthetic raster is
+    deterministic integer arithmetic, so the oracle regenerates the
+    identical pixels relationally (A2/A3 formulas) and the value hash
+    verifies the binary-column kernels bit-for-bit — the strongest
+    check a non-SQL kernel can get. Golden 4×4 tests cover the numpy
+    semantics edge cases separately (tests/test_raster.py)."""
     stacked = stack_bands(synth_band_rows(spark, sf_dir))
     stats = stacked.select(
         "entity_id",
@@ -349,12 +396,69 @@ def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(thumbs, "entity_id").orderBy("entity_id")
 
 
-@query("raster_clip_pipeline")  # rows-only
+def _sql_pip(px: str, py: str, ring: str) -> str:
+    """DuckDB mirror of _point_in_polygon (ray casting, identical
+    float arithmetic — the kernel's +1e-300 guard is a no-op for the
+    diamond's non-horizontal edges)."""
+    return f"""(list_sum(list_transform(
+        generate_series(1, len({ring}) - 1),
+        i -> CASE WHEN (({ring}[i][2] > {py}) != ({ring}[i+1][2] > {py}))
+                   AND {px} < ({ring}[i+1][1] - {ring}[i][1])
+                             * ({py} - {ring}[i][2])
+                             / ({ring}[i+1][2] - {ring}[i][2]) + {ring}[i][1]
+                  THEN 1 ELSE 0 END)) % 2 = 1)"""
+
+
+@query(
+    "raster_clip_pipeline",
+    oracle=f"""
+    WITH {_SQL_RASTER_PX},
+    rings AS (
+        SELECT entity_id, 4 + entity_id % 4 AS r,
+               [[(8 - (4 + entity_id % 4))::DOUBLE, 8.0::DOUBLE],
+                [8.0::DOUBLE, (8 - (4 + entity_id % 4))::DOUBLE],
+                [(8 + (4 + entity_id % 4))::DOUBLE, 8.0::DOUBLE],
+                [8.0::DOUBLE, (8 + (4 + entity_id % 4))::DOUBLE],
+                [(8 - (4 + entity_id % 4))::DOUBLE, 8.0::DOUBLE]] AS ring
+        FROM ids
+    ),
+    crop AS (
+        SELECT p.entity_id, g.r,
+               CASE WHEN {_sql_pip("(p.x + 0.5)", "(p.y + 0.5)", "g.ring")}
+                    THEN red ELSE 0 END AS red,
+               CASE WHEN {_sql_pip("(p.x + 0.5)", "(p.y + 0.5)", "g.ring")}
+                    THEN green ELSE 0 END AS green,
+               CASE WHEN {_sql_pip("(p.x + 0.5)", "(p.y + 0.5)", "g.ring")}
+                    THEN blue ELSE 0 END AS blue
+        FROM px p JOIN rings g USING (entity_id)
+        WHERE p.x BETWEEN 8 - g.r AND 8 + g.r
+          AND p.y BETWEEN 8 - g.r AND 8 + g.r
+    )
+    SELECT entity_id,
+           (2 * r + 1)::INT AS clip_width,
+           (2 * r + 1)::INT AS clip_height,
+           round(avg(CASE WHEN red   != 0 THEN red   END), 6) AS red_average,
+           round(avg(CASE WHEN green != 0 THEN green END), 6) AS green_average,
+           round(avg(CASE WHEN blue  != 0 THEN blue  END), 6) AS blue_average,
+           round(sum(CASE WHEN least(red, green, blue) >= {WHITE_MIN}
+                           AND greatest(red, green, blue)
+                               - least(red, green, blue) <= {WHITE_SPREAD}
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN greatest(red, green, blue) != 0
+                            THEN 1 ELSE 0 END), 6) AS white_fraction
+    FROM crop GROUP BY entity_id, r
+    ORDER BY entity_id
+    """,
+)
 def raster_clip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 in the chain: stack → polygon clip (crop + nodata fill) →
     stats on the clipped raster — the reference's exact order
     (main.py:241-251). Output adds the cropped dims so the crop
-    geometry is asserted by the gate's row hash."""
+    geometry is asserted by the gate's row hash.
+
+    FULL oracle (see raster_stats_pipeline): the oracle regenerates
+    the pixels, mirrors the ray-cast mask arithmetic float-for-float,
+    and verifies the clip kernel's output values exactly."""
     stacked = stack_bands(synth_band_rows(spark, sf_dir))
     clipped = clip_to_polygon(stacked, _diamond)
     return (

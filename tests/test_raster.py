@@ -198,12 +198,17 @@ def test_audio_features_golden(spark):
     feats = au.multimodal_audio_features(spark, SF_SMOKE).collect()
     assert len(feats) >= 5  # supplier count grows with sf; ≥5 at sf0.001
     f5 = {r["entity_id"]: r for r in feats}[5]
-    framed = wave[: (len(wave) // au.FRAME) * au.FRAME].astype(float).reshape(
+    framed = wave[: (len(wave) // au.FRAME) * au.FRAME].astype(np.int64).reshape(
         -1, au.FRAME
     )
-    rms = np.sqrt((framed**2).mean(axis=1))
+    frame_sq = (framed * framed).sum(axis=1)
     assert f5["n_frames"] == len(wave) // au.FRAME
-    assert f5["rms_mean"] == pytest.approx(round(float(rms.mean()), 6))
+    assert f5["rms_global"] == pytest.approx(
+        round(float(np.sqrt(frame_sq.sum() / framed.size)), 6)
+    )
+    assert f5["rms_frame_max"] == pytest.approx(
+        round(float(np.sqrt(frame_sq.max() / au.FRAME)), 6)
+    )
     assert f5["duration_ms"] == pytest.approx(round(1000.0 * 2048 / 16000, 3))
     with pytest.raises(NotImplementedError):
         au.decode_standard_audio(b"RIFF....")
