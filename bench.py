@@ -60,6 +60,12 @@ def main() -> None:
             dt = float("nan")
         timings[name] = round(dt, 4)
         total += dt if dt == dt else 0.0
+        # drop accumulated state between queries: 70 queries in one JVM
+        # otherwise build up broadcasts/codegen until GC thrash inflates
+        # late-running queries by 3-5× (measured) — the bench should
+        # time each query cold-state, like the driver's per-query runs.
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
 
     print(
         json.dumps(

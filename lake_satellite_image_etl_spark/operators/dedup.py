@@ -490,6 +490,11 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Iterative algorithm ⇒ persist the loop-invariant input: without
+    # this, every propagation round re-evaluates the ENTIRE MinHash
+    # pipeline (lazy lineage) on both sides of its join — ~9 full
+    # recomputes for 4 rounds. The edge list is tiny (|near-dup pairs|).
+    edges = edges.cache()
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -31,6 +31,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.dedup",
     "lake_satellite_image_etl_spark.operators.similarity",
     "lake_satellite_image_etl_spark.operators.geometry",
+    "lake_satellite_image_etl_spark.operators.sampling",
     "lake_satellite_image_etl_spark.functions.scalars",
     "lake_satellite_image_etl_spark.functions.text",
     "lake_satellite_image_etl_spark.functions.vectors",
