@@ -154,6 +154,39 @@ def scalar_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_map_regex",
+    oracle="""
+    SELECT event_id,
+           len(json_keys(props))::INT AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_joined,
+           json_extract_string(props, '$.k') AS k_value,
+           regexp_extract(event_type, '([a-z]+)', 1) AS type_word
+    FROM events WHERE event_type = 'purchase' AND event_id % 10 = 0
+    """,
+)
+def scalar_map_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT map + regex scalars (SURVEY §2.8): JSON-string properties
+    parsed to MapType (the engine view of the reference's properties
+    dict, main.py:134,335), map introspection (keys/size), and
+    regexp_extract. The map itself never reaches the gate output —
+    map cells are unhashable for the driver — only scalar derivations.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 10 == 0)
+    )
+    props_map = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(props_map).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(props_map))).alias(
+            "keys_joined"
+        ),
+        F.element_at(props_map, "k").alias("k_value"),
+        F.regexp_extract("event_type", "([a-z]+)", 1).alias("type_word"),
+    )
+
+
+@query(
     "scalar_url_build",
     oracle="""
     -- DuckDB has no url_encode; the fixture values only contain

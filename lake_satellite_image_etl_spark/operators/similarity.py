@@ -123,6 +123,139 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+
+@query(
+    "similarity_ivf_probe",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings),
+    e AS (
+        SELECT vec_id, label, unnest(qv) AS qc,
+               unnest(generate_series(1, len(qv))) AS pos
+        FROM q
+    ),
+    comp AS (SELECT label, pos, sum(qc)::BIGINT AS sq FROM e GROUP BY 1, 2),
+    cent AS (SELECT label AS c_label, array_agg(sq ORDER BY pos) AS cq
+             FROM comp GROUP BY label),
+    n AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm FROM q),
+    affinity AS (
+        SELECT n.vec_id, n.qv, n.nrm, cent.c_label,
+               {sql_dot("n.qv", "cent.cq")}::DOUBLE
+                   / (n.nrm * {sql_norm("cent.cq")}) AS c_cos
+        FROM n CROSS JOIN cent
+    ),
+    assigned AS (
+        SELECT vec_id, qv, nrm, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c_cos DESC, c_label) AS crank
+        FROM affinity
+    ),
+    lists AS (SELECT vec_id, qv, nrm, c_label FROM assigned WHERE crank = 1),
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               {sql_dot("qn.qv", "l.qv")}::DOUBLE / (qn.nrm * l.nrm) AS cos_sim
+        FROM probes p
+        JOIN lists l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, IVF shape: coarse quantizer → inverted lists →
+    probe the {N_PROBE} nearest lists → exact re-rank.
+
+    The coarse codebook here is the per-label integer centroid table
+    (deterministic stand-in for k-means — same plan shape, and exact
+    integer arithmetic keeps the assignment engine-independent; a
+    trained codebook would drop in as a broadcast literal). Every
+    vector is assigned to its nearest centroid (inverted list); a
+    query probes its {N_PROBE} nearest centroids and searches only
+    those lists — at 100 TB with √n centroids this is the classic
+    n·√n ANN cost instead of n², and the probe join shuffles on the
+    centroid id (bounded, near-uniform by construction). Recall is
+    bounded by probe coverage; both engines share the identical
+    assignment, so the gate compares exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", qvec_of(F.col("embedding")).alias("qv"))
+    # coarse codebook: per-label integer sum vectors (broadcastable)
+    e = q.select("label", F.posexplode("qv").alias("pos", "qc"))
+    cent = (
+        e.groupBy("label", "pos")
+        .agg(F.sum("qc").alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sq"))),
+                lambda s: s["sq"],
+            ).alias("cq")
+        )
+        .select(F.col("label").alias("c_label"), "cq")
+    )
+    n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
+    affinity = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "qv",
+        "nrm",
+        "c_label",
+        (
+            dot_long(F.col("qv"), F.col("cq")).cast("double")
+            / (F.col("nrm") * norm(F.col("cq")))
+        ).alias("c_cos"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("c_label"))
+    assigned = affinity.withColumn("crank", F.row_number().over(wc))
+    lists = assigned.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+        "c_label",
+    )
+    probes = (
+        assigned.filter(
+            (F.col("crank") <= N_PROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
+        )
+        .select(F.col("vec_id").alias("query_id"), "c_label")
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot_long(F.col("q_qv"), F.col("c_qv")).cast("double") / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_exact"), F.asc("candidate_id")
+    )
+    return (
+        probes.join(lists, "c_label")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "candidate_id", cos.alias("cos_sim_exact"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round("cos_sim_exact", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def _bucket_expr(qv):
     """LSH bucket id: bit p = sign of the integer projection onto
     hyperplane p. Planes are literal arrays — data-independent, known
