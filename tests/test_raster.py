@@ -190,6 +190,18 @@ def test_fimg_roundtrip_and_features(spark):
     assert f1["std_2"] == pytest.approx(round(float(exp[2].std()), 6))
 
 
+def test_video_frame_sampling(spark):
+    """sample_frames keeps every Nth 'frame' (channel plane) of the
+    opaque payload — the decode/sample stage of a video pipeline."""
+    sampled = im.sample_frames(im.with_images(spark, SF_SMOKE), every=2).collect()
+    assert len(sampled) == 51
+    r2 = {r["entity_id"]: r for r in sampled}[2]
+    full = im.decode_fimg(im.synth_fimg(2))
+    kept = im.decode_fimg(bytes(r2["frames"]))
+    assert r2["n_frames"] == kept.shape[0] == (full.shape[0] + 1) // 2
+    assert np.array_equal(kept, full[::2])
+
+
 def test_audio_features_golden(spark):
     from lake_satellite_image_etl_spark.multimodal import audio as au
 
