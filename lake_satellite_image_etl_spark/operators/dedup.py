@@ -347,13 +347,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shape to MinHash-LSH — band-keyed equi-join, no
     all-pairs; the fingerprint itself is one narrow map stage."""
     docs = read_table(spark, sf_dir, "documents")
-    s = docs.select("doc_id", simhash60(tokens_of(F.col("text"))).alias("simhash"))
+    # The fingerprint table is two longs per doc — cache it so the
+    # band self-join doesn't re-evaluate the 60-bit fingerprint
+    # lineage on both sides. The self-join (NOT a per-bucket pair
+    # expansion) is deliberate: SimHash bands of near-identical docs
+    # are heavily SKEWED (measured: hottest band bucket holds 27% of
+    # docs at sf0.1), and a collect_list-based expansion would build
+    # O(bucket²) structs in single rows — the join form keeps rows
+    # tiny and lets AQE skew-splitting spread the hot buckets.
+    s = docs.select(
+        "doc_id", simhash60(tokens_of(F.col("text"))).alias("simhash")
+    ).cache()
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    # fingerprints computed ONCE: members carry (doc_id, simhash)
-    # through the bucket groupBy, so no self-join re-evaluates the
-    # 60-bit fingerprint lineage.
     bands = s.select(
-        F.struct("doc_id", "simhash").alias("m"),
+        "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -364,23 +372,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_key"),
     )
-    pairs = (
-        bands.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_list("m")).alias("members"))
-        .filter(F.size("members") > 1)
-        .select(F.explode(pair_combos(F.col("members"))).alias("p"))
-        .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.a.simhash").alias("sim_a"),
-            F.col("p.b.simhash").alias("sim_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "band_key",
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        pairs.filter(hamming <= HAMMING_THRESHOLD)
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # hamming BEFORE the distinct: cheap bit math shrinks the set
+        # the dedup shuffle has to carry
+        .filter(hamming <= HAMMING_THRESHOLD)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
