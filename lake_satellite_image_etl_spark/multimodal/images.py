@@ -209,8 +209,12 @@ def _ensure_blob_files() -> str:
     for i in range(8):
         p = os.path.join(_BLOB_DIR, f"blob_{i}.fimg")
         if not os.path.exists(p):
-            with open(p, "wb") as f:
+            # write-then-rename: atomic even if a concurrent harness
+            # thread races this idempotent setup
+            tmp = f"{p}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(synth_fimg(i, width=8, height=8))
+            os.replace(tmp, p)
     return _BLOB_DIR
 
 

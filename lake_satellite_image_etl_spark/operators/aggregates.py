@@ -237,6 +237,66 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_exact_corr",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag AS flag,
+               round(l_quantity * 100)::BIGINT AS x,
+               round(l_extendedprice * 100)::BIGINT AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT flag, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy,
+               sum(x * y) AS sxy
+        FROM q GROUP BY flag
+    )
+    SELECT flag,
+           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT correlation via exact sufficient statistics.
+
+    Built-in ``corr`` uses incremental (Welford-style) updates whose
+    float error depends on partition order — not engine-independent.
+    Quantizing to integer cents and summing in DECIMAL(38,0) makes the
+    five sufficient statistics EXACT at any scale (sum of cents² is
+    ~1e19 per 100k rows — past int64, far inside decimal128, matching
+    DuckDB's HUGEINT); the correlation formula is then a handful of
+    identical IEEE double ops. One map-side-combined shuffle of six
+    numbers per group. The same pattern covers covariance/variance/
+    regression slopes."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity") * 100, 0).cast("decimal(38,0)").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    s = q.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den = F.sqrt(d("n") * d("sxx") - d("sx") * d("sx")) * F.sqrt(
+        d("n") * d("syy") - d("sy") * d("sy")
+    )
+    return s.select("flag", F.round(num / den, 6).alias("corr_qty_price"))
+
+
+@query(
     "agg_pivot",
     oracle="""
     SELECT l_returnflag AS flag,
