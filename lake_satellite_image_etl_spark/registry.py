@@ -21,6 +21,7 @@ ORACLES: dict[str, str] = {}
 #: modules that register queries on import
 _MODULES = (
     "lake_satellite_image_etl_spark.plans.entry_queries",
+    "lake_satellite_image_etl_spark.plans.pipeline",
     "lake_satellite_image_etl_spark.operators.filters",
     "lake_satellite_image_etl_spark.operators.joins",
     "lake_satellite_image_etl_spark.operators.aggregates",
