@@ -50,6 +50,30 @@ def test_idempotent_append_run_twice(spark):
     assert spark.read.parquet(target).count() == n_first
 
 
+def test_pipeline_records_idempotent_sink(spark):
+    """The reference's end state: per-image records upserted with
+    ON CONFLICT DO NOTHING on PK (waterbody_id, captured_ts)
+    (main.py:106-107,453-457). Composed pipeline → idempotent append;
+    the second run writes nothing."""
+    from lake_satellite_image_etl_spark.plans.pipeline import (
+        pipeline_image_records,
+    )
+    from lake_satellite_image_etl_spark.sinks import write_idempotent_append
+
+    target = os.path.join(SCRATCH, "image_records.parquet")
+    records = pipeline_image_records(spark, SF_SMOKE)
+    pk = ["waterbody_id", "captured_ts"]
+    n1 = write_idempotent_append(spark, records, target, pk)
+    assert n1 == 25  # one PK per entity (configs share captured_ts)
+    assert write_idempotent_append(spark, records, target, pk) == 0
+    landed = spark.read.parquet(target)
+    assert landed.count() == 25
+    assert set(landed.columns) >= {
+        "waterbody_id", "captured_ts", "ee_id", "filename",
+        "red_average", "white_fraction",
+    }
+
+
 def test_binary_artifact_sink_roundtrip(spark):
     from lake_satellite_image_etl_spark.functions.scalars import artifact_key
     from lake_satellite_image_etl_spark.multimodal.images import (
