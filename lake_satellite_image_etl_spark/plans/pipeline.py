@@ -33,6 +33,53 @@ from lake_satellite_image_etl_spark.multimodal.raster import (
 )
 from lake_satellite_image_etl_spark.registry import query
 
+@query(
+    "sql_api_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice::DECIMAL(18,6)
+                     * (1 - l.l_discount)::DECIMAL(18,6)), 2)::DOUBLE AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_api_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door (TPC-H Q3 shape): fixture tables
+    registered as temp views, the query authored as ANSI SQL through
+    ``spark.sql`` — same Catalyst plan as the DataFrame API, proving
+    the two surfaces are interchangeable. Decimal-cast money rounding
+    as everywhere (engine-independent)."""
+    from lake_satellite_image_etl_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 #: satellite_dataset_configs analog (main.py:74-92)
 CONFIGS = [
     ("COPERNICUS/S2_SR_HARMONIZED", "CLOUDY_PIXEL_PERCENTAGE", 20.0),

@@ -99,6 +99,38 @@ def run_windowed_counts_available_now(
     q.awaitTermination()
 
 
+def run_stream_upsert(
+    spark: SparkSession,
+    events_glob: str,
+    target_path: str,
+    checkpoint: str,
+    pk: list[str] | None = None,
+) -> None:
+    """Streaming idempotent upsert via ``foreachBatch``: every
+    micro-batch runs the SAME batch sink plan
+    (sinks.write_idempotent_append — PK anti-join against the target,
+    then append). This is the production streaming-upsert pattern:
+    exactly-once into a plain parquet target from checkpointed offsets
+    + an idempotent batch writer, no stateful dedup memory at all (the
+    target itself is the seen-set — the reference's Postgres
+    ON CONFLICT semantics, main.py:455, verbatim)."""
+    from lake_satellite_image_etl_spark.sinks import write_idempotent_append
+
+    keys = pk or PK
+
+    def _upsert(batch_df, batch_id: int) -> None:
+        write_idempotent_append(spark, batch_df, target_path, keys)
+
+    q = (
+        read_events_stream(spark, events_glob)
+        .writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     spark: SparkSession, events_glob: str, out_path: str, checkpoint: str
 ) -> None:

@@ -137,6 +137,31 @@ def test_streaming_available_now_matches_batch(spark):
     assert spark.read.parquet(out).count() == len(s_keys)
 
 
+def test_stream_upsert_foreachbatch(spark):
+    """foreachBatch idempotent upsert: streaming run lands one row per
+    PK; re-running (new checkpoint, same data) appends nothing because
+    the TARGET is the seen-set."""
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        PK,
+        run_stream_upsert,
+    )
+
+    src = os.path.join(SCRATCH, "upsert_src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    target = os.path.join(SCRATCH, "upsert_target")
+    run_stream_upsert(spark, src, target, os.path.join(SCRATCH, "up_ckpt1"))
+    landed = spark.read.parquet(target)
+    n_pk = landed.select(*PK).distinct().count()
+    assert landed.count() == n_pk > 0
+    # fresh checkpoint → source re-reads everything; target dedups
+    run_stream_upsert(spark, src, target, os.path.join(SCRATCH, "up_ckpt2"))
+    assert spark.read.parquet(target).count() == n_pk
+
+
 def test_streaming_windowed_agg_matches_batch(spark):
     """Streaming tumbling-window counts (watermark-closed windows) must
     equal the batch window_tumbling counts for the same buckets —
