@@ -30,8 +30,6 @@ from lake_satellite_image_etl_spark.functions.text import (
 )
 from lake_satellite_image_etl_spark.functions.vectors import (
     SQL_QVEC,
-    dot_long,
-    norm,
     qvec_of,
     sql_dot,
     sql_norm,

@@ -14,7 +14,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.operators.incremental import idempotent_append
 

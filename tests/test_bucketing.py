@@ -5,7 +5,6 @@ claim in operators/bucketing.py."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 

@@ -75,7 +75,6 @@ def test_pipeline_records_idempotent_sink(spark):
 
 
 def test_binary_artifact_sink_roundtrip(spark):
-    from lake_satellite_image_etl_spark.functions.scalars import artifact_key
     from lake_satellite_image_etl_spark.multimodal.images import (
         decode_fimg,
         synth_fimg,
