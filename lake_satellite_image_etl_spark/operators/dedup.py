@@ -6,12 +6,14 @@ blocking, and embedding-cosine near-dup.
 The non-negotiable scale rule: **never all-pairs**. Every near-dup
 operator here is a *bucketed join* — candidate pairs come from
 equality on a cheap key (LSH band hash, SimHash band, length bucket),
-and only candidates pay the exact verification cost. At 100 TB the
-shuffles are keyed by those bucket ids (uniform by construction — hash
-buckets — so no skew), and the verify stage touches a vanishing
-fraction of the pair space. The reference's own dedup (PK anti-join,
-main.py:468-473,415) is the degenerate exact-key case of the same
-shape.
+and only candidates pay the exact verification cost, a vanishing
+fraction of the pair space. Bucket-key skew differs by scheme:
+MinHash band keys are uniform (hash values — member-carrying groupBy
+is safe), while SimHash bands CLUSTER on similar corpora (measured:
+one band bucket held 27% of docs), so SimHash keeps the self-join
+form and leans on AQE skew-splitting. The reference's own dedup (PK
+anti-join, main.py:468-473,415) is the degenerate exact-key case of
+the same shape.
 
 All hashing is md5-derived (engine-independent), so every operator
 has a full DuckDB oracle.
