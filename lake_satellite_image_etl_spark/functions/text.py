@@ -289,6 +289,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT
+               AS norm_chars,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS norm_hash
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization — the cleaning stage every text pipeline
+    runs before dedup/tokenization: lowercase, collapse whitespace
+    runs, trim, plus the normalized content hash that exact-dedup keys
+    on. Pure regexp/string built-ins, scan speed.
+
+    NOTE the cross-engine trap: Spark's regexp_replace replaces ALL
+    matches; DuckDB's replaces the FIRST unless given the 'g' flag —
+    the oracle passes 'g' explicitly."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 TFIDF_TOP_N = 3
 
 
