@@ -33,6 +33,96 @@ def artifact_key(
 
 
 @query(
+    "scalar_event_composite",
+    oracle="""
+    -- one-pass event-row scalar profile: key generation (F1/F2/K3),
+    -- epoch round-trip (F3), JSON decode/encode (F9/F10), map
+    -- introspection and regex (EXT) over a single scan.
+    SELECT event_id,
+           user_id::VARCHAR || '/' || event_id::VARCHAR || '_'
+             || strftime(ts, '%Y%m%d%H%M%S') || '.tif' AS filename,
+           user_id::VARCHAR || '/' || event_id::VARCHAR || '_'
+             || strftime(ts, '%Y%m%d%H%M%S') || '_thumbnail.png'
+             AS thumbnail_filename,
+           epoch_ms(ts) AS ts_millis,
+           epoch_ms(epoch_ms(ts)) AS ts_roundtrip,
+           json_extract(props, '$.k')::INT AS k_value,
+           to_json(struct_pack(event_type := event_type,
+                               user_id := user_id)) AS encoded,
+           len(json_keys(props))::INT AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_joined,
+           regexp_extract(event_type, '([a-z]+)', 1) AS type_word
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def scalar_event_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate composite for the event-row scalar families — the
+    same expressions as scalar_string_keys / scalar_epoch_roundtrip /
+    scalar_json_props / scalar_map_regex (which keep the granular API),
+    computed in ONE narrow select over one scan. All JVM built-ins
+    inside whole-stage codegen."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    props_map = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        artifact_key(F.col("user_id"), F.col("event_id"), F.col("ts"), ".tif").alias(
+            "filename"
+        ),
+        artifact_key(
+            F.col("user_id"), F.col("event_id"), F.col("ts"), "_thumbnail.png"
+        ).alias("thumbnail_filename"),
+        F.unix_millis("ts").alias("ts_millis"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_roundtrip"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.to_json(F.struct("event_type", "user_id")).alias("encoded"),
+        F.size(props_map).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(props_map))).alias("keys_joined"),
+        F.regexp_extract("event_type", "([a-z]+)", 1).alias("type_word"),
+    )
+
+
+@query(
+    "scalar_part_composite",
+    oracle="""
+    -- one-pass part-row scalar profile: math extents / truncated
+    -- thumbnail dims / thresholds (F6-F8) + URL building (F14).
+    SELECT p_partkey,
+           abs(p_retailprice - p_size) AS extent,
+           (p_size // 7)::BIGINT AS thumb_w,
+           (p_size * 20 // 7)::BIGINT AS thumb_h,
+           (0.6 * 255)::INT AS white_threshold,
+           round(p_retailprice / 7, 4) AS scaled,
+           'https://example.com/api/part?id=' || p_partkey::VARCHAR
+             || '&brand=' || replace(replace(p_brand, '#', '%23'), ' ', '+')
+             || '&name=' || replace(replace(p_name, '#', '%23'), ' ', '+')
+             AS download_url
+    FROM part WHERE p_partkey % 25 = 0
+    """,
+)
+def scalar_part_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate composite for the part-row scalar families — the
+    same expressions as scalar_math_extents / scalar_url_build (which
+    keep the granular API and the encoding notes), one scan."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - F.col("p_size")).alias("extent"),
+        F.floor(F.col("p_size") / 7).alias("thumb_w"),
+        F.floor(F.col("p_size") * 20 / 7).alias("thumb_h"),
+        F.lit(int(0.6 * 255)).alias("white_threshold"),
+        F.round(F.col("p_retailprice") / 7, 4).alias("scaled"),
+        F.concat(
+            F.lit("https://example.com/api/part?id="),
+            F.col("p_partkey").cast("string"),
+            F.lit("&brand="),
+            F.url_encode("p_brand"),
+            F.lit("&name="),
+            F.url_encode("p_name"),
+        ).alias("download_url"),
+    )
+
+
+@query(
     "scalar_string_keys",
     oracle="""
     SELECT event_id,

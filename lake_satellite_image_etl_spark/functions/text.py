@@ -320,6 +320,115 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_profile",
+    oracle=f"""
+    -- one-pass document profile: the union of the row-wise text
+    -- queries below (tokenize_count + quality_score + lang_id argmax +
+    -- fingerprint + normalize), exactly as a production corpus
+    -- pipeline computes them — a single scan, one derived row per doc.
+    WITH t AS (
+        SELECT doc_id, n_chars, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id, n_chars, text, toks,
+               len(toks)::DOUBLE AS n_tok_d,
+               len(list_filter(toks, t -> list_contains({_SQL_STOPS}, t)))::DOUBLE
+                   AS n_stop,
+               len(list_distinct(toks))::DOUBLE AS n_distinct
+        FROM t
+    ), s AS (
+        SELECT *, {_lang_sql_scores()} FROM m
+    )
+    SELECT doc_id,
+           n_tok_d::BIGINT AS n_tokens,
+           n_distinct::BIGINT AS n_distinct_tokens,
+           list_sum(list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT))::BIGINT
+               AS n_bpe_ish_tokens,
+           round(n_stop / n_tok_d, 6) AS stopword_ratio,
+           round(least(n_chars / 400.0, 1.0), 6) AS length_score,
+           round(n_distinct / n_tok_d, 6) AS diversity,
+           round(0.4 * least(n_chars / 400.0, 1.0)
+                 + 0.3 * (n_distinct / n_tok_d)
+                 + 0.3 * (1.0 - abs(n_stop / n_tok_d - 0.1)), 6) AS quality,
+           {_lang_sql_argmax()} AS predicted_lang,
+           md5(array_to_string(toks, ' ')) AS content_md5,
+           list_reduce(
+               [0::BIGINT] || list_transform(
+                   toks,
+                   t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % {POLY_TOK_MOD}),
+               (acc, x) -> (acc * {POLY_MUL} + x) % {POLY_ACC_MOD}
+           ) AS rolling_hash,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash
+    FROM s
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass document profile — the composite the LLM-corpus
+    pipeline actually ships: token counts (whitespace + BPE-ish
+    estimate), quality score components, language-ID argmax, content +
+    rolling-polynomial fingerprints, and the normalized dedup hash, all
+    computed from ONE tokenization of ONE scan.
+
+    This is the driver-gate composite for the row-wise text block
+    (text_tokenize_count / text_quality_score / text_lang_id /
+    text_fingerprint / text_normalize keep the granular API and
+    oracles); semantics are shared via the same expression builders.
+    Plan: a single narrow map stage — no shuffle, scan speed at 100 TB.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "doc_id", "n_chars", "text", tokens_of(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+        "double"
+    )
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    stop_ratio = n_stop / n_tokens
+    diversity = n_distinct / n_tokens
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        marker_arr = F.array(*[F.lit(x) for x in markers])
+        hits = F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+        return F.round(F.size(hits).cast("double") / F.size(toks), 6)
+
+    scores = {lang: marker_score(m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*[scores[lang] for lang in _LANG_PRIORITY])
+    lang_expr = None
+    for lang in _LANG_PRIORITY:
+        cond = scores[lang] == best
+        lang_expr = (
+            F.when(cond, lang) if lang_expr is None else lang_expr.when(cond, lang)
+        )
+    return with_toks.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct_tokens"),
+        _arr_sum_long(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long"))
+        ).alias("n_bpe_ish_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * (1.0 - F.abs(stop_ratio - 0.1)),
+            6,
+        ).alias("quality"),
+        lang_expr.alias("predicted_lang"),
+        F.md5(F.concat_ws(" ", toks)).alias("content_md5"),
+        F.aggregate(
+            F.transform(toks, lambda t: tok_hash60(t) % POLY_TOK_MOD),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * POLY_MUL + x) % POLY_ACC_MOD,
+        ).alias("rolling_hash"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 TFIDF_TOP_N = 3
 
 

@@ -130,6 +130,140 @@ def agg_conditional_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _melt(
+    df: DataFrame,
+    component: str,
+    key_col: str,
+    num_metrics: list[str],
+    str_metrics: list[str],
+) -> DataFrame:
+    """Unpivot a tiny aggregated result to the composite's long form
+    (component, group_key, metric, value_num, value_str)."""
+    parts = []
+    for m in num_metrics:
+        parts.append(
+            df.select(
+                F.lit(component).alias("component"),
+                F.col(key_col).cast("string").alias("group_key"),
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias("value_num"),
+                F.lit(None).cast("string").alias("value_str"),
+            )
+        )
+    for m in str_metrics:
+        parts.append(
+            df.select(
+                F.lit(component).alias("component"),
+                F.col(key_col).cast("string").alias("group_key"),
+                F.lit(m).alias("metric"),
+                F.lit(None).cast("double").alias("value_num"),
+                F.col(m).cast("string").alias("value_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "agg_core_composite",
+    oracle="""
+    -- long-form union of the A-block aggregates: A1 grouped ARRAY_AGG,
+    -- A2 masked per-channel means, A3-A5 conditional fraction + masked
+    -- count — one driver-gate row for the §2.5 core.
+    WITH a1 AS (
+        SELECT n_regionkey AS region_key,
+               array_to_string(list_sort(array_agg(n_name)), ',') AS nations,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey
+    ),
+    px AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               (l_partkey % 256)::INT AS red,
+               (l_suppkey % 256)::INT AS green,
+               ((l_partkey + l_suppkey) % 256)::INT AS blue
+        FROM lineitem
+    ),
+    a2 AS (
+        SELECT flag,
+               round(avg(CASE WHEN red   != 0 THEN red   END), 6) AS red_average,
+               round(avg(CASE WHEN green != 0 THEN green END), 6) AS green_average,
+               round(avg(CASE WHEN blue  != 0 THEN blue  END), 6) AS blue_average
+        FROM px GROUP BY flag
+    ),
+    a3 AS (
+        SELECT status,
+               round(
+                 sum(CASE WHEN least(red, green, blue) >= 153
+                           AND greatest(red, green, blue)
+                               - least(red, green, blue) <= 25
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
+                            THEN 1 ELSE 0 END),
+                 6) AS white_fraction,
+               (count(*) - sum(CASE WHEN NOT (red = 0 AND green = 0 AND blue = 0)
+                                    THEN 1 ELSE 0 END))::BIGINT AS n_out_of_bounds
+        FROM px GROUP BY status
+    )
+    SELECT 'array_agg' AS component, region_key::VARCHAR AS group_key,
+           'n' AS metric, n::DOUBLE AS value_num, NULL::VARCHAR AS value_str
+    FROM a1
+    UNION ALL
+    SELECT 'array_agg', region_key::VARCHAR, 'nations', NULL::DOUBLE, nations
+    FROM a1
+    UNION ALL
+    SELECT 'masked_mean', flag, 'red_average', red_average, NULL FROM a2
+    UNION ALL
+    SELECT 'masked_mean', flag, 'green_average', green_average, NULL FROM a2
+    UNION ALL
+    SELECT 'masked_mean', flag, 'blue_average', blue_average, NULL FROM a2
+    UNION ALL
+    SELECT 'white_fraction', status, 'white_fraction', white_fraction, NULL
+    FROM a3
+    UNION ALL
+    SELECT 'white_fraction', status, 'n_out_of_bounds',
+           n_out_of_bounds::DOUBLE, NULL
+    FROM a3
+    """,
+)
+def agg_core_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate composite for the §2.5 A-block: runs the SAME plans
+    as agg_collect_array (A1), agg_filtered_mean (A2) and
+    agg_conditional_fraction (A3-A5) — which keep the granular API —
+    and unpivots the tiny aggregated results into one long-form union.
+    Each leg is still a map-side-partial HashAggregate; the unpivot
+    touches only the few aggregated rows, so the composite costs the
+    same as its slowest leg."""
+    return (
+        _melt(
+            agg_collect_array(spark, sf_dir),
+            "array_agg",
+            "region_key",
+            ["n"],
+            ["nations"],
+        )
+        .unionByName(
+            _melt(
+                agg_filtered_mean(spark, sf_dir),
+                "masked_mean",
+                "flag",
+                ["red_average", "green_average", "blue_average"],
+                [],
+            )
+        )
+        .unionByName(
+            _melt(
+                agg_conditional_fraction(spark, sf_dir),
+                "white_fraction",
+                "status",
+                ["white_fraction", "n_out_of_bounds"],
+                [],
+            )
+        )
+    )
+
+
 @query(
     "agg_tpch_q1",
     oracle="""

@@ -138,6 +138,56 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_semi_anti",
+    oracle="""
+    -- the two existence-join forms over ONE seen-set, tagged: anti =
+    -- clicks from users NOT in the seen-set (J4), semi = clicks from
+    -- users IN it (the positive twin) — together a partition of clicks.
+    SELECT 'anti' AS side, e.event_id, e.user_id, e.ts
+    FROM events e
+    ANTI JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90
+    ) seen USING (user_id)
+    WHERE e.event_type = 'click'
+    UNION ALL
+    SELECT 'semi' AS side, e.event_id, e.user_id, e.ts
+    FROM events e
+    SEMI JOIN (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND value > 90
+    ) seen USING (user_id)
+    WHERE e.event_type = 'click'
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + its positive twin in one driver-gate entry: left-anti and
+    left-semi against the same seen-set (big-ticket purchasers), tagged
+    by side — the two results partition the click stream, so the query
+    is self-checking (|anti| + |semi| = |clicks|). The granular
+    join_left_anti / join_left_semi entries keep the single-form API.
+
+    Scale shape is identical to J4: the seen-set stays a keyed relation
+    (broadcast when small); neither side materializes per-row arrays."""
+    ev = read_table(spark, sf_dir, "events")
+    seen = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    anti = (
+        clicks.join(seen, "user_id", "left_anti")
+        .select(F.lit("anti").alias("side"), "event_id", "user_id", "ts")
+    )
+    semi = (
+        clicks.join(seen, "user_id", "left_semi")
+        .select(F.lit("semi").alias("side"), "event_id", "user_id", "ts")
+    )
+    return anti.unionByName(semi)
+
+
+@query(
     "join_fanout_1n",
     oracle="""
     SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber,

@@ -1,0 +1,126 @@
+"""Driver-gate entries for the two sources the correctness gate could
+not previously see: the JDBC scan (S1, reference main.py:467-486) and
+the Structured-Streaming AvailableNow ingest (T1, template.yml:36).
+
+Both entries produce deterministic, oracle-checkable output:
+
+- ``jdbc_scan`` round-trips a fixture table through an embedded Apache
+  Derby database (the only DB engine in this environment — it ships
+  with Spark) and reads it back with a pushed-down filter, so the
+  result equals a plain SQL filter over the parquet fixture.
+- ``stream_dedup_batch`` runs the real streaming pipeline
+  (file source → watermark → dropDuplicatesWithinWatermark → parquet
+  sink, Trigger.AvailableNow) and returns the deduped PK set. Which
+  *row* survives per PK depends on intra-batch order, but the PK SET
+  is exactly ``SELECT DISTINCT pk`` — that projection is the
+  oracle-checked contract.
+
+Each call stages into a fresh temp directory (the driver may invoke a
+query more than once); Derby keeps the database open for the lazy
+DataFrame's lifetime, so directories are cleaned at process exit, not
+eagerly.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_jdbc, read_table
+from lake_satellite_image_etl_spark.registry import query
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+#: pushdown predicate for the S1 entry — mirrored in the oracle.
+JDBC_MIN_ACCTBAL = 1000.0
+
+#: the registered streaming query uses a delay longer than the fixture
+#: span (30 days), so every duplicate falls within one dedup horizon
+#: and the surviving PK set is exactly the global distinct — the
+#: deterministic, oracle-checkable configuration. Production uses the
+#: 30-day LOOKBACK default in streaming/ingest.py.
+STREAM_GATE_LOOKBACK = "90 days"
+
+
+@query(
+    "jdbc_scan",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, c_nationkey
+    FROM customer WHERE c_acctbal > {JDBC_MIN_ACCTBAL}
+    """,
+)
+def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: a real ``spark.read.format("jdbc")`` scan with filter
+    pushdown and a partitioned parallel read (the distributed
+    replacement for the reference's single ``pd.read_sql``,
+    main.py:467,484-486).
+
+    The fixture customer table is written INTO an embedded Derby
+    database, then read back through the JDBC source: the filter is
+    pushed into the remote SQL (PushedFilters, asserted in
+    tests/test_jdbc.py), and ``partitionColumn`` bounds split the scan
+    into parallel range queries. Values round-trip bit-exactly (BIGINT/
+    DOUBLE/VARCHAR), so the result equals the parquet-side oracle."""
+    db_dir = os.path.join(tempfile.mkdtemp(prefix="jdbc_scan_"), "derbydb")
+    url = f"jdbc:derby:{db_dir};create=true"
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customer")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    n_cust = cust.count()
+    return (
+        read_jdbc(
+            spark,
+            url,
+            "customer",
+            partition_column="c_custkey",
+            lower_bound=1,
+            upper_bound=max(n_cust, 2),
+            num_partitions=8,
+            driver=DERBY_DRIVER,
+        )
+        .filter(F.col("c_acctbal") > JDBC_MIN_ACCTBAL)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    )
+
+
+@query(
+    "stream_dedup_batch",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: the scheduled micro-batch ingest (reference: daily cron,
+    template.yml:36) run end-to-end — streaming file source over the
+    events fixture → watermark → ``dropDuplicatesWithinWatermark`` on
+    the PK → parquet sink, ``Trigger.AvailableNow`` — then the landed
+    PK set read back as a DataFrame.
+
+    The oracle is the PK-set contract: with the dedup horizon covering
+    the whole fixture, the surviving (user_id, event_type) set equals
+    the global distinct regardless of which arrival each key kept."""
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        run_available_now,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    # the file streaming source wants a directory — stage the fixture
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    run_available_now(spark, src, out, ckpt, lookback=STREAM_GATE_LOOKBACK)
+    return spark.read.parquet(out).select("user_id", "event_type").distinct()

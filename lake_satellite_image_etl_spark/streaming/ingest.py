@@ -51,12 +51,20 @@ def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
-def dedup_stream(events: DataFrame) -> DataFrame:
-    """Watermarked stateful PK-dedup: keeps the first arrival per PK —
-    the streaming ON CONFLICT DO NOTHING. The watermark bounds state:
-    a PK older than the lookback can re-enter, exactly like the
-    reference's 30-day window re-download policy."""
-    return events.withWatermark("ts", LOOKBACK).dropDuplicates(PK)
+def dedup_stream(events: DataFrame, lookback: str = LOOKBACK) -> DataFrame:
+    """Watermarked stateful PK-dedup: keeps the first arrival per PK
+    within the lookback — the streaming ON CONFLICT DO NOTHING.
+
+    Uses ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``):
+    with the event-time column absent from the dedup keys, plain
+    dropDuplicates never ties its state to the watermark, so state
+    grows unboundedly and a PK never re-enters (ADVICE r2). The
+    WithinWatermark form expires each key's state once the watermark
+    passes its event time + delay, giving the claimed semantics
+    exactly: state bounded to |PKs seen in the lookback|, and a PK
+    re-entering after the lookback — the reference's 30-day
+    re-download policy (main.py:45-46)."""
+    return events.withWatermark("ts", lookback).dropDuplicatesWithinWatermark(PK)
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 day") -> DataFrame:
@@ -132,13 +140,17 @@ def run_stream_upsert(
 
 
 def run_available_now(
-    spark: SparkSession, events_glob: str, out_path: str, checkpoint: str
+    spark: SparkSession,
+    events_glob: str,
+    out_path: str,
+    checkpoint: str,
+    lookback: str = LOOKBACK,
 ) -> None:
     """One scheduled micro-batch: drain all currently-available input,
     write the PK-deduped delta, stop. Re-running with the same input is
     a no-op (checkpointed source offsets + dedup state = exactly-once
     into the sink)."""
-    deduped = dedup_stream(read_events_stream(spark, events_glob))
+    deduped = dedup_stream(read_events_stream(spark, events_glob), lookback)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_path)
