@@ -347,17 +347,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical shape to MinHash-LSH — band-keyed equi-join, no
     all-pairs; the fingerprint itself is one narrow map stage."""
     docs = read_table(spark, sf_dir, "documents")
-    # The fingerprint table is two longs per doc — cache it so the
-    # band self-join doesn't re-evaluate the 60-bit fingerprint
-    # lineage on both sides. The self-join (NOT a per-bucket pair
-    # expansion) is deliberate: SimHash bands of near-identical docs
-    # are heavily SKEWED (measured: hottest band bucket holds 27% of
-    # docs at sf0.1), and a collect_list-based expansion would build
+    # The fingerprint table is two longs per doc — materialize it
+    # (eager localCheckpoint) so the band self-join doesn't re-evaluate
+    # the 60-bit fingerprint lineage on both sides. localCheckpoint
+    # instead of cache(): a cache() with no later unpersist() leaks
+    # executor storage across queries in a shared session (ADVICE r2);
+    # checkpoint blocks are released by the ContextCleaner as soon as
+    # the query's DataFrame is dropped. The self-join (NOT a per-bucket
+    # pair expansion) is deliberate: SimHash bands of near-identical
+    # docs are heavily SKEWED (measured: hottest band bucket holds 27%
+    # of docs at sf0.1), and a collect_list-based expansion would build
     # O(bucket²) structs in single rows — the join form keeps rows
     # tiny and lets AQE skew-splitting spread the hot buckets.
     s = docs.select(
         "doc_id", simhash60(tokens_of(F.col("text"))).alias("simhash")
-    ).cache()
+    ).localCheckpoint(eager=True)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = s.select(
         "doc_id",
@@ -427,11 +431,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin-style algorithm, same result set as the naive form (the
     oracle keeps the naive formulation as independent proof)."""
     docs = read_table(spark, sf_dir, "documents")
+    # feeds df-stats, prefix build, and the verify join — eager
+    # localCheckpoint (not cache(): no-unpersist caches leak storage
+    # across queries in a shared session, ADVICE r2; checkpoint blocks
+    # free when this query's DataFrames are dropped).
     sh = docs.select(
         "doc_id",
         F.floor(F.col("n_chars") / NGRAM_BLOCK_CHARS).alias("len_bucket"),
         hashed_shingles(tokens_of(F.col("text"))).alias("shingles"),
-    ).cache()  # feeds df-stats, prefix build, and the verify join
+    ).localCheckpoint(eager=True)
 
     # ---- prefix filtering (PPJoin-style, EXACT) -------------------
     # Under one global shingle order, a pair with J ≥ t must share an
@@ -488,10 +496,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: label-propagation rounds: cluster_id = min doc_id within this many
-#: hops. Fixture near-dup clusters are pairs/triples (diameter ≤ 2),
-#: so 4 rounds reach the true component minimum with margin.
-CLUSTER_HOPS = 4
+#: safety bound on propagation rounds — a backstop against a buggy
+#: non-converging loop, far above any real near-dup component diameter
+#: (components are quasi-cliques; diameter grows ~log of chain length).
+CLUSTER_MAX_ROUNDS = 50
+
+
+def label_propagate_components(edges: DataFrame) -> DataFrame:
+    """Connected components by min-label propagation, iterated TO
+    CONVERGENCE: each round every node takes the min label among
+    itself and its neighbors; stop when no label changed.
+
+    ``edges`` is a directed (src, dst) DataFrame that must already
+    contain both directions of every undirected edge. Returns
+    (node, label) with label = the component's minimum node id.
+
+    Scale shape (the standard large-graph CC pattern):
+    - each round is ONE shuffle: (node, label) joined against the edge
+      list, then a min-aggregate per node;
+    - the loop-invariant edge list and each round's labels are
+      ``localCheckpoint``-ed (eager) — the checkpoint both avoids
+      re-evaluating upstream lineage (the full MinHash pipeline here)
+      every round AND truncates the otherwise exponentially-growing
+      iterative plan, which is what kills fixed-unroll loops at scale;
+    - convergence is detected with a cheap count on the changed set,
+      so the round count adapts to the real component diameter instead
+      of hard-coding a hop bound (a diameter-6 chain is regression-
+      tested in tests/test_cluster.py)."""
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CLUSTER_MAX_ROUNDS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).count()
+        labels = new_labels.select(
+            "node", F.col("new_label").alias("label")
+        )
+        if changed == 0:
+            break
+    return labels
 
 
 @query(
@@ -503,12 +567,13 @@ CLUSTER_HOPS = 4
         UNION ALL
         SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
     ),
-    reach(v, u, d) AS (
-        SELECT src, src, 0 FROM (SELECT DISTINCT src FROM edges)
+    -- full transitive closure: the recursive UNION dedups rows, so the
+    -- fixpoint terminates on any finite graph (cycles included) — the
+    -- exact semantics of the convergence loop on the Spark side.
+    reach(v, u) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
         UNION
-        SELECT r.v, e.dst, r.d + 1
-        FROM reach r JOIN edges e ON e.src = r.u
-        WHERE r.d < {CLUSTER_HOPS}
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
     )
     SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
     """,
@@ -516,53 +581,32 @@ CLUSTER_HOPS = 4
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment — the step a dedup pipeline actually
     ships: every document in the near-dup graph gets cluster_id = the
-    smallest doc_id reachable within {CLUSTER_HOPS} hops (min-label
-    propagation, a bounded connected-components pass; canonical doc =
-    the one where doc_id == cluster_id).
+    smallest doc_id in its connected component (canonical doc = the one
+    where doc_id == cluster_id).
 
-    The iteration count is FIXED so the plan is static and
-    oracle-checkable (a data-dependent fixpoint loop is not); with
-    real corpora you iterate log(diameter) times — each round doubles
-    nothing here, it extends reach one hop, and near-dup components
-    are shallow by construction (they are quasi-cliques: most members
-    pair directly).
+    Components come from min-label propagation iterated to convergence
+    (label_propagate_components above) — no fixed hop bound, so long
+    chains are assigned one cluster id; the DuckDB oracle is the full
+    recursive-CTE transitive closure, the same fixpoint.
 
     Scale: each round is one shuffle of (node, label) joined against
-    the edge list — the standard large-graph CC pattern; the edge list
-    comes from the already-bucketed MinHash join, never all-pairs."""
+    the checkpointed edge list; the edge list comes from the
+    already-bucketed MinHash join, never all-pairs."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # Iterative algorithm ⇒ persist the loop-invariant input: without
-    # this, every propagation round re-evaluates the ENTIRE MinHash
-    # pipeline (lazy lineage) on both sides of its join — ~9 full
-    # recomputes for 4 rounds. The edge list is tiny (|near-dup pairs|).
-    edges = edges.cache()
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(CLUSTER_HOPS):
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-        )
+    labels = label_propagate_components(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
 COSINE_DUP_THRESHOLD = 0.4
+
+#: hard cap on rows the exact block-matrix baseline may collect to the
+#: driver for broadcast (64-dim int64 ⇒ ~512 B/vector ⇒ ~50 MB at cap).
+EMBEDDING_BROADCAST_CAP = 100_000
 
 
 @query(
@@ -600,7 +644,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    rows = q.collect()  # candidate matrix: small side, broadcast below
+    # SIZE-GUARDED driver materialization: the block-matrix kernel is
+    # only valid while the candidate matrix fits a broadcast (~50 MB
+    # at the cap for 64-dim int64 vectors). Refusing loudly beats
+    # OOMing the driver at scale — past the cap, generate candidates
+    # with the bucketed paths (similarity_lsh_bucketed /
+    # similarity_ivf_probe) and reserve the exact kernel for buckets.
+    n_vec = q.count()
+    if n_vec > EMBEDDING_BROADCAST_CAP:
+        raise ValueError(
+            f"dedup_embedding_cosine: {n_vec} vectors exceed the "
+            f"broadcast cap ({EMBEDDING_BROADCAST_CAP}); route "
+            "candidates through operators/similarity.py's LSH/IVF "
+            "buckets instead of the all-pairs exact baseline"
+        )
+    rows = q.collect()  # candidate matrix: guarded above, broadcast below
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["qv"] for r in rows], dtype=np.int64)
     norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
