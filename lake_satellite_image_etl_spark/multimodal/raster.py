@@ -11,7 +11,9 @@ plumbing (schema, Arrow batching, grouped stacking, kernel signatures)
 is real and tested (tests/test_raster.py golden 4×4 rasters).
 
 Kernel ↔ reference parity:
-- U1 fetch+unzip      → fetch_remote_bands (stub; main.py:161-204)
+- U1 fetch+unzip      → fetch_remote_bands (urllib transport: file://
+                        tested hermetically, http(s) same code path;
+                        main.py:161-204)
 - U2 band stack       → stack_bands applyInPandas (main.py:206-232)
 - U3 polygon clip     → clip_to_polygon (main.py:241-243; rasterio.mask
                         crop+nodata semantics, ray-casting point test)
@@ -296,20 +298,70 @@ def thumbnail(stacked: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------- U1
 
-def fetch_remote_bands(spark: SparkSession, urls: DataFrame) -> DataFrame:
-    """U1: remote fetch + unzip of per-band blobs (main.py:161-204).
-    Network access is unavailable in this environment — the signature
-    and partitioning contract are real (repartition before the fetch;
-    one HTTP get per row inside mapInPandas), the transport is stubbed.
+def fetch_remote_bands(
+    spark: SparkSession,
+    urls: DataFrame,
+    *,
+    url_col: str = "url",
+    member_col: str | None = None,
+    fetch_partitions: int | None = None,
+) -> DataFrame:
+    """U1: remote fetch + unzip of per-band blobs (main.py:161-204:
+    ``getDownloadURL`` → HTTP GET → ``zipfile`` extract).
+
+    Transport is stdlib ``urllib`` — ONE code path serves ``file://``
+    URLs (integration-tested hermetically in tests/test_raster.py, no
+    network needed) and ``http(s)://`` in production. Payloads that
+    are zip archives (PK magic) are unzipped: the member named by
+    ``member_col`` is extracted, or the single member when the archive
+    has exactly one (the reference's per-band zips); non-zip payloads
+    pass through raw.
+
+    Scale shape: ``repartition(fetch_partitions)`` before the
+    ``mapInPandas`` fetch makes download parallelism = partition count
+    across the cluster — the distributed replacement for the
+    reference's thread pool (main.py:433) — and the fetch stage adds
+    no shuffle beyond that repartition. Output schema = input columns
+    + (content binary, n_bytes long).
     """
-    try:  # pragma: no cover - never importable here
-        import requests  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "remote fetch requires an HTTP client; use synth_band_rows "
-            "or read_binary_files for local blobs"
-        ) from exc
-    raise NotImplementedError("remote fetch not wired in this environment")
+    import urllib.request
+    import zipfile
+    from io import BytesIO
+
+    in_cols = urls.columns
+    if fetch_partitions:
+        urls = urls.repartition(fetch_partitions)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema.fields
+    ) + ", content binary, n_bytes long"
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for _, row in pdf.iterrows():
+                with urllib.request.urlopen(row[url_col]) as resp:
+                    payload = resp.read()
+                if payload[:4] == b"PK\x03\x04":
+                    with zipfile.ZipFile(BytesIO(payload)) as zf:
+                        names = zf.namelist()
+                        member = (
+                            row[member_col]
+                            if member_col
+                            else names[0] if len(names) == 1 else None
+                        )
+                        if member is None:
+                            raise ValueError(
+                                f"ambiguous zip ({len(names)} members) and "
+                                "no member_col given"
+                            )
+                        payload = zf.read(member)
+                contents.append(payload)
+            out = pdf.copy()
+            out["content"] = contents
+            out["n_bytes"] = [len(c) for c in contents]
+            yield out[in_cols + ["content", "n_bytes"]]
+
+    return urls.mapInPandas(_fetch, out_schema)
 
 
 # ---------------------------------------------------------------- queries

@@ -40,7 +40,17 @@ def salted_join(
     key becomes (key, salt) — a hot key now lands on n_salt reducers
     instead of one. Cost: dim side ×n_salt (fine for dimension tables;
     for fact-fact skew, salt only the hot-key subset — split the join
-    in two and union)."""
+    in two and union).
+
+    Only fact-preserving join types are allowed: with ``right`` or
+    ``full`` the replicated dim side would emit every unmatched dim
+    row ``n_salt`` times — silently wrong output (ADVICE r2)."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched rows of "
+            f"the replicated dim side; allowed: {sorted(allowed)}"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(row_id)), F.lit(n_salt)).cast("int")
     )

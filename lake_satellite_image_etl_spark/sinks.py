@@ -55,20 +55,32 @@ def write_binary_artifacts(df: DataFrame, out_dir: str, key_col: str, data_col: 
     only its partition's keys — idempotent because keys are
     deterministic (K3). The local filesystem stands in for the object
     store; the boto3 ``put_object`` body is the only line that would
-    change."""
+    change.
+
+    Each blob lands ATOMICALLY (write to a task-unique tmp name, then
+    ``os.replace`` onto the key): a killed task or concurrent reader
+    can never observe a truncated blob, and a speculative duplicate
+    task just re-replaces the same bytes. The returned count comes
+    from an accumulator incremented in the same pass — counting with a
+    second action would re-execute the entire upstream lineage
+    (ADVICE r2) and could disagree with what was written."""
     os.makedirs(out_dir, exist_ok=True)
     rows = df.select(key_col, data_col)
+    n_written = rows.sparkSession.sparkContext.accumulator(0)
 
     def _write_partition(it) -> None:
         for row in it:
             key = row[key_col]
             path = os.path.join(out_dir, key)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            with open(path, "wb") as f:
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
                 f.write(bytes(row[data_col]))
+            os.replace(tmp, path)
+            n_written.add(1)
 
     rows.foreachPartition(_write_partition)
-    return rows.count()
+    return n_written.value
 
 
 def write_partitioned_parquet(

@@ -234,3 +234,53 @@ def test_binaryfile_scan(spark):
     rows = multimodal_binaryfile_scan(spark, SF_SMOKE).collect()
     assert len(rows) == 8
     assert [r["entity_id"] for r in rows] == list(range(8))
+
+
+def test_fetch_remote_bands_file_urls_end_to_end(spark, tmp_path):
+    """U1 integration: the real fetch+unzip stage against file:// URLs
+    — zip payloads are extracted, raw payloads pass through, and the
+    fetched bands feed stack_bands to the same stacked raster as the
+    synth path. The only line not exercised vs production is the
+    HTTP socket itself (urllib handles both schemes identically)."""
+    import zipfile
+
+    w = h = 8
+    entities = [3, 5]
+    rows = []
+    for eid in entities:
+        for b, name in enumerate(rk.BAND_NAMES):
+            payload = rk.synth_band_array(eid, b, w, h).tobytes()
+            p = tmp_path / f"e{eid}_{name}.zip"
+            with zipfile.ZipFile(p, "w") as zf:
+                zf.writestr(f"{name}.bin", payload)
+            rows.append((eid, b, name, w, h, p.as_uri()))
+    urls = spark.createDataFrame(
+        rows,
+        "entity_id long, band_idx int, band string, width int, height int, url string",
+    )
+    fetched = rk.fetch_remote_bands(spark, urls, fetch_partitions=4)
+    band_rows = fetched.selectExpr(
+        "entity_id", "band_idx", "band", "width", "height", "content AS data"
+    )
+    stacked = {
+        r["entity_id"]: r for r in rk.stack_bands(band_rows).collect()
+    }
+    for eid in entities:
+        exp = np.stack(
+            [rk.synth_band_array(eid, b, w, h) for b in range(3)]
+        )
+        got = np.frombuffer(
+            stacked[eid]["data"], dtype=np.uint8
+        ).reshape(3, h, w)
+        assert (got == exp).all()
+        assert stacked[eid]["bands"] == 3
+
+    # non-zip payloads pass through byte-identical
+    raw = tmp_path / "raw.bin"
+    raw.write_bytes(b"\x01\x02\x03notazip")
+    one = rk.fetch_remote_bands(
+        spark,
+        spark.createDataFrame([(raw.as_uri(),)], "url string"),
+    ).collect()[0]
+    assert bytes(one["content"]) == b"\x01\x02\x03notazip"
+    assert one["n_bytes"] == 10
