@@ -73,6 +73,44 @@ def _sql_point_in_ring(px: str, py: str, ring: str) -> str:
                   THEN 1 ELSE 0 END)) % 2 = 1)"""
 
 
+def bbox_of(points: list[tuple[float, float]]) -> tuple[float, float, float, float]:
+    """Plan-time bounding box of a polygon literal."""
+    xs = [x for x, _ in points]
+    ys = [y for _, y in points]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def point_in_polygon_pruned(
+    px: Column, py: Column, points: list[tuple[float, float]]
+) -> Column:
+    """The SURVEY §4 stretch rewrite — auto bbox-prefilter injection
+    before the exact geometry predicate, as a predicate builder.
+
+    Given the polygon LITERAL, derive its bbox at plan-construction
+    time and conjoin the cheap range predicate with the exact ray-cast:
+    ``px BETWEEN minx AND maxx AND py BETWEEN miny AND maxy AND
+    ray_cast(...)``. Catalyst then does the rest of the rule's work on
+    its own: it splits the conjunction, pushes the simple range
+    conjuncts into the scan (PushedFilters — plan-diff asserted in
+    tests/test_plans.py) and leaves the higher-order-function ray-cast,
+    which no data source can evaluate, as the residual filter over the
+    pruned rows.
+
+    This is the PySpark-native injection point for the rewrite: a JVM
+    deployment would register the same derivation as a
+    ``SparkSessionExtensions`` optimizer rule matching
+    Filter(ray_cast) nodes; Python cannot author Catalyst rules, so
+    the package routes every geometry predicate through this builder
+    instead — same plan, same guarantee, enforced at the API layer."""
+    minx, miny, maxx, maxy = bbox_of(points)
+    ring = ring_col(points)
+    return (
+        px.between(minx, maxx)
+        & py.between(miny, maxy)
+        & point_in_ring(px, py, ring)
+    )
+
+
 def shoelace_area(ring: Column) -> Column:
     """Shoelace polygon area of a closed ring: |Σ (x₁y₂ − x₂y₁)| / 2."""
     n = F.size(ring)
@@ -105,8 +143,9 @@ _SQL_SHOELACE = """(abs(list_sum(list_transform(
     """,
 )
 def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 exact form (filterBounds, main.py:397): bbox prefilter —
-    pushed to the parquet scan — then the exact ray-cast predicate on
+    """P6 exact form (filterBounds, main.py:397): the auto-injected
+    bbox prefilter (point_in_polygon_pruned derives DIAMOND's bbox
+    10..30 at plan time) followed by the exact ray-cast predicate on
     the survivors. Both stages are native expressions; no UDF, full
     oracle."""
     part = read_table(spark, sf_dir, "part")
@@ -115,10 +154,8 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") % 40).cast("double").alias("x"),
         (F.col("p_size") % 40).cast("double").alias("y"),
     )
-    ring = ring_col(DIAMOND)
     return (
-        pts.filter(F.col("x").between(10, 30) & F.col("y").between(10, 30))
-        .filter(point_in_ring(F.col("x"), F.col("y"), ring))
+        pts.filter(point_in_polygon_pruned(F.col("x"), F.col("y"), DIAMOND))
         .select("p_partkey", F.round("x", 2).alias("x"), F.round("y", 2).alias("y"))
     )
 

@@ -59,6 +59,48 @@ def test_geo_bbox_filter_reaches_scan(spark):
     assert "p_retailprice" in pushed or "p_size" in pushed or pushed != ""
 
 
+def test_bbox_injection_plan_diff(spark):
+    """SURVEY §4 stretch rewrite: the bare ray-cast predicate is a
+    higher-order-function expression no data source can evaluate —
+    nothing beyond null checks reaches PushedFilters. Routing the same
+    predicate through point_in_polygon_pruned injects the plan-time
+    bbox conjuncts, which Catalyst splits off and pushes into the
+    parquet scan; the ray-cast stays as the residual filter. Same
+    result set, pruned scan."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.geometry import (
+        point_in_polygon_pruned,
+        point_in_ring,
+        ring_col,
+    )
+
+    # polygon over RAW columns so pushed filters are scan-visible
+    poly = [(902.0, 25.0), (910.0, 5.0), (918.0, 25.0), (910.0, 45.0),
+            (902.0, 25.0)]
+    part = read_table(spark, SF_SMOKE, "part")
+    px, py = F.col("p_retailprice"), F.col("p_size").cast("double")
+
+    bare = part.filter(point_in_ring(px, py, ring_col(poly)))
+    pruned = part.filter(point_in_polygon_pruned(px, py, poly))
+
+    def pushed(df) -> str:
+        plan = _plan(df)
+        return plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+
+    assert "GreaterThan" not in pushed(bare) and "LessThan" not in pushed(bare)
+    got = pushed(pruned)
+    # (Spark truncates long PushedFilters lists with '...', so assert
+    # on the leading conjunct and the operator names that survive)
+    assert "GreaterThanOrEqual(p_retailprice,902.0)" in got
+    assert "LessThanOr" in got
+    # the rewrite must not change the result
+    a = sorted(r["p_partkey"] for r in bare.collect())
+    b = sorted(r["p_partkey"] for r in pruned.collect())
+    assert a == b and len(a) > 0
+
+
 def test_centroid_join_is_broadcast(spark):
     from lake_satellite_image_etl_spark.functions.vectors import (
         vector_centroid_cosine,
