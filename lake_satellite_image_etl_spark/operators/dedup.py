@@ -688,3 +688,138 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.mapInPandas(
         block, schema="vec_a long, vec_b long, cos_exact double"
     ).select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cos_sim"))
+
+
+#: hyperplane-sign banding for the LSH dedup path: 8 sign bits split
+#: into 4 bands of 2; candidates agree on ANY band. At the loose
+#: fixture threshold (cos 0.4 ⇒ per-sign agreement ~0.64) all-8-sign
+#: agreement has ~3% recall — banding lifts it to ~0.87. At production
+#: near-dup thresholds (cos ≥ 0.9 ⇒ per-sign ~0.86) wider bands over
+#: more total planes give both recall AND selectivity; the band
+#: geometry is the tuning knob, the plan shape is identical.
+LSH_DEDUP_BAND_BITS = 2
+
+
+def _lsh_dedup_oracle() -> str:
+    # built lazily so dedup.py's import doesn't circularly bind
+    # similarity.py's module constants at import time
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        _SQL_BUCKET,
+        N_PLANES,
+    )
+
+    n_bands = N_PLANES // LSH_DEDUP_BAND_BITS
+    mask = (1 << LSH_DEDUP_BAND_BITS) - 1
+    return f"""
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    bkt AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm, {_SQL_BUCKET} AS bucket
+            FROM q),
+    bands AS (
+        SELECT vec_id, band,
+               (bucket >> (band * {LSH_DEDUP_BAND_BITS})) & {mask} AS band_key
+        FROM bkt, unnest(generate_series(0, {n_bands - 1})) AS u(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM bands a JOIN bands c
+          ON a.band = c.band AND a.band_key = c.band_key
+         AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b,
+           round({sql_dot("a.qv", "c.qv")}::DOUBLE / (a.nrm * c.nrm), 6)
+               AS cos_sim
+    FROM cand
+    JOIN bkt a ON a.vec_id = vec_a
+    JOIN bkt c ON c.vec_id = vec_b
+    WHERE {sql_dot("a.qv", "c.qv")}::DOUBLE / (a.nrm * c.nrm)
+          >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, SCALE path: candidates come from a
+    banded sign-random-projection LSH equi-join (the 8 deterministic
+    hyperplanes shared with similarity_lsh_bucketed, split into 4
+    bands of {LSH_DEDUP_BAND_BITS} sign bits; a pair is a candidate if
+    it agrees on ANY band — the MinHash-LSH banding trick applied to
+    hyperplane signs) — NO driver collect, NO all-pairs. This is the
+    route past EMBEDDING_BROADCAST_CAP that the exact baseline
+    (dedup_embedding_cosine above) refuses.
+
+    Plan shape: the band self-join carries ONLY (vec_id, band,
+    band_key) — ids, never vectors — then the deduped candidate pairs
+    fetch their two vectors via equi-joins against the vector table
+    for the exact int64 cosine verify (candidate→verify, the same
+    shape as dedup_ngram_jaccard's PPJoin stage). Shuffle volume is
+    |bands|·ids + |candidates|·2 vectors, not |pairs|·2 vectors.
+
+    Recall is probabilistic (≈0.87 at the fixture threshold — see
+    LSH_DEDUP_BAND_BITS); both engines share the identical plane
+    matrix, so the oracle gate compares the result exactly, including
+    the miss set."""
+    from lake_satellite_image_etl_spark.functions.vectors import (
+        dot_long,
+        norm,
+    )
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        _bucket_expr,
+        N_PLANES,
+    )
+
+    n_bands = N_PLANES // LSH_DEDUP_BAND_BITS
+    mask = (1 << LSH_DEDUP_BAND_BITS) - 1
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    bkt = q.select(
+        "vec_id",
+        "qv",
+        norm(F.col("qv")).alias("nrm"),
+        _bucket_expr(F.col("qv")).alias("bucket"),
+    )
+    bands = bkt.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("bucket", band * LSH_DEDUP_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = bkt.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vc = bkt.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_long(F.col("qv_a"), F.col("qv_b")).cast("double") / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vc, "vec_b")
+        .withColumn("cos_exact", cos)
+        .filter(F.col("cos_exact") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cos_sim"))
+    )
+
+
+query("dedup_embedding_cosine_lsh", oracle=_lsh_dedup_oracle())(
+    dedup_embedding_cosine_lsh
+)

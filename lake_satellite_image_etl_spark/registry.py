@@ -132,6 +132,7 @@ _PRIORITY = (
     "agg_tpch_q1",
     "agg_core_composite",
     # ---- first 50 end here -------------------------------------------
+    "dedup_embedding_cosine_lsh",
     "topk_global",
     "topk_per_group",
     "agg_collect_array",

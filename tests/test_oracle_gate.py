@@ -25,6 +25,7 @@ MUST_BE_NONEMPTY = {
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "similarity_topk_bruteforce",
     "similarity_lsh_bucketed",
     "geo_point_in_polygon",

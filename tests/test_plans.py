@@ -17,6 +17,7 @@ def test_similarity_queries_have_no_cartesian_product(spark):
     CartesianProduct — candidate generation is an equi-join/groupBy on
     bucket keys (the whole point of the design)."""
     from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_embedding_cosine_lsh,
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
         dedup_simhash,
@@ -30,6 +31,7 @@ def test_similarity_queries_have_no_cartesian_product(spark):
         dedup_simhash,
         dedup_ngram_jaccard,
         similarity_lsh_bucketed,
+        dedup_embedding_cosine_lsh,
     ):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, fn.__name__
