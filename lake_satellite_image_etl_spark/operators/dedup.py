@@ -153,9 +153,15 @@ def pair_combos(members):
     )
 
 
-#: the full minhash-LSH candidate+verify pipeline as reusable CTEs —
-#: shared by the pair query and the cluster-assignment oracle.
-_SQL_MINHASH_PAIR_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+def sql_minhash_pair_ctes(source: str) -> str:
+    """The full minhash-LSH candidate+verify pipeline as reusable CTEs
+    over any relation exposing (doc_id, text) — shared by the pair
+    query, the cluster-assignment oracle, and the composed corpus-dedup
+    pipeline (which feeds it the exact-dedup survivor set)."""
+    return _SQL_MINHASH_PAIR_CTES_TMPL.replace("__SOURCE__", source)
+
+
+_SQL_MINHASH_PAIR_CTES_TMPL = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM __SOURCE__),
     sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
     sig AS (SELECT doc_id, hsh, {_SQL_MINHASH} AS sig FROM sh),
     bands AS (
@@ -185,7 +191,7 @@ _SQL_MINHASH_PAIR_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM docum
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH {_SQL_MINHASH_PAIR_CTES}
+    WITH {sql_minhash_pair_ctes('documents')}
     SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM dup_pairs
     """,
 )
@@ -210,7 +216,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute identical signatures, so the gate matches exactly even on
     the probabilistic miss set (the oracle keeps the equivalent
     self-join formulation — same result set)."""
-    docs = read_table(spark, sf_dir, "documents")
+    return minhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """The MinHash+LSH pair pipeline over any (doc_id, text) relation
+    (see dedup_minhash_lsh for the algorithm and scale notes) —
+    returns (doc_a, doc_b, jaccard) with jaccard ≥ JACCARD_THRESHOLD.
+    Reused by dedup_cluster_assign (raw documents) and
+    pipeline_corpus_dedup (exact-dedup survivor set)."""
     sh = docs.select(
         "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
     )
@@ -561,7 +575,7 @@ def label_propagate_components(edges: DataFrame) -> DataFrame:
 @query(
     "dedup_cluster_assign",
     oracle=f"""
-    WITH RECURSIVE {_SQL_MINHASH_PAIR_CTES},
+    WITH RECURSIVE {sql_minhash_pair_ctes('documents')},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
         UNION ALL
@@ -823,3 +837,101 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 query("dedup_embedding_cosine_lsh", oracle=_lsh_dedup_oracle())(
     dedup_embedding_cosine_lsh
 )
+
+
+@query(
+    "pipeline_corpus_dedup",
+    oracle=f"""
+    -- the composed corpus-dedup pipeline: normalize -> exact dedup ->
+    -- MinHash near-dup over exact survivors -> connected components ->
+    -- canonical selection. One decision row per document.
+    WITH RECURSIVE
+    normed AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, text, md5(text) AS norm_hash FROM normed),
+    reps AS (
+        SELECT norm_hash, min(doc_id) AS exact_rep, count(*) AS n_copies
+        FROM hashed GROUP BY norm_hash
+    ),
+    surv AS (
+        SELECT r.exact_rep AS doc_id, h.text
+        FROM reps r JOIN hashed h ON h.doc_id = r.exact_rep
+    ),
+    {sql_minhash_pair_ctes('surv')},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(v, u) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+    ),
+    comp AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v)
+    SELECT h.doc_id, r.exact_rep,
+           coalesce(c.cluster_id, r.exact_rep) AS canonical_id,
+           r.n_copies::BIGINT AS n_copies,
+           (h.doc_id = coalesce(c.cluster_id, r.exact_rep)) AS keep
+    FROM hashed h
+    JOIN reps r USING (norm_hash)
+    LEFT JOIN comp c ON c.doc_id = r.exact_rep
+    """,
+)
+def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus-dedup pipeline — what an LLM-data team
+    actually ships, end to end in one plan:
+
+    1. normalize (lowercase, collapse whitespace — text_normalize's
+       expression);
+    2. exact dedup on the normalized hash (keep min doc_id per hash —
+       the shuffle carries hashes and counts, never documents);
+    3. MinHash+LSH near-dup pairs over the exact SURVIVORS only
+       (minhash_pairs — the expensive stage runs on the already-shrunk
+       set, the standard pipeline ordering);
+    4. connected components over the near-dup graph, iterated to
+       convergence (label_propagate_components);
+    5. canonical selection: every document maps through its exact rep
+       to its cluster's minimum id; ``keep`` marks the one surviving
+       copy per duplicate group.
+
+    Output: (doc_id, exact_rep, canonical_id, n_copies, keep) — one
+    decision row per input document. Full DuckDB oracle (recursive-CTE
+    closure over the identically-derived pair set)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashed = docs.select(
+        "doc_id", norm.alias("text"), F.md5(norm).alias("norm_hash")
+    )
+    reps = hashed.groupBy("norm_hash").agg(
+        F.min("doc_id").alias("exact_rep"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    surv = (
+        reps.select("exact_rep")
+        .join(hashed, reps.exact_rep == hashed.doc_id)
+        .select("doc_id", "text")
+    )
+    pairs = minhash_pairs(surv).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = label_propagate_components(edges).select(
+        F.col("node").alias("comp_doc"), F.col("label").alias("cluster_id")
+    )
+    return (
+        hashed.join(reps, "norm_hash")
+        .join(comp, F.col("exact_rep") == F.col("comp_doc"), "left")
+        .select(
+            "doc_id",
+            "exact_rep",
+            F.coalesce("cluster_id", "exact_rep").alias("canonical_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+            (
+                F.col("doc_id") == F.coalesce("cluster_id", "exact_rep")
+            ).alias("keep"),
+        )
+    )

@@ -133,6 +133,7 @@ _PRIORITY = (
     "agg_core_composite",
     # ---- first 50 end here -------------------------------------------
     "dedup_embedding_cosine_lsh",
+    "pipeline_corpus_dedup",
     "topk_global",
     "topk_per_group",
     "agg_collect_array",
