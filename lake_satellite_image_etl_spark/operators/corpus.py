@@ -1,0 +1,248 @@
+"""Corpus-preparation operators (SURVEY.md §2.10 EXT, LLM-pipeline
+block continued): the steps between "deduped documents" and "training
+batches" — sequence packing, percentile-based quality filtering, and
+benchmark-contamination flagging.
+
+Like the rest of the text block these are pure JVM expressions /
+equi-joins with full DuckDB oracles: packing is a windowed cumulative
+sum, quality filtering is a window percent_rank, contamination is a
+broadcast join against the benchmark's shingle set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.functions.text import (
+    _SQL_TOKS,
+    STOPWORDS,
+    tokens_of,
+)
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.operators.dedup import (
+    _SQL_HSHINGLES,
+    hashed_shingles,
+)
+from lake_satellite_image_etl_spark.registry import query
+
+#: target training-sequence length (tokens). Fixture docs run ~10-100
+#: tokens, so several documents pack per sequence.
+MAX_SEQ_TOKENS = 256
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    -- greedy in-order sequence packing: documents are laid end-to-end
+    -- per source (deterministic doc_id order); a document's sequence
+    -- is the bin its START offset falls in. spills_over marks docs a
+    -- real packer would split across the boundary.
+    WITH t AS (
+        SELECT doc_id, source, len({_SQL_TOKS})::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               -- ::BIGINT: duckdb's windowed sum(BIGINT) is HUGEINT,
+               -- which pandas would surface as float64
+               (sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           start_offset // {MAX_SEQ_TOKENS} AS seq_id,
+           start_offset % {MAX_SEQ_TOKENS} AS offset_in_seq,
+           (start_offset % {MAX_SEQ_TOKENS}) + n_tokens > {MAX_SEQ_TOKENS}
+               AS spills_over
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign each document a training-sequence id
+    by laying documents end-to-end per source in deterministic doc_id
+    order and binning start offsets by MAX_SEQ_TOKENS; ``spills_over``
+    marks documents a production packer would split at the boundary.
+
+    Plan: token counts are a narrow map stage; the cumulative sum is
+    ONE shuffle on source + a per-partition sort — the same shape at
+    any scale. At 100 TB the order key becomes (shard, doc_id) so each
+    shard packs independently and no global sort exists."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / MAX_SEQ_TOKENS).alias("seq_id"),
+        (start % MAX_SEQ_TOKENS).alias("offset_in_seq"),
+        ((start % MAX_SEQ_TOKENS) + F.col("n_tokens") > MAX_SEQ_TOKENS).alias(
+            "spills_over"
+        ),
+    )
+
+
+#: keep documents above this quality percentile within their source.
+QUALITY_PCT_CUT = 0.25
+
+_SQL_STOPS = "['" + "','".join(STOPWORDS) + "']"
+
+#: the text_quality_score composite, as a SQL fragment over (n_chars,
+#: toks) — kept textually identical to functions/text.py's oracle.
+_SQL_QUALITY = f"""round(0.4 * least(n_chars / 400.0, 1.0)
+                 + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                 + 0.3 * (1.0 - abs(len(list_filter(toks,
+                       t -> list_contains({_SQL_STOPS}, t)))::DOUBLE
+                       / len(toks) - 0.1)), 6)"""
+
+
+def _quality_col() -> F.Column:
+    """The text_quality_score composite over (n_chars, toks) — same
+    formula as functions/text.py (weights 0.4 length / 0.3 diversity /
+    0.3 stopword-target)."""
+    toks = F.col("toks")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, t))
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_score
+        + 0.3 * diversity
+        + 0.3 * (1.0 - F.abs(n_stop / n_tokens - 0.1)),
+        6,
+    )
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    -- percentile-based quality filtering: keep documents at or above
+    -- the {QUALITY_PCT_CUT} percent_rank of quality WITHIN their
+    -- source (per-source thresholds adapt to each source's
+    -- distribution — the standard corpus-filter calibration).
+    WITH t AS (
+        SELECT doc_id, source, n_chars, {_SQL_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, {_SQL_QUALITY} AS quality FROM t
+    ),
+    r AS (
+        SELECT doc_id, source, quality,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY quality, doc_id) AS pct
+        FROM q
+    )
+    SELECT doc_id, source, quality, round(pct, 6) AS pct_rank
+    FROM r WHERE pct >= {QUALITY_PCT_CUT}
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering by per-source percentile: rank documents by
+    the text_quality_score composite within their source and keep the
+    top (1 − {QUALITY_PCT_CUT}) — per-source thresholds instead of one
+    global cut, so a clean source doesn't drown out a noisy one.
+
+    Exact percent_rank (not approx quantiles) keeps the result
+    engine-independent; the (quality, doc_id) tie-break makes ranks
+    deterministic. One shuffle on source."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", "n_chars", tokens_of(F.col("text")).alias("toks")
+    )
+    q = t.select("doc_id", "source", _quality_col().alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= QUALITY_PCT_CUT)
+        .select(
+            "doc_id", "source", "quality", F.round("pct", 6).alias("pct_rank")
+        )
+    )
+
+
+#: stand-in benchmark set: every 97th document plays the eval set.
+BENCHMARK_STRIDE = 97
+#: flag a document when it shares this many distinct shingles.
+CONTAM_MIN_SHARED = 3
+
+
+@query(
+    "corpus_contamination_flag",
+    oracle=f"""
+    -- benchmark decontamination: flag training documents sharing
+    -- >= {CONTAM_MIN_SHARED} distinct 3-gram shingles with the
+    -- benchmark set (docs with doc_id % {BENCHMARK_STRIDE} == 0).
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
+    bench AS (
+        SELECT DISTINCT unnest(hsh) AS s FROM sh
+        WHERE doc_id % {BENCHMARK_STRIDE} = 0
+    ),
+    train AS (
+        SELECT doc_id, len(hsh) AS n_shingles, unnest(hsh) AS s FROM sh
+        WHERE doc_id % {BENCHMARK_STRIDE} != 0
+    ),
+    hits AS (
+        SELECT t.doc_id, t.n_shingles, count(*) AS n_shared
+        FROM train t JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id, t.n_shingles
+    )
+    SELECT doc_id, n_shared::BIGINT AS n_shared,
+           round(n_shared::DOUBLE / n_shingles, 6) AS overlap_frac,
+           n_shared >= {CONTAM_MIN_SHARED} AS contaminated
+    FROM hits
+    """,
+)
+def corpus_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the check every pre-training corpus
+    runs before shipping: flag training documents whose 3-gram shingle
+    sets overlap an evaluation benchmark. The fixture benchmark is the
+    doc_id % {BENCHMARK_STRIDE} stride; in production it is the real
+    eval suites.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus → broadcast inner join on the 60-bit shingle hash; the only
+    shuffle is the per-document hit count. Documents with zero overlap
+    never leave the join — output is hits only (the decontamination
+    worklist), not corpus-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
+    bench = (
+        sh.filter(is_bench)
+        .select(F.explode("hsh").alias("s"))
+        .distinct()
+    )
+    train = sh.filter(~is_bench).select(
+        "doc_id", F.size("hsh").alias("n_shingles"), F.explode("hsh").alias("s")
+    )
+    hits = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_shingles"), 6).alias(
+            "overlap_frac"
+        ),
+        (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
+    )

@@ -31,6 +31,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.incremental",
     "lake_satellite_image_etl_spark.operators.windows",
     "lake_satellite_image_etl_spark.operators.dedup",
+    "lake_satellite_image_etl_spark.operators.corpus",
     "lake_satellite_image_etl_spark.operators.similarity",
     "lake_satellite_image_etl_spark.operators.geometry",
     "lake_satellite_image_etl_spark.operators.sampling",
@@ -134,6 +135,9 @@ _PRIORITY = (
     # ---- first 50 end here -------------------------------------------
     "dedup_embedding_cosine_lsh",
     "pipeline_corpus_dedup",
+    "corpus_pack_sequences",
+    "corpus_quality_filter",
+    "corpus_contamination_flag",
     "topk_global",
     "topk_per_group",
     "agg_collect_array",
