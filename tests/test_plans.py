@@ -117,10 +117,40 @@ def test_text_queries_are_single_stage_scans(spark):
     (scan → project only) — they run at scan speed at any scale."""
     from lake_satellite_image_etl_spark.functions.text import (
         text_fingerprint,
+        text_profile,
         text_quality_score,
         text_tokenize_count,
     )
 
-    for fn in (text_tokenize_count, text_quality_score, text_fingerprint):
+    for fn in (
+        text_tokenize_count,
+        text_quality_score,
+        text_fingerprint,
+        text_profile,
+    ):
         plan = _plan(fn(spark, SF_SMOKE))
         assert "Exchange" not in plan, fn.__name__
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — the corpus side never
+    shuffles for the join, only for the per-doc hit count."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_contamination_flag,
+    )
+
+    plan = _plan(corpus_contamination_flag(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jdbc_scan_pushes_filter_to_remote(spark):
+    """The S1 gate entry's acctbal predicate must be pushed into the
+    remote SQL (PushedFilters on the JDBC relation), and the scan must
+    be split into parallel range partitions."""
+    from lake_satellite_image_etl_spark.plans.ingest_entries import jdbc_scan
+
+    df = jdbc_scan(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "c_acctbal" in plan
+    assert df.rdd.getNumPartitions() == 8
