@@ -19,8 +19,10 @@ row-unique column) so plans stay replayable and oracle-checkable —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.registry import query
 
 
 def salted_join(
@@ -60,3 +62,41 @@ def salted_join(
     )
     out = salted_fact.join(salted_dim, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    -- the salted join must be RESULT-IDENTICAL to the plain join —
+    -- salting only changes the shuffle key distribution.
+    SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey,
+           s.s_name, s.s_nationkey
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_quantity < 5
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate entry for the skew technique: a deterministic
+    salted fact⋈dim join whose oracle is the PLAIN join — proving the
+    rewrite is a pure physical transformation (the hot key is split
+    across n_salt reducers; the result set is untouched).
+
+    The salt derives from xxhash64 of a row-unique key, so retries and
+    the oracle comparison are stable."""
+    from lake_satellite_image_etl_spark.io import read_table
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 5)
+        .withColumn(
+            "_rid",
+            F.col("l_orderkey") * 8 + F.col("l_linenumber"),
+        )
+    )
+    dim = read_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    joined = salted_join(li, dim, "l_suppkey", row_id="_rid", n_salt=8)
+    return joined.select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_nationkey"
+    )

@@ -124,3 +124,70 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(scratch, "ckpt")
     run_available_now(spark, src, out, ckpt, lookback=STREAM_GATE_LOOKBACK)
     return spark.read.parquet(out).select("user_id", "event_type").distinct()
+
+
+@query(
+    "stream_sessionize_batch",
+    oracle="""
+    -- running per-user session totals after draining the stream: the
+    -- stateful operator's final state equals batch sessionization
+    -- (30-min gap, microsecond-exact comparison).
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events,
+           sum(is_start)::BIGINT AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: the
+    ``applyInPandasWithState`` sessionizer (streaming/stateful.py)
+    drained with Trigger.AvailableNow into a memory sink, returning
+    each user's final (n_events, n_sessions).
+
+    The oracle is the batch sessionization identity: the stateful
+    fold's final state per user equals the lag/cumsum session count
+    over the same events — tie timestamps land in one session in both
+    forms, so the result is deterministic regardless of intra-batch
+    order. Update-mode emits a running row per user per micro-batch;
+    the max-aggregate keeps the final (monotone) totals if the source
+    splits into several batches."""
+    import uuid
+
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        read_events_stream,
+    )
+    from lake_satellite_image_etl_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    sink = f"sessionize_{uuid.uuid4().hex[:12]}"
+    q = (
+        sessionize_stateful(
+            read_events_stream(spark, src).select("user_id", "ts")
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
+    )

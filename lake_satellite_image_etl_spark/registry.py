@@ -32,6 +32,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.windows",
     "lake_satellite_image_etl_spark.operators.dedup",
     "lake_satellite_image_etl_spark.operators.corpus",
+    "lake_satellite_image_etl_spark.operators.skew",
     "lake_satellite_image_etl_spark.operators.similarity",
     "lake_satellite_image_etl_spark.operators.geometry",
     "lake_satellite_image_etl_spark.operators.sampling",
@@ -138,6 +139,8 @@ _PRIORITY = (
     "corpus_pack_sequences",
     "corpus_quality_filter",
     "corpus_contamination_flag",
+    "stream_sessionize_batch",
+    "skew_salted_join",
     "topk_global",
     "topk_per_group",
     "agg_collect_array",
