@@ -17,13 +17,15 @@ Both entries produce deterministic, oracle-checkable output:
 
 Each call stages into a fresh temp directory (the driver may invoke a
 query more than once); Derby keeps the database open for the lazy
-DataFrame's lifetime, so directories are cleaned at process exit, not
-eagerly.
+DataFrame's lifetime, so directories are cleaned at process exit (an
+``atexit`` rmtree per scratch dir), not eagerly.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +47,16 @@ JDBC_MIN_ACCTBAL = 1000.0
 STREAM_GATE_LOOKBACK = "90 days"
 
 
+def _scratch(prefix: str) -> str:
+    """A per-call temp dir, removed at interpreter exit — safe with
+    Derby (which holds the database open for the lazy DataFrame's
+    lifetime) and with re-invocation, while guaranteeing no permanent
+    leak when the driver calls an entry many times."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @query(
     "jdbc_scan",
     oracle=f"""
@@ -64,7 +76,7 @@ def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_jdbc.py), and ``partitionColumn`` bounds split the scan
     into parallel range queries. Values round-trip bit-exactly (BIGINT/
     DOUBLE/VARCHAR), so the result equals the parquet-side oracle."""
-    db_dir = os.path.join(tempfile.mkdtemp(prefix="jdbc_scan_"), "derbydb")
+    db_dir = os.path.join(_scratch("jdbc_scan_"), "derbydb")
     url = f"jdbc:derby:{db_dir};create=true"
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
@@ -112,7 +124,7 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now,
     )
 
-    scratch = tempfile.mkdtemp(prefix="stream_dedup_")
+    scratch = _scratch("stream_dedup_")
     src = os.path.join(scratch, "src")
     os.makedirs(src, exist_ok=True)
     # the file streaming source wants a directory — stage the fixture
@@ -123,7 +135,12 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "ckpt")
     run_available_now(spark, src, out, ckpt, lookback=STREAM_GATE_LOOKBACK)
-    return spark.read.parquet(out).select("user_id", "event_type").distinct()
+    # NO trailing distinct: dropDuplicatesWithinWatermark already makes
+    # the landed PK set distinct (horizon covers the fixture span), and
+    # the gate must verify that property — a distinct here would mask
+    # silently-landed duplicates (ADVICE r3). The run-twice/dup-count
+    # assertion lives in tests/test_streaming.py as well.
+    return spark.read.parquet(out).select("user_id", "event_type")
 
 
 @query(
@@ -167,7 +184,7 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessionize_stateful,
     )
 
-    scratch = tempfile.mkdtemp(prefix="stream_sess_")
+    scratch = _scratch("stream_sess_")
     src = os.path.join(scratch, "src")
     os.makedirs(src, exist_ok=True)
     os.symlink(
