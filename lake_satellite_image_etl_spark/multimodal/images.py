@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import struct
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -210,8 +211,9 @@ def _ensure_blob_files() -> str:
         p = os.path.join(_BLOB_DIR, f"blob_{i}.fimg")
         if not os.path.exists(p):
             # write-then-rename: atomic even if a concurrent harness
-            # thread races this idempotent setup
-            tmp = f"{p}.tmp.{os.getpid()}"
+            # thread races this idempotent setup (uuid, not pid — two
+            # threads in one process share a pid)
+            tmp = f"{p}.tmp.{uuid.uuid4().hex}"
             with open(tmp, "wb") as f:
                 f.write(synth_fimg(i, width=8, height=8))
             os.replace(tmp, p)

@@ -1,6 +1,8 @@
-"""Driver-gate entries for the two sources the correctness gate could
-not previously see: the JDBC scan (S1, reference main.py:467-486) and
-the Structured-Streaming AvailableNow ingest (T1, template.yml:36).
+"""Driver-gate entries for the runtime surfaces the correctness gate
+could not previously see: the JDBC scan (S1, reference
+main.py:467-486), the Structured-Streaming AvailableNow ingest (T1,
+template.yml:36), and the binary artifact sink (K2,
+main.py:311-325).
 
 Both entries produce deterministic, oracle-checkable output:
 
@@ -208,3 +210,58 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("n_sessions").alias("n_sessions"),
     )
+
+
+@query(
+    "sink_artifact_manifest",
+    oracle="""
+    -- what the artifact store must contain after the K2 sink runs:
+    -- one blob per document under its deterministic key, sized as the
+    -- UTF-8 encoding of the text (the reference uploads {key}.tif
+    -- artifacts with deterministic keys, main.py:311-325).
+    SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.txt' AS key,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def sink_artifact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-to-end: executor-side ``foreachPartition`` artifact
+    writes (sinks.py) against a scratch object store, verified by
+    reading the store back.
+
+    Every document's text is written as one blob under the
+    deterministic key ``{source}/{doc_id}.txt`` (K3 keys make retries
+    idempotent). The returned DataFrame is NOT the input echoed back —
+    it is a filesystem walk of the landed store, (key, n_bytes), so
+    the oracle checks bytes that actually hit disk: a truncated or
+    missing blob fails the hash. The accumulator count from the write
+    pass must agree with the walk, or the entry raises.
+
+    The manifest readback is gate-scale plumbing (one row per blob on
+    the driver); a production run returns only the accumulator count —
+    at 100 TB the store IS the output, listed by the object store, not
+    collected."""
+    from lake_satellite_image_etl_spark.sinks import write_binary_artifacts
+
+    out = os.path.join(_scratch("artifact_sink_"), "store")
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("key"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    n_written = write_binary_artifacts(docs, out, "key", "data")
+    manifest = []
+    for root, _dirs, files in os.walk(out):
+        for fn in files:
+            p = os.path.join(root, fn)
+            manifest.append((os.path.relpath(p, out), os.path.getsize(p)))
+    if n_written != len(manifest):
+        raise RuntimeError(
+            f"artifact sink wrote {n_written} blobs but the store "
+            f"holds {len(manifest)} — non-atomic or lost write"
+        )
+    return spark.createDataFrame(manifest, schema="key string, n_bytes bigint")

@@ -12,6 +12,7 @@ thread pools disappear into partition parallelism.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -60,7 +61,11 @@ def write_binary_artifacts(df: DataFrame, out_dir: str, key_col: str, data_col: 
     Each blob lands ATOMICALLY (write to a task-unique tmp name, then
     ``os.replace`` onto the key): a killed task or concurrent reader
     can never observe a truncated blob, and a speculative duplicate
-    task just re-replaces the same bytes. The returned count comes
+    task just re-replaces the same bytes. The tmp name carries a
+    per-call uuid, not just the pid — concurrent task THREADS in one
+    executor share a pid, and two speculative attempts on the same key
+    must never interleave into one tmp file (ADVICE r3). The returned
+    count comes
     from an accumulator incremented in the same pass — counting with a
     second action would re-execute the entire upstream lineage
     (ADVICE r2) and could disagree with what was written."""
@@ -73,7 +78,7 @@ def write_binary_artifacts(df: DataFrame, out_dir: str, key_col: str, data_col: 
             key = row[key_col]
             path = os.path.join(out_dir, key)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = f"{path}.tmp.{os.getpid()}"
+            tmp = f"{path}.tmp.{uuid.uuid4().hex}"
             with open(tmp, "wb") as f:
                 f.write(bytes(row[data_col]))
             os.replace(tmp, path)
