@@ -668,9 +668,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_vec > EMBEDDING_BROADCAST_CAP:
         raise ValueError(
             f"dedup_embedding_cosine: {n_vec} vectors exceed the "
-            f"broadcast cap ({EMBEDDING_BROADCAST_CAP}); route "
-            "candidates through operators/similarity.py's LSH/IVF "
-            "buckets instead of the all-pairs exact baseline"
+            f"broadcast cap ({EMBEDDING_BROADCAST_CAP}); use the "
+            "banded-LSH scale path (dedup_embedding_cosine_lsh, "
+            "8 bands × 8 sign bits — no collect, no all-pairs) "
+            "instead of the exact baseline"
         )
     rows = q.collect()  # candidate matrix: guarded above, broadcast below
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -704,34 +705,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cos_sim"))
 
 
-#: hyperplane-sign banding for the LSH dedup path: 8 sign bits split
-#: into 4 bands of 2; candidates agree on ANY band. At the loose
-#: fixture threshold (cos 0.4 ⇒ per-sign agreement ~0.64) all-8-sign
-#: agreement has ~3% recall — banding lifts it to ~0.87. At production
-#: near-dup thresholds (cos ≥ 0.9 ⇒ per-sign ~0.86) wider bands over
-#: more total planes give both recall AND selectivity; the band
-#: geometry is the tuning knob, the plan shape is identical.
-LSH_DEDUP_BAND_BITS = 2
+#: Hyperplane-sign banding for the LSH dedup path: 64 sign bits split
+#: into 8 bands of 8; candidates agree on ANY band. Production-shaped
+#: geometry (ADVICE r3): wide bands make band agreement SELECTIVE —
+#: two random vectors share an 8-bit band with p≈(1/2)⁸, any-of-8
+#: ≈3%, vs ~68% under the old 4-bands-of-2 geometry whose 16 buckets
+#: re-created the quadratic pair space at exactly the >100 K scale
+#: this path exists for. Recall follows the S-curve
+#: 1-(1-p_sign^8)^8: ≈0.93 at production near-dup thresholds
+#: (cos ≥ 0.9 ⇒ p_sign ≈ 0.86), low (~0.2) at the fixture's loose
+#: cos 0.4 — banding trades recall at low similarity for candidate
+#: selectivity, which is the right trade for near-DUP detection. The
+#: gate still compares exactly: both engines share the identical
+#: 64-plane matrix, so the candidate set (and its misses) is
+#: deterministic and mirrored in the oracle.
+LSH_DEDUP_N_PLANES = 64
+LSH_DEDUP_BAND_BITS = 8
+LSH_DEDUP_N_BANDS = LSH_DEDUP_N_PLANES // LSH_DEDUP_BAND_BITS
+
+_DEDUP_PLANES: list[list[int]] | None = None
+
+
+def _dedup_planes() -> list[list[int]]:
+    """64×DIM integer hyperplane matrix from similarity.py's public
+    md5 recipe, extended past its 8 planes (rows 0-7 are identical to
+    similarity.PLANES — one shared derivation, two geometries). Built
+    lazily so dedup.py's import doesn't bind similarity.py's module
+    constants at import time."""
+    global _DEDUP_PLANES
+    if _DEDUP_PLANES is None:
+        from lake_satellite_image_etl_spark.operators.similarity import (
+            DIM,
+            _plane_weight,
+        )
+
+        _DEDUP_PLANES = [
+            [_plane_weight(p, d) for d in range(DIM)]
+            for p in range(LSH_DEDUP_N_PLANES)
+        ]
+    return _DEDUP_PLANES
+
+
+def _dedup_band_keys_expr(qv) -> F.Column:
+    """array<long> of 8 band keys; key b packs the sign bits of
+    planes [8b, 8b+8). Plane rows are constant literal arrays —
+    data-independent, folded at plan time."""
+    planes = _dedup_planes()
+    keys = []
+    for b in range(LSH_DEDUP_N_BANDS):
+        rows = planes[b * LSH_DEDUP_BAND_BITS : (b + 1) * LSH_DEDUP_BAND_BITS]
+        key = F.lit(0).cast("long")
+        for i, row in enumerate(rows):
+            proj = F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(w).cast("long") for w in row]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        keys.append(key)
+    return F.array(*keys)
 
 
 def _lsh_dedup_oracle() -> str:
-    # built lazily so dedup.py's import doesn't circularly bind
-    # similarity.py's module constants at import time
-    from lake_satellite_image_etl_spark.operators.similarity import (
-        _SQL_BUCKET,
-        N_PLANES,
+    planes = _dedup_planes()
+    sql_planes = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(w) for w in row) + "]" for row in planes
+        )
+        + "]"
     )
-
-    n_bands = N_PLANES // LSH_DEDUP_BAND_BITS
-    mask = (1 << LSH_DEDUP_BAND_BITS) - 1
+    dim = len(planes[0])
+    # The 64×64 plane literal is unnested ONCE into (p, d, w) rows and
+    # the 64 projections per vector come from a join + groupBy — the
+    # nested list_transform form re-built the 4096-element literal per
+    # element and timed out. Plane/dim indices are 1-based here.
     return f"""
     WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
-    bkt AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm, {_SQL_BUCKET} AS bucket
-            FROM q),
+    bkt AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm FROM q),
+    pl AS (SELECT {sql_planes} AS m),
+    prow AS (SELECT p, m[p] AS row
+             FROM pl, unnest(generate_series(1, {LSH_DEDUP_N_PLANES})) AS u(p)),
+    pw AS (SELECT p, d, row[d] AS w
+           FROM prow, unnest(generate_series(1, {dim})) AS v(d)),
+    proj AS (
+        SELECT b.vec_id, pw.p, sum(b.qv[pw.d] * pw.w) AS pr
+        FROM bkt b CROSS JOIN pw
+        GROUP BY b.vec_id, pw.p
+    ),
     bands AS (
-        SELECT vec_id, band,
-               (bucket >> (band * {LSH_DEDUP_BAND_BITS})) & {mask} AS band_key
-        FROM bkt, unnest(generate_series(0, {n_bands - 1})) AS u(band)
+        SELECT vec_id,
+               (p - 1) // {LSH_DEDUP_BAND_BITS} AS band,
+               sum(CASE WHEN pr >= 0
+                        THEN (1::BIGINT << ((p - 1) % {LSH_DEDUP_BAND_BITS}))
+                        ELSE 0::BIGINT END)::BIGINT AS band_key
+        FROM proj GROUP BY vec_id, band
     ),
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
@@ -752,12 +826,12 @@ def _lsh_dedup_oracle() -> str:
 
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, SCALE path: candidates come from a
-    banded sign-random-projection LSH equi-join (the 8 deterministic
-    hyperplanes shared with similarity_lsh_bucketed, split into 4
-    bands of {LSH_DEDUP_BAND_BITS} sign bits; a pair is a candidate if
-    it agrees on ANY band — the MinHash-LSH banding trick applied to
-    hyperplane signs) — NO driver collect, NO all-pairs. This is the
-    route past EMBEDDING_BROADCAST_CAP that the exact baseline
+    banded sign-random-projection LSH equi-join (64 deterministic
+    hyperplanes — similarity.py's md5 recipe extended — split into 8
+    bands of 8 sign bits; a pair is a candidate if it agrees on ANY
+    band, the MinHash-LSH banding trick applied to hyperplane signs)
+    — NO driver collect, NO all-pairs. This is the route past
+    EMBEDDING_BROADCAST_CAP that the exact baseline
     (dedup_embedding_cosine above) refuses.
 
     Plan shape: the band self-join carries ONLY (vec_id, band,
@@ -765,42 +839,33 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetch their two vectors via equi-joins against the vector table
     for the exact int64 cosine verify (candidate→verify, the same
     shape as dedup_ngram_jaccard's PPJoin stage). Shuffle volume is
-    |bands|·ids + |candidates|·2 vectors, not |pairs|·2 vectors.
+    |bands|·ids + |candidates|·2 vectors, not |pairs|·2 vectors — and
+    with 8-bit bands the candidate set stays ~3% of the pair space
+    for unrelated vectors (the 4×2-bit geometry this replaces had 16
+    buckets and emitted ~68% of all pairs; ADVICE r3).
 
-    Recall is probabilistic (≈0.87 at the fixture threshold — see
-    LSH_DEDUP_BAND_BITS); both engines share the identical plane
-    matrix, so the oracle gate compares the result exactly, including
-    the miss set."""
+    Recall is probabilistic and threshold-dependent (≈0.93 at
+    production cos ≥ 0.9; low at the fixture's deliberately loose
+    0.4 — see LSH_DEDUP_N_PLANES); both engines share the identical
+    plane matrix, so the oracle gate compares the result exactly,
+    including the miss set."""
     from lake_satellite_image_etl_spark.functions.vectors import (
         dot_long,
         norm,
     )
-    from lake_satellite_image_etl_spark.operators.similarity import (
-        _bucket_expr,
-        N_PLANES,
-    )
 
-    n_bands = N_PLANES // LSH_DEDUP_BAND_BITS
-    mask = (1 << LSH_DEDUP_BAND_BITS) - 1
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
     bkt = q.select(
         "vec_id",
         "qv",
         norm(F.col("qv")).alias("nrm"),
-        _bucket_expr(F.col("qv")).alias("bucket"),
     )
     bands = bkt.select(
         "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("bucket", band * LSH_DEDUP_BAND_BITS)
-                    .bitwiseAND(F.lit(mask))
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(_dedup_band_keys_expr(F.col("qv"))).alias(
+            "band", "band_key"
+        ),
     )
     cand = (
         bands.select(F.col("vec_id").alias("vec_a"), "band", "band_key")

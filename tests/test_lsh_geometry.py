@@ -1,0 +1,57 @@
+"""Band-geometry regression for the embedding-LSH dedup scale path
+(ADVICE r3): the old 4-bands-of-2-bits layout had only 16
+(band, band_key) buckets, so ~68% of ALL pairs collided on some band
+— a quadratic candidate set at exactly the >100 K-vector scale the
+path exists for. The 8-bands-of-8-bits layout must keep the candidate
+fraction small. Checked in numpy against the real fixture so the
+assertion is about the geometry, not the Spark plan (which
+tests/test_plans.py covers)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from lake_satellite_image_etl_spark.functions.vectors import QUANT
+from lake_satellite_image_etl_spark.operators.dedup import (
+    LSH_DEDUP_BAND_BITS,
+    LSH_DEDUP_N_BANDS,
+    LSH_DEDUP_N_PLANES,
+    _dedup_planes,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _band_keys(qv: np.ndarray) -> np.ndarray:
+    """(n, n_bands) int band keys — numpy mirror of
+    _dedup_band_keys_expr / the DuckDB oracle's bands CTE."""
+    planes = np.array(_dedup_planes(), dtype=np.int64)  # (64, dim)
+    bits = (qv @ planes.T >= 0).astype(np.int64)  # (n, 64)
+    weights = 1 << (np.arange(LSH_DEDUP_N_PLANES) % LSH_DEDUP_BAND_BITS)
+    keys = (bits * weights).reshape(len(qv), LSH_DEDUP_N_BANDS, LSH_DEDUP_BAND_BITS)
+    return keys.sum(axis=2)
+
+
+def test_planes_extend_similarity_matrix():
+    from lake_satellite_image_etl_spark.operators.similarity import PLANES
+
+    assert _dedup_planes()[: len(PLANES)] == PLANES
+    assert len(_dedup_planes()) == LSH_DEDUP_N_PLANES
+
+
+def test_band_collision_fraction_is_selective():
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    qv = np.round(np.array(tbl["embedding"].to_pylist(), dtype=np.float64) * QUANT)
+    keys = _band_keys(qv.astype(np.int64))
+    n = len(keys)
+    collide = np.zeros((n, n), dtype=bool)
+    for b in range(LSH_DEDUP_N_BANDS):
+        col = keys[:, b]
+        collide |= col[:, None] == col[None, :]
+    iu = np.triu_indices(n, k=1)
+    frac = collide[iu].mean()
+    # real fixture data is correlated, so allow slack over the random
+    # ~3% bound — but the broken 16-bucket geometry sat at ~0.68, and
+    # anything in that regime is a quadratic candidate set.
+    assert frac < 0.15, f"band collision fraction {frac:.3f} — geometry too coarse"
