@@ -154,3 +154,40 @@ def test_jdbc_scan_pushes_filter_to_remote(spark):
     plan = _plan(df)
     assert "PushedFilters" in plan and "c_acctbal" in plan
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_pack_sequences_parallelism_exceeds_sources(spark):
+    """The packing cumsum must partition by (source, shard), never by
+    source alone — one source must never serialize into one window
+    task (VERDICT r3). Asserted two ways: the window exchange hashes
+    both keys, and the realized (source, shard) group count exceeds
+    the source count."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_pack_sequences,
+    )
+
+    df = corpus_pack_sequences(spark, SF_SMOKE)
+    plan = _plan(df)
+    win = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert win and all("shard" in ln for ln in win), plan
+    groups = df.select("source", "shard").distinct().count()
+    sources = df.select("source").distinct().count()
+    assert groups > sources
+
+
+def test_quality_filter_has_no_per_source_document_sort(spark):
+    """The exact percent_rank must come from the decomposed form: the
+    document-carrying window partitions by (source, quality) — fully
+    parallel — and only the bounded (source, quality) COUNT table gets
+    a per-source running-sum window. No window over the raw documents
+    may partition by source alone."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_quality_filter,
+    )
+
+    plan = _plan(corpus_quality_filter(spark, SF_SMOKE))
+    # row_number windows (the per-document pass) must carry quality in
+    # the partition spec; the source-only window is the running sum
+    # over the aggregated count table, which sits above a HashAggregate
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines and all("quality" in ln for ln in rn_lines), plan
