@@ -569,6 +569,20 @@ def label_propagate_components(edges: DataFrame) -> DataFrame:
         )
         if changed == 0:
             break
+    else:
+        # the cap is a runaway backstop, not an expected exit: a real
+        # component graph converges in O(diameter) rounds. Exiting
+        # here means labels are PARTIAL (split cluster ids) — make
+        # that observable instead of silently returning (ADVICE r3).
+        import warnings
+
+        warnings.warn(
+            f"label_propagate_components: round cap "
+            f"({CLUSTER_MAX_ROUNDS}) exhausted with {changed} labels "
+            "still changing — component ids are not converged",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -35,3 +35,22 @@ def test_two_components_and_reversed_chain(spark):
     pairs = [(12, 11), (11, 10), (10, 9)] + [(20, 21), (21, 22)]
     labels = _components(spark, pairs)
     assert labels == {9: 9, 10: 9, 11: 9, 12: 9, 20: 20, 21: 20, 22: 20}
+
+
+def test_round_cap_exhaustion_warns(spark, monkeypatch):
+    """Exiting via CLUSTER_MAX_ROUNDS with labels still moving must be
+    observable, not silent (ADVICE r3): cap a diameter-6 chain at 2
+    rounds and expect the non-convergence RuntimeWarning."""
+    import warnings
+
+    from lake_satellite_image_etl_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "CLUSTER_MAX_ROUNDS", 2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _components(spark, [(i, i + 1) for i in range(1, 7)])
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "not converged" in str(w.message)
+        for w in caught
+    )
