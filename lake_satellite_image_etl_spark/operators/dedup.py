@@ -733,41 +733,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gate still compares exactly: both engines share the identical
 #: 64-plane matrix, so the candidate set (and its misses) is
 #: deterministic and mirrored in the oracle.
+#:
+#: BAND_BITS is a log₂(n) knob, not a universal constant: a band has
+#: 2^band_bits keys, so uniform bucket occupancy is n / 2^band_bits
+#: and the candidate count is ~n · occupancy · n_bands / 2. 8 bits
+#: (256 keys) is sized for the ≤~100 K gate regime; at 120 K vectors
+#: occupancy is already ~470 (→ ~2·10⁸ candidates), and at 10⁸
+#: vectors you want ~27-bit bands. embedding_cosine_lsh_pairs takes
+#: (n_planes, band_bits) so callers size the geometry to their n —
+#: tools/scale_smoke.py drives the 120 K run with 8 bands × 16 bits.
 LSH_DEDUP_N_PLANES = 64
 LSH_DEDUP_BAND_BITS = 8
 LSH_DEDUP_N_BANDS = LSH_DEDUP_N_PLANES // LSH_DEDUP_BAND_BITS
 
-_DEDUP_PLANES: list[list[int]] | None = None
+_DEDUP_PLANES: dict[int, list[list[int]]] = {}
 
 
-def _dedup_planes() -> list[list[int]]:
-    """64×DIM integer hyperplane matrix from similarity.py's public
-    md5 recipe, extended past its 8 planes (rows 0-7 are identical to
-    similarity.PLANES — one shared derivation, two geometries). Built
-    lazily so dedup.py's import doesn't bind similarity.py's module
-    constants at import time."""
-    global _DEDUP_PLANES
-    if _DEDUP_PLANES is None:
+def _dedup_planes(n_planes: int = LSH_DEDUP_N_PLANES) -> list[list[int]]:
+    """n_planes×DIM integer hyperplane matrix from similarity.py's
+    public md5 recipe, extended past its 8 planes (rows 0-7 are
+    identical to similarity.PLANES — one shared derivation, any
+    geometry). Built lazily so dedup.py's import doesn't bind
+    similarity.py's module constants at import time."""
+    if n_planes not in _DEDUP_PLANES:
         from lake_satellite_image_etl_spark.operators.similarity import (
             DIM,
             _plane_weight,
         )
 
-        _DEDUP_PLANES = [
+        _DEDUP_PLANES[n_planes] = [
             [_plane_weight(p, d) for d in range(DIM)]
-            for p in range(LSH_DEDUP_N_PLANES)
+            for p in range(n_planes)
         ]
-    return _DEDUP_PLANES
+    return _DEDUP_PLANES[n_planes]
 
 
-def _dedup_band_keys_expr(qv) -> F.Column:
-    """array<long> of 8 band keys; key b packs the sign bits of
-    planes [8b, 8b+8). Plane rows are constant literal arrays —
-    data-independent, folded at plan time."""
-    planes = _dedup_planes()
+def _dedup_band_keys_expr(
+    qv,
+    n_planes: int = LSH_DEDUP_N_PLANES,
+    band_bits: int = LSH_DEDUP_BAND_BITS,
+) -> F.Column:
+    """array<long> of n_planes/band_bits band keys; key b packs the
+    sign bits of planes [b·band_bits, (b+1)·band_bits). Plane rows are
+    constant literal arrays — data-independent, folded at plan time."""
+    planes = _dedup_planes(n_planes)
     keys = []
-    for b in range(LSH_DEDUP_N_BANDS):
-        rows = planes[b * LSH_DEDUP_BAND_BITS : (b + 1) * LSH_DEDUP_BAND_BITS]
+    for b in range(n_planes // band_bits):
+        rows = planes[b * band_bits : (b + 1) * band_bits]
         key = F.lit(0).cast("long")
         for i, row in enumerate(rows):
             proj = F.aggregate(
@@ -784,6 +796,67 @@ def _dedup_band_keys_expr(qv) -> F.Column:
             )
         keys.append(key)
     return F.array(*keys)
+
+
+def embedding_cosine_lsh_pairs(
+    emb: DataFrame,
+    n_planes: int = LSH_DEDUP_N_PLANES,
+    band_bits: int = LSH_DEDUP_BAND_BITS,
+    threshold: float = COSINE_DUP_THRESHOLD,
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs over an (vec_id, embedding)
+    DataFrame — the parameterized kernel behind
+    dedup_embedding_cosine_lsh. Size band_bits ≈ log₂(n /
+    target_occupancy) for your n (see the geometry note above); the
+    registered entry pins (64, 8) because its DuckDB oracle mirrors
+    that matrix exactly."""
+    from lake_satellite_image_etl_spark.functions.vectors import (
+        dot_long,
+        norm,
+    )
+
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    bkt = q.select(
+        "vec_id",
+        "qv",
+        norm(F.col("qv")).alias("nrm"),
+    )
+    bands = bkt.select(
+        "vec_id",
+        F.posexplode(
+            _dedup_band_keys_expr(F.col("qv"), n_planes, band_bits)
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        bands.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
+        .join(
+            bands.select(F.col("vec_id").alias("vec_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = bkt.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vc = bkt.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = dot_long(F.col("qv_a"), F.col("qv_b")).cast("double") / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vc, "vec_b")
+        .withColumn("cos_exact", cos)
+        .filter(F.col("cos_exact") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cos_sim"))
+    )
 
 
 def _lsh_dedup_oracle() -> str:
@@ -863,54 +936,7 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.4 — see LSH_DEDUP_N_PLANES); both engines share the identical
     plane matrix, so the oracle gate compares the result exactly,
     including the miss set."""
-    from lake_satellite_image_etl_spark.functions.vectors import (
-        dot_long,
-        norm,
-    )
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    bkt = q.select(
-        "vec_id",
-        "qv",
-        norm(F.col("qv")).alias("nrm"),
-    )
-    bands = bkt.select(
-        "vec_id",
-        F.posexplode(_dedup_band_keys_expr(F.col("qv"))).alias(
-            "band", "band_key"
-        ),
-    )
-    cand = (
-        bands.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
-        .join(
-            bands.select(F.col("vec_id").alias("vec_b"), "band", "band_key"),
-            ["band", "band_key"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = bkt.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qv_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    vc = bkt.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qv_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = dot_long(F.col("qv_a"), F.col("qv_b")).cast("double") / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
-    return (
-        cand.join(va, "vec_a")
-        .join(vc, "vec_b")
-        .withColumn("cos_exact", cos)
-        .filter(F.col("cos_exact") >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos_exact", 6).alias("cos_sim"))
-    )
+    return embedding_cosine_lsh_pairs(read_table(spark, sf_dir, "embeddings"))
 
 
 query("dedup_embedding_cosine_lsh", oracle=_lsh_dedup_oracle())(

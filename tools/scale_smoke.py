@@ -1,0 +1,142 @@
+"""Scale smoke for the dedup/similarity block (VERDICT r3 item 5):
+run the headline LLM-pipeline queries against the ~10×-documents /
+60×-embeddings fixture (tools/gen_scale_fixture.py; 50 K docs, 120 K
+vectors) and compare wall time against sf0.1 in the same JVM.
+
+What it checks, beyond "finishes":
+
+1. EMBEDDING_BROADCAST_CAP must TRIP — dedup_embedding_cosine refuses
+   120 K vectors with a ValueError naming the LSH route. The first
+   empirical (not plan-shape) proof the engine never driver-collects
+   past the cap.
+2. The parameterized LSH geometry must carry the load the registered
+   8-bit one can't: at 120 K vectors 8-bit bands have ~470 occupancy
+   (~2·10⁸ candidates), so the smoke drives embedding_cosine_lsh_pairs
+   at 8 bands × 16 bits (65 536 keys/band, occupancy ≈ 2) — the
+   log₂(n) sizing the kernel docstring prescribes.
+3. Document-side operators should scale ≲ linearly (10× rows): each
+   query's ratio is printed against the row ratio. Similarity queries
+   are normalized per query-vector — the fixed vec_id % 53 workload
+   grows the query set 60× alongside the corpus, so raw wall time
+   scales ~n²/53 BY WORKLOAD DESIGN; cost per query is the
+   scale-relevant number.
+
+Usage: python tools/scale_smoke.py [--regen]
+Prints one JSON line; paste the table into COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+SCALE_DIR = "/root/repo/.scratch/sfscale"
+BASE_DIR = "/root/testdata/sf0.1"
+
+#: registered document-side queries: row ratio = 10×
+DOC_QUERIES = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "text_profile",
+    "text_tfidf_top_terms",
+]
+#: registered embedding-side queries: vectors 60×, queries 60× →
+#: compare per-query, not raw
+SIM_QUERIES = ["similarity_ivf_probe", "similarity_lsh_bucketed"]
+
+
+def _timed(fn, spark, sf_dir):
+    df = fn(spark, sf_dir)
+    df.limit(1).collect()  # warm: plan + scan setup
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    if "--regen" in sys.argv or not os.path.exists(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    ):
+        from tools.gen_scale_fixture import main as gen
+
+        gen()
+
+    from lake_satellite_image_etl_spark import registry
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        embedding_cosine_lsh_pairs,
+    )
+    from lake_satellite_image_etl_spark.session import get_spark
+
+    queries, _ = registry.load_all()
+    spark = get_spark(app_name="scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict[str, object] = {}
+
+    # 1. the broadcast guard must trip at 120 K vectors
+    try:
+        dedup_embedding_cosine(spark, SCALE_DIR).limit(1).collect()
+        report["broadcast_guard"] = "FAIL: exact baseline accepted 120K vectors"
+        guard_ok = False
+    except ValueError as e:
+        assert "dedup_embedding_cosine_lsh" in str(e)
+        report["broadcast_guard"] = "tripped (ValueError names the LSH route)"
+        guard_ok = True
+
+    # 2. the log2(n)-sized LSH geometry carries the 120 K load
+    t0 = time.perf_counter()
+    n_pairs = (
+        embedding_cosine_lsh_pairs(
+            spark.read.parquet(os.path.join(SCALE_DIR, "embeddings.parquet")),
+            n_planes=128,
+            band_bits=16,
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    lsh_scale_sec = round(time.perf_counter() - t0, 2)
+    report["lsh_128p_16b_120k"] = {"sec": lsh_scale_sec}
+
+    # 3. per-query timings, scale vs sf0.1
+    table: dict[str, dict[str, float]] = {}
+    for name in DOC_QUERIES + SIM_QUERIES:
+        fn = queries[name]
+        base = _timed(fn, spark, BASE_DIR)
+        scale = _timed(fn, spark, SCALE_DIR)
+        entry = {"sf0.1_sec": base, "sfscale_sec": scale}
+        if name in DOC_QUERIES:
+            entry["ratio"] = round(scale / base, 1) if base else float("nan")
+            entry["row_ratio"] = 10.0
+        else:
+            # normalize by query-vector count (vec_id % 53): 38 at
+            # sf0.1 (2 000 vecs), 2 265 at scale (120 000)
+            entry["per_query_ms"] = {
+                "sf0.1": round(base / (2000 // 53 + 1) * 1000, 1),
+                "sfscale": round(scale / (120000 // 53 + 1) * 1000, 1),
+            }
+        table[name] = entry
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
+    report["queries"] = table
+    ok = guard_ok and all(
+        (t.get("ratio") or 0) <= 20.0 for t in table.values() if "ratio" in t
+    )
+    report["linear_scaling_ok"] = ok
+    print(json.dumps(report))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
