@@ -40,17 +40,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (columnar scan, pushdown-capable).
 
-    ``events.parquet`` is written with nanosecond timestamps, which
-    Spark's vectorized parquet reader rejects; we read them as raw
-    int64 (``nanosAsLong``) and truncate to microseconds — exactly the
-    precision DuckDB keeps, so oracle comparisons stay aligned.
+    ``events.parquet`` has shipped with two ``ts`` encodings over time:
+
+    * nanosecond timestamps, which Spark's vectorized parquet reader
+      rejects — read as raw int64 (``nanosAsLong``) and truncate to
+      microseconds (the precision DuckDB keeps);
+    * microsecond timestamps without a timezone, which Spark 4 reads
+      as ``TIMESTAMP_NTZ`` — cast to ``TIMESTAMP``. The session TZ is
+      pinned to UTC (session.py), so the cast is value-preserving and
+      matches the DuckDB oracle's naive-UTC reading.
+
+    Both normalizations happen HERE, once, so every downstream
+    operator sees a plain ``TIMESTAMP`` column and ``unix_micros`` /
+    ``unix_millis`` / window functions work unchanged.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -37,18 +37,54 @@ PK = ["user_id", "event_type"]
 LOOKBACK = "30 days"
 
 
+def _events_ts_encoding(events_glob: str) -> str:
+    """Inspect the parquet footer of one matching file to learn how
+    ``ts`` is physically encoded. Returns ``"ns-long"`` (legacy
+    nanosecond fixture: must be read as int64 and truncated) or
+    ``"timestamp"`` (µs/ms timestamp, NTZ or not: read directly).
+
+    Footer-sniffing beats hard-coding because the fixture generator has
+    shipped both encodings; a streaming source's schema is fixed up
+    front, so we must pick the right one before the query starts.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    pattern = events_glob
+    if "*" not in pattern and _os.path.isdir(pattern):
+        pattern = _os.path.join(pattern, "*.parquet")
+    matches = sorted(_glob.glob(pattern)) or sorted(_glob.glob(events_glob))
+    for path in matches:
+        try:
+            field = _pq.read_schema(path).field("ts")
+        except (KeyError, OSError):
+            continue
+        return "ns-long" if str(field.type) == "timestamp[ns]" else "timestamp"
+    return "timestamp"
+
+
 def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:
-    """Streaming file source over the events parquet (nanos read as
-    long then truncated to micros, mirroring io.read_table)."""
-    nanos_schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(nanos_schema).parquet(events_glob)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """Streaming file source over the events parquet, normalized to a
+    plain ``TIMESTAMP`` ``ts`` column (mirroring io.read_table).
+
+    Legacy ns fixtures are read as raw int64 (``nanosAsLong``) and
+    truncated to micros; µs fixtures are read with ``TimestampType``
+    directly (the explicit schema overrides Spark 4's NTZ inference,
+    and the UTC session TZ makes the values oracle-exact).
+    """
+    if _events_ts_encoding(events_glob) == "ns-long":
+        nanos_schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(nanos_schema).parquet(events_glob)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_glob)
 
 
 def dedup_stream(events: DataFrame, lookback: str = LOOKBACK) -> DataFrame:

@@ -43,8 +43,13 @@ def _sessionize_group(
         last_ts, n_sessions, n_events = state.get
     else:
         last_ts, n_sessions, n_events = None, 0, 0
-    for pdf in pdfs:
-        ts = pdf["ts"].sort_values()
+    # Spark may deliver one group as several Arrow chunks, in any
+    # order; sorting each chunk independently would let a later chunk
+    # carry earlier timestamps and inflate the session count. Concat
+    # the whole group (bounded by per-user batch size), sort ONCE.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        ts = pd.concat([c["ts"] for c in chunks]).sort_values()
         # normalize to µs regardless of the pandas datetime64 unit
         micros = ts.astype("datetime64[ns]").astype("int64") // 1000
         for t in micros:

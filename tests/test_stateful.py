@@ -74,3 +74,49 @@ def test_stateful_sessionize_matches_batch(spark):
         r["user_id"]: (r["n_events"], r["n_sessions"]) for r in batch.collect()
     }
     assert streamed == expected
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold."""
+
+    def __init__(self):
+        self.exists = False
+        self._value = None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+        self.exists = True
+
+
+def test_sessionize_group_chunk_order_invariant():
+    """Spark may hand one group to the UDF as several Arrow chunks in
+    arbitrary order; the fold must sort the WHOLE group, not each chunk
+    independently (per-chunk sort inflates the session count when a
+    later chunk carries earlier timestamps)."""
+    import pandas as pd
+
+    from lake_satellite_image_etl_spark.streaming.stateful import (
+        _sessionize_group,
+    )
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    # one true session: events 1 min apart — but split across chunks
+    # so that chunk 2 is entirely EARLIER than chunk 1
+    late = pd.DataFrame({"ts": [base + pd.Timedelta(minutes=m) for m in (3, 4, 5)]})
+    early = pd.DataFrame({"ts": [base + pd.Timedelta(minutes=m) for m in (0, 1, 2)]})
+
+    state = _FakeState()
+    out = list(_sessionize_group((7,), iter([late, early]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["user_id"], row["n_events"], row["n_sessions"]) == (7, 6, 1)
+
+    # a second micro-batch 45 min later opens exactly one new session
+    later = pd.DataFrame({"ts": [base + pd.Timedelta(minutes=50)]})
+    out2 = list(_sessionize_group((7,), iter([later]), state))
+    row2 = out2[0].iloc[0]
+    assert (row2["n_events"], row2["n_sessions"]) == (7, 2)
