@@ -55,3 +55,40 @@ def test_band_collision_fraction_is_selective():
     # ~3% bound — but the broken 16-bucket geometry sat at ~0.68, and
     # anything in that regime is a quadratic candidate set.
     assert frac < 0.15, f"band collision fraction {frac:.3f} — geometry too coarse"
+
+
+def test_vectorized_band_keys_match_hof_expr(spark):
+    """The hot path computes band keys via an Arrow numpy matmul
+    (_band_keys_frame); the Catalyst HOF expression
+    (_dedup_band_keys_expr) remains the semantic spec. They must be
+    bit-identical — integer quantization makes this exact, not
+    approximate. Run on the real fixture so any divergence (dtype
+    overflow, sign convention, band packing order) shows up."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.vectors import qvec_of
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        _band_keys_frame,
+        _dedup_band_keys_expr,
+    )
+
+    q = (
+        read_table(spark, SF_DIR, "embeddings")
+        .limit(200)
+        .select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    )
+    fast = {
+        (r.vec_id, r.band): r.band_key
+        for r in _band_keys_frame(q).collect()
+    }
+    spec = {
+        (r.vec_id, r.band): r.band_key
+        for r in q.select(
+            "vec_id",
+            F.posexplode(_dedup_band_keys_expr(F.col("qv"))).alias(
+                "band", "band_key"
+            ),
+        ).collect()
+    }
+    assert fast == spec
