@@ -315,6 +315,59 @@ def simhash60(toks):
     )
 
 
+def _simhash_frame(hs: DataFrame) -> DataFrame:
+    """(doc_id, hashes array<long>) → (doc_id, simhash long): the
+    60-bit fingerprint fold as numpy per Arrow batch.
+
+    Same split as the LSH band keys (``_band_keys_frame``): the md5
+    token hashing stays JVM-side (codegen'd builtins), and only the
+    SIMHASH_BITS × |tokens| ±1 bit-sum — which as a Catalyst HOF costs
+    ~60·|tokens| interpreted evals per doc — moves to vectorized
+    integer numpy. Bit-exact twin of ``simhash60`` (kept below as the
+    semantic spec, equivalence-tested on the fixture): hashes are
+    already int64, sums are small ints, sign rule identical — so the
+    fingerprints, bands, and oracle hash are unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def fold(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            lists = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
+            lens = np.array([len(h) for h in lists], dtype=np.int64)
+            flat = (
+                np.concatenate(lists)
+                if lists
+                else np.empty(0, dtype=np.int64)
+            )
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # reduceat can't express zero-length segments, so run it
+            # over nonempty rows only (their offsets partition `flat`
+            # exactly); empty rows keep sum 0 ⇒ (0 >= 0) sets every
+            # bit — matching the HOF aggregate's empty-array fold.
+            sums = np.zeros((len(lens), SIMHASH_BITS), dtype=np.int64)
+            ne_idx = np.flatnonzero(lens > 0)
+            if flat.size:
+                offs_ne = offsets[ne_idx]
+                # 60 cheap passes over the flat hash array instead of
+                # one (n_flat × 60) matrix — transient memory O(n_flat)
+                for b in range(SIMHASH_BITS):
+                    contrib = ((flat >> b) & 1) * 2 - 1
+                    sums[ne_idx, b] = np.add.reduceat(contrib, offs_ne)
+            bits = (sums >= 0).astype(np.int64)
+            simhash = (bits << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": simhash}
+            )
+
+    return hs.mapInPandas(fold, schema="doc_id long, simhash long")
+
+
 _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
     b -> CASE WHEN list_sum(list_transform(hashes,
             h -> CASE WHEN (h & (1::BIGINT << b)) != 0
@@ -373,9 +426,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of docs at sf0.1), and a collect_list-based expansion would build
     # O(bucket²) structs in single rows — the join form keeps rows
     # tiny and lets AQE skew-splitting spread the hot buckets.
-    s = docs.select(
-        "doc_id", simhash60(tokens_of(F.col("text"))).alias("simhash")
-    ).localCheckpoint(eager=True)
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_of(F.col("text"))), tok_hash60
+        ).alias("hashes"),
+    )
+    s = _simhash_frame(hs).localCheckpoint(eager=True)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = s.select(
         "doc_id",

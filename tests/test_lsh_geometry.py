@@ -92,3 +92,75 @@ def test_vectorized_band_keys_match_hof_expr(spark):
         ).collect()
     }
     assert fast == spec
+
+
+def test_vectorized_simhash_matches_hof_expr(spark):
+    """Same contract for the simhash fingerprint: the numpy fold
+    (_simhash_frame) must be bit-identical to the simhash60 HOF spec,
+    including the empty-token-list edge (all 60 bits set)."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.text import (
+        tok_hash60,
+        tokens_of,
+    )
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.dedup import _simhash_frame
+
+    docs = read_table(spark, SF_DIR, "documents").limit(300)
+    # append a degenerate row to force the zero-length-hashes branch
+    extra = docs.sparkSession.createDataFrame(
+        [(-1, "")], "doc_id long, text string"
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    hs = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_of(F.col("text"))), tok_hash60
+        ).alias("hashes"),
+    )
+    # "" tokenizes to [""], not [] — drop it to reach the empty case
+    hs = hs.withColumn(
+        "hashes",
+        F.when(F.col("doc_id") == -1, F.array().cast("array<long>")).otherwise(
+            F.col("hashes")
+        ),
+    )
+    fast = {r.doc_id: r.simhash for r in _simhash_frame(hs).collect()}
+    spec = {
+        r.doc_id: r.simhash
+        for r in hs.select(
+            "doc_id", _simhash_of_hashes(F.col("hashes")).alias("simhash")
+        ).collect()
+    }
+    assert fast == spec
+
+
+def _simhash_of_hashes(hashes):
+    """simhash60's fold applied to a precomputed hash array — the HOF
+    spec without re-tokenizing (mirrors simhash60 body exactly)."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.operators.dedup import SIMHASH_BITS
+
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda bpos: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    h.bitwiseAND(F.element_at(powers, bpos + 1)) != 0, 1
+                ).otherwise(-1),
+            )
+            >= 0,
+            1,
+        ).otherwise(0),
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda x, p: x.cast("long") * p),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
