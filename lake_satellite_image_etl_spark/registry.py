@@ -58,14 +58,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Canonical registration order for the driver contract. The driver's
 #: correctness gate checks queries in dict order and (observed r2) caps
 #: at the first ~50 entries, so this list front-loads by verification
-#: value. Round-4 rotation: the seven entries that had never received
-#: a driver CORRECTNESS row (corpus block, composed corpus-dedup,
-#: embedding-LSH scale path, stateful sessionization, salted join)
-#: plus the newly registered artifact-sink entry move INTO the window;
-#: eight entries that are driver-green in both r2 and r3 (or whose
-#: scale form is) rotate out to the head of the tail, first in line to
-#: rotate back. Names not listed keep insertion order after the listed
-#: ones.
+#: value. Round-6 rotation (VERDICT r5 item 6): the five granular
+#: ``text_*`` entries — never driver-checked across five rounds — plus
+#: ``scalar_epoch_roundtrip`` (failed locally in r5 on the NTZ fixture,
+#: fixed this round) move INTO the window; six entries green in both
+#: r4 and r5 and untouched this round (sampling block, point-in-poly,
+#: vector_norms, text_edit_distance) rotate out to the head of the
+#: tail. Everything broken in r5 (window_session,
+#: scalar_event_composite, stream_sessionize_batch) and everything
+#: whose implementation changed this round (dedup_simhash,
+#: dedup_embedding_cosine_lsh, stream_dedup_batch) stays IN so the
+#: fixes get driver confirmation. Names not listed keep insertion
+#: order after the listed ones.
 _PRIORITY = (
     "flagship_catalog",
     # -- dedup block (SURVEY §2.10 EXT) --------------------------------
@@ -79,20 +83,20 @@ _PRIORITY = (
     "similarity_topk_bruteforce",
     "similarity_ivf_probe",
     "similarity_lsh_bucketed",
-    # -- text analysis -------------------------------------------------
+    # -- text analysis (granular forms first driver-checked r6) --------
     "text_profile",
     "text_tfidf_top_terms",
-    "text_edit_distance",
+    "text_tokenize_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_normalize",
     # -- vector math ---------------------------------------------------
-    "vector_norms",
     "vector_centroid_cosine",
-    # -- geometry (P6 exact / A6 / U7) ---------------------------------
-    "geo_point_in_polygon",
+    # -- geometry (A6 / U7) --------------------------------------------
     "geo_polygon_union_bbox",
-    # -- sampling ------------------------------------------------------
-    "sample_deterministic",
-    "sample_train_test_split",
-    "sample_balanced_downsample",
+    # -- scalar F3 epoch round-trip (r5 local fail, fixed r6) ----------
+    "scalar_epoch_roundtrip",
     # -- multimodal kernels --------------------------------------------
     "multimodal_image_features",
     "multimodal_binaryfile_scan",
@@ -135,6 +139,13 @@ _PRIORITY = (
     "stream_sessionize_batch",
     "skew_salted_join",
     # ---- first 50 end here -------------------------------------------
+    # Rotated out r6 (driver-green r4+r5, untouched this round):
+    "text_edit_distance",
+    "vector_norms",
+    "geo_point_in_polygon",
+    "sample_deterministic",
+    "sample_train_test_split",
+    "sample_balanced_downsample",
     # Rotated out r4 (driver-green r2+r3, or scale form green):
     "project_rename",
     "filter_range_numeric",
@@ -166,18 +177,12 @@ _PRIORITY = (
     "join_left_anti",
     "join_left_semi",
     "scalar_string_keys",
-    "scalar_epoch_roundtrip",
     "scalar_dates",
     "scalar_math_extents",
     "scalar_json_props",
     "scalar_map_regex",
     "scalar_url_build",
     "scalar_nested_arrays",
-    "text_tokenize_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_normalize",
 )
 
 
