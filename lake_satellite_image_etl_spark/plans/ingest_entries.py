@@ -110,7 +110,7 @@ def jdbc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_dedup_batch",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    oracle="SELECT DISTINCT user_id, event_type, true AS ts_valid FROM events",
 )
 def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: the scheduled micro-batch ingest (reference: daily cron,
@@ -121,7 +121,16 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle is the PK-set contract: with the dedup horizon covering
     the whole fixture, the surviving (user_id, event_type) set equals
-    the global distinct regardless of which arrival each key kept."""
+    the global distinct regardless of which arrival each key kept.
+
+    ``ts_valid`` makes the gate TIME-sensitive without requiring a
+    deterministic winner: which arrival survives per PK is racy across
+    partitions, but whichever wins, its ``ts`` must be a member of
+    that PK's actual event timestamps. Round 5's streaming reader bug
+    (µs values divided by 1000 → every event in ~1972) kept the PK set
+    intact, so the old set-only oracle stayed green while the landed
+    data was garbage; under this oracle every such row joins to
+    nothing, flips ``ts_valid`` to false, and fails the value hash."""
     from lake_satellite_image_etl_spark.streaming.ingest import (
         run_available_now,
     )
@@ -141,8 +150,23 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the landed PK set distinct (horizon covers the fixture span), and
     # the gate must verify that property — a distinct here would mask
     # silently-landed duplicates (ADVICE r3). The run-twice/dup-count
-    # assertion lives in tests/test_streaming.py as well.
-    return spark.read.parquet(out).select("user_id", "event_type")
+    # assertion lives in tests/test_streaming.py as well. The triple
+    # join below is fanout-free: the right side is distinct on the
+    # full join key, so landed row count passes through unchanged.
+    landed = spark.read.parquet(out).select("user_id", "event_type", "ts")
+    valid_ts = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .distinct()
+        .withColumn("ts_valid", F.lit(True))
+    )
+    return landed.join(
+        valid_ts, ["user_id", "event_type", "ts"], "left"
+    ).select(
+        "user_id",
+        "event_type",
+        F.coalesce("ts_valid", F.lit(False)).alias("ts_valid"),
+    )
 
 
 @query(
