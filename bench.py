@@ -48,7 +48,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in names:
+    for i, name in enumerate(names):
+        # liveness breadcrumb on stderr (stdout stays ONE JSON line);
+        # BENCH_r05 recorded a truncated tail — if a runner caps wall
+        # time, the log should at least show how far the run got.
+        print(f"bench [{i + 1}/{len(names)}] {name}", file=sys.stderr, flush=True)
         fn = queries[name]
         try:
             fn(spark, SF_DIR).limit(1).collect()  # warm: plan + scan setup
@@ -76,7 +80,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_label(SF_DIR),
             }
-        )
+        ),
+        flush=True,
     )
 
 
