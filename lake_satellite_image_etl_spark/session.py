@@ -40,6 +40,14 @@ def get_spark(
         # (the reference enables the same flag, template.yml:97).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Parallelism FLOOR for file scans: a small-but-CPU-heavy input
+        # (one parquet file under maxPartitionBytes fused below
+        # tokenize/shingle/UDF stages) otherwise runs as ONE task on an
+        # idle cluster. This is a floor tied to core count, not a byte
+        # cap — at real scale splits already exceed cores and it's a
+        # no-op. (Found via the 120 K smoke: every doc query looked
+        # ~20× super-linear because the fixture was a single split.)
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         # Deterministic, oracle-comparable timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -101,10 +101,27 @@ def main() -> str:
     os.makedirs(OUT_DIR, exist_ok=True)
     rng = np.random.default_rng(SEED)
     docs = gen_documents(rng)
-    pq.write_table(docs, os.path.join(OUT_DIR, "documents.parquet"))
+    # Many row groups, NOT one: Spark assigns parquet splits per row
+    # group, so a single-group file pins every scan (and the CPU-heavy
+    # tokenize/shingle stages fused above it) to ONE task no matter how
+    # many cores exist — a degenerate layout no 100 TB table has. The
+    # original single-group write made every doc query look ~20×
+    # super-linear in the smoke when the real cause was scan
+    # parallelism 1.
+    pq.write_table(
+        docs, os.path.join(OUT_DIR, "documents.parquet"), row_group_size=1_500
+    )
     emb = gen_embeddings(rng)
-    pq.write_table(emb, os.path.join(OUT_DIR, "embeddings.parquet"))
-    print(f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings -> {OUT_DIR}")
+    pq.write_table(
+        emb, os.path.join(OUT_DIR, "embeddings.parquet"), row_group_size=4_000
+    )
+    import sys
+
+    # stderr: scale_smoke's stdout contract is one JSON line
+    print(
+        f"wrote {docs.num_rows} documents, {emb.num_rows} embeddings -> {OUT_DIR}",
+        file=sys.stderr,
+    )
     return OUT_DIR
 
 
