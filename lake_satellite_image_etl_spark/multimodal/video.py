@@ -1,0 +1,194 @@
+"""Opaque video columns (SURVEY.md §2.10 EXT multimodal): binary
+frame stacks + typed metadata, with the two stages every video
+training-data pipeline starts with — uniform frame SAMPLING and
+per-frame TEMPORAL features — as Arrow ``mapInPandas`` kernels.
+
+Real codecs (h264/vp9/ffmpeg) are absent by design, mirroring
+images.py/audio.py: the deterministic ``FVID`` container (grayscale
+uint8 frames) stands in, keeping the Spark plumbing real — schema,
+Arrow batch shape, the 1→N fan-out from one video row to one row per
+sampled frame, and integer-exact feature math the DuckDB oracle
+replays pixel-for-pixel.
+
+FVID layout (little-endian): magic ``FVID`` | uint32 n_frames |
+uint16 width | uint16 height | uint8 fps |
+payload uint8[n_frames*height*width].
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+MAGIC = b"FVID"
+HEADER = struct.Struct("<4sIHHB")
+
+N_FRAMES = 16
+WIDTH = 16
+HEIGHT = 12
+FPS = 8
+#: uniform sampling stride: keep frames 0, 4, 8, 12 of 16 — the
+#: "1 fps from 8 fps" decimation of a real pipeline
+SAMPLE_EVERY = 4
+#: pixel formula modulus — prime, so the planes differ per frame
+PIX_MOD = 251
+
+
+def encode_fvid(frames: np.ndarray, fps: int = FPS) -> bytes:
+    """frames: uint8 array (n_frames, height, width)."""
+    n, h, w = frames.shape
+    return HEADER.pack(MAGIC, n, w, h, fps) + frames.astype(np.uint8).tobytes()
+
+
+def decode_fvid(blob: bytes) -> tuple[np.ndarray, int]:
+    magic, n, w, h, fps = HEADER.unpack_from(blob)
+    if magic != MAGIC:
+        raise ValueError("not a FVID blob")
+    frames = np.frombuffer(
+        blob, dtype=np.uint8, offset=HEADER.size, count=n * h * w
+    ).reshape(n, h, w)
+    return frames, fps
+
+
+def decode_standard_video(blob: bytes):  # pragma: no cover
+    """Decode h264/vp9/webm — requires a video lib, absent here."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "video codecs unavailable; use the FVID container"
+        ) from exc
+    raise NotImplementedError
+
+
+def synth_fvid(entity_id: int) -> bytes:
+    """Deterministic grayscale clip: pixel(f, y, x) =
+    (entity_id*31 + f*17 + y*5 + x*3) mod 251 — pure integer math the
+    oracle regenerates relationally."""
+    f = np.arange(N_FRAMES, dtype=np.int64)[:, None, None]
+    y = np.arange(HEIGHT, dtype=np.int64)[None, :, None]
+    x = np.arange(WIDTH, dtype=np.int64)[None, None, :]
+    pix = (entity_id * 31 + f * 17 + y * 5 + x * 3) % PIX_MOD
+    return encode_fvid(pix.astype(np.uint8))
+
+
+VIDEO_FRAME_SCHEMA = (
+    "entity_id long, n_frames int, frame_idx int, mean_lum double, "
+    "motion bigint"
+)
+
+
+def video_frame_features(videos: DataFrame, every: int = SAMPLE_EVERY) -> DataFrame:
+    """(entity_id, video binary) → one row per SAMPLED frame:
+    mean luminance and motion (sum of absolute pixel deltas vs the
+    previous sampled frame; 0 for the first).
+
+    The 1→N fan-out happens inside the Arrow batch (numpy over the
+    whole frame stack, no per-pixel Python), so a 100 TB video table
+    scales by splitting the videos across partitions — per-row state
+    never leaves the kernel. Integer-exact: uint8 pixels sum in
+    int64; the single divide for the mean is IEEE-identical in both
+    engines."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                frames, _fps = decode_fvid(r["video"])
+                n = frames.shape[0]
+                sampled = frames[::every].astype(np.int64)
+                idxs = np.arange(0, n, every)
+                means = sampled.mean(axis=(1, 2))
+                deltas = np.abs(np.diff(sampled, axis=0)).sum(axis=(1, 2))
+                for k, fi in enumerate(idxs):
+                    rows.append(
+                        (
+                            int(r["entity_id"]),
+                            n,
+                            int(fi),
+                            round(float(means[k]), 6),
+                            int(deltas[k - 1]) if k > 0 else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "entity_id", "n_frames", "frame_idx", "mean_lum", "motion",
+                ],
+            )
+
+    return videos.mapInPandas(feats, schema=VIDEO_FRAME_SCHEMA)
+
+
+def with_videos(spark: SparkSession, sf_dir: str, max_id: int = 30) -> DataFrame:
+    """One synthetic clip per supplier row (bounded) — the opaque
+    binary column a real pipeline would read from object storage."""
+    ids = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").cast("long").alias("entity_id"))
+        .filter(F.col("entity_id") <= max_id)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"].astype("int64"),
+                    "video": [synth_fvid(int(e)) for e in pdf["entity_id"]],
+                }
+            )
+
+    return ids.mapInPandas(gen, schema="entity_id long, video binary")
+
+
+def _sql_pix(fvar: str) -> str:
+    return f"((entity_id * 31 + {fvar} * 17 + y * 5 + x * 3) % {PIX_MOD})"
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH ids AS (
+        SELECT s_suppkey::BIGINT AS entity_id FROM supplier
+        WHERE s_suppkey <= 30
+    ),
+    px AS (
+        SELECT entity_id, f,
+               {_sql_pix("f")} AS cur,
+               {_sql_pix(f"(f - {SAMPLE_EVERY})")} AS prev
+        FROM ids,
+             unnest(generate_series(0, {N_FRAMES - 1}, {SAMPLE_EVERY})) AS uf(f),
+             unnest(generate_series(0, {HEIGHT - 1})) AS uy(y),
+             unnest(generate_series(0, {WIDTH - 1})) AS ux(x)
+    )
+    SELECT entity_id,
+           {N_FRAMES} AS n_frames,
+           f::INT AS frame_idx,
+           round(sum(cur)::DOUBLE / {HEIGHT * WIDTH}, 6) AS mean_lum,
+           CASE WHEN f = 0 THEN 0
+                ELSE sum(abs(cur - prev)) END::BIGINT AS motion
+    FROM px GROUP BY entity_id, f ORDER BY entity_id, f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize one clip per supplier row (bounded to 30), sample
+    every {SAMPLE_EVERY}th frame, and feature-extract per sampled
+    frame (1→N fan-out).
+
+    FULL oracle: the FVID payload is deterministic integer math; the
+    oracle regenerates every sampled pixel relationally — including
+    the PREVIOUS sampled frame via the same formula shifted by the
+    stride — and verifies the sampling + luminance + motion kernel
+    exactly."""
+    return video_frame_features(with_videos(spark, sf_dir)).orderBy(
+        "entity_id", "frame_idx"
+    )

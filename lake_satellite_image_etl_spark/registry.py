@@ -42,6 +42,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.multimodal.raster",
     "lake_satellite_image_etl_spark.multimodal.images",
     "lake_satellite_image_etl_spark.multimodal.audio",
+    "lake_satellite_image_etl_spark.multimodal.video",
 )
 
 
@@ -97,10 +98,11 @@ _PRIORITY = (
     "geo_polygon_union_bbox",
     # -- scalar F3 epoch round-trip (r5 local fail, fixed r6) ----------
     "scalar_epoch_roundtrip",
-    # -- multimodal kernels --------------------------------------------
+    # -- multimodal kernels (video new in r6, never driver-checked) ----
     "multimodal_image_features",
     "multimodal_binaryfile_scan",
     "multimodal_audio_features",
+    "multimodal_video_frames",
     # -- session window (only r2-unchecked windows entry) --------------
     "window_session",
     # -- JDBC source (S1) + streaming ingest (T1), driver-visible ------
@@ -137,9 +139,10 @@ _PRIORITY = (
     "corpus_quality_filter",
     "corpus_contamination_flag",
     "stream_sessionize_batch",
-    "skew_salted_join",
     # ---- first 50 end here -------------------------------------------
-    # Rotated out r6 (driver-green r4+r5, untouched this round):
+    # Rotated out r6 (driver-green r4+r5, untouched this round;
+    # skew_salted_join made room for the new video entry):
+    "skew_salted_join",
     "text_edit_distance",
     "vector_norms",
     "geo_point_in_polygon",

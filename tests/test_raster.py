@@ -226,6 +226,34 @@ def test_audio_features_golden(spark):
         au.decode_standard_audio(b"RIFF....")
 
 
+def test_video_frame_features_golden(spark):
+    from lake_satellite_image_etl_spark.multimodal import video as vi
+
+    frames, fps = vi.decode_fvid(vi.synth_fvid(3))
+    assert fps == vi.FPS and frames.shape == (vi.N_FRAMES, vi.HEIGHT, vi.WIDTH)
+    assert np.array_equal(frames, vi.decode_fvid(vi.encode_fvid(frames))[0])
+
+    rows = vi.multimodal_video_frames(spark, SF_SMOKE).collect()
+    per_clip = vi.N_FRAMES // vi.SAMPLE_EVERY
+    assert len(rows) % per_clip == 0
+    got = {(r["entity_id"], r["frame_idx"]): r for r in rows}
+    sampled = frames[:: vi.SAMPLE_EVERY].astype(np.int64)
+    # first sampled frame: motion pinned to 0
+    assert got[(3, 0)]["motion"] == 0
+    assert got[(3, 0)]["mean_lum"] == pytest.approx(
+        round(float(sampled[0].mean()), 6)
+    )
+    # a later frame: motion = sum |cur - prev sampled|
+    k = 2
+    fi = k * vi.SAMPLE_EVERY
+    assert got[(3, fi)]["motion"] == int(
+        np.abs(sampled[k] - sampled[k - 1]).sum()
+    )
+    assert got[(3, fi)]["n_frames"] == vi.N_FRAMES
+    with pytest.raises(NotImplementedError):
+        vi.decode_standard_video(b"\x00\x00\x00 ftypmp42")
+
+
 def test_binaryfile_scan(spark):
     from lake_satellite_image_etl_spark.multimodal.images import (
         multimodal_binaryfile_scan,
