@@ -549,3 +549,71 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("pa", "pb").alias("prefix_edit_distance"),
         )
     )
+
+
+REPETITION_NGRAM = 3
+#: top-gram fraction above which a document is flagged repetitive —
+#: the Gopher/FineWeb-style repetition quality gate (their published
+#: thresholds are per-n-gram-size in the 0.04-0.2 range)
+REPETITION_THRESHOLD = 0.05
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, j, j + 2), ' ') AS gram
+        FROM t, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(j)
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_grams,
+           count(*)::BIGINT AS n_distinct_grams,
+           max(n)::BIGINT AS top_gram_count,
+           round(max(n)::DOUBLE / sum(n), 6) AS top_gram_frac,
+           round(1.0 - count(*)::DOUBLE / sum(n), 6) AS dup_gram_frac,
+           (max(n)::DOUBLE / sum(n)) > {REPETITION_THRESHOLD} AS is_repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: per document, the fraction of
+    3-gram occurrences taken by the single most repeated gram
+    (``top_gram_frac``) and the overall duplicate-gram fraction —
+    the repetition filter every pre-training corpus applies (highly
+    repetitive docs are boilerplate/spam/degenerate generations).
+
+    Scale shape: explode grams → two-level hash aggregation, both
+    with map-side partial combine; the shuffle carries (doc, gram,
+    count) rows, never gram text repeated per occurrence. No
+    sort, no window — scan-dominated at 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(toks) - (REPETITION_NGRAM - 1), F.lit(1)),
+                ),
+                lambda j: F.concat_ws(" ", F.slice(toks, j, REPETITION_NGRAM)),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = F.max("n").cast("double") / F.sum("n")
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("n").alias("top_gram_count"),
+        F.round(top, 6).alias("top_gram_frac"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("dup_gram_frac"),
+        (top > REPETITION_THRESHOLD).alias("is_repetitive"),
+    )

@@ -186,6 +186,9 @@ _PRIORITY = (
     "scalar_map_regex",
     "scalar_url_build",
     "scalar_nested_arrays",
+    # New r6, never driver-checked — first in line to rotate into the
+    # r7 window:
+    "text_repetition_score",
 )
 
 
