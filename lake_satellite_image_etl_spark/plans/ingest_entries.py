@@ -237,6 +237,53 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_window_batch",
+    oracle="""
+    -- the watermark-closed window set after an AvailableNow drain:
+    -- hourly (window, event_type) counts for every window whose END is
+    -- at or before the final watermark max(ts) - 1 day. F.window's
+    -- epoch-aligned hour buckets == date_trunc('hour', ts).
+    WITH m AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+    b AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n FROM b, m
+    WHERE window_start + INTERVAL 1 HOUR <= wm
+    """,
+)
+def stream_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed aggregation end-to-end (the third streaming
+    driver entry, next to PK-dedup and stateful sessionization):
+    AvailableNow drain → watermarked tumbling-window counts → parquet
+    sink in append mode, then the landed windows read back.
+
+    Append mode makes the EMITTED SET part of the contract, not just
+    the values: exactly the windows the final watermark closed
+    (window_end ≤ max(ts) − delay) may land — a window emitted early,
+    held forever, or double-emitted all break row count. The values
+    then equal batch window_tumbling counts because ``F.window``
+    buckets identically in both modes."""
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        run_windowed_counts_available_now,
+    )
+
+    scratch = _scratch("stream_window_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(scratch, "out")
+    run_windowed_counts_available_now(
+        spark, src, out, os.path.join(scratch, "ckpt")
+    )
+    return spark.read.parquet(out).select("window_start", "event_type", "n")
+
+
+@query(
     "sink_artifact_manifest",
     oracle="""
     -- what the artifact store must contain after the K2 sink runs:

@@ -189,6 +189,7 @@ _PRIORITY = (
     # New r6, never driver-checked — first in line to rotate into the
     # r7 window:
     "text_repetition_score",
+    "stream_window_batch",
 )
 
 
