@@ -335,37 +335,41 @@ def _simhash_frame(hs: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            lists = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
-            lens = np.array([len(h) for h in lists], dtype=np.int64)
-            flat = (
-                np.concatenate(lists)
-                if lists
-                else np.empty(0, dtype=np.int64)
-            )
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            # reduceat can't express zero-length segments, so run it
-            # over nonempty rows only (their offsets partition `flat`
-            # exactly); empty rows keep sum 0 ⇒ (0 >= 0) sets every
-            # bit — matching the HOF aggregate's empty-array fold.
-            sums = np.zeros((len(lens), SIMHASH_BITS), dtype=np.int64)
-            ne_idx = np.flatnonzero(lens > 0)
-            if flat.size:
-                offs_ne = offsets[ne_idx]
-                # 60 cheap passes over the flat hash array instead of
-                # one (n_flat × 60) matrix — transient memory O(n_flat)
-                for b in range(SIMHASH_BITS):
-                    contrib = ((flat >> b) & 1) * 2 - 1
-                    sums[ne_idx, b] = np.add.reduceat(contrib, offs_ne)
-            bits = (sums >= 0).astype(np.int64)
-            simhash = (bits << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(
-                axis=1
-            )
+            simhash = simhash_numpy(list(pdf["hashes"]))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "simhash": simhash}
             )
 
     return hs.mapInPandas(fold, schema="doc_id long, simhash long")
+
+
+def simhash_numpy(hash_lists):
+    """List of int64 hash arrays (one per doc, possibly empty) →
+    int64 simhash per doc. The pure vectorized math behind
+    ``_simhash_frame``, exposed for JVM-free property-testing against
+    a naive per-row reference."""
+    import numpy as np
+
+    lists = [np.asarray(h, dtype=np.int64) for h in hash_lists]
+    lens = np.array([len(h) for h in lists], dtype=np.int64)
+    flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    # reduceat can't express zero-length segments, so run it over
+    # nonempty rows only (their offsets partition `flat` exactly);
+    # empty rows keep sum 0 ⇒ (0 >= 0) sets every bit — matching the
+    # HOF aggregate's empty-array fold.
+    sums = np.zeros((len(lens), SIMHASH_BITS), dtype=np.int64)
+    ne_idx = np.flatnonzero(lens > 0)
+    if flat.size:
+        offs_ne = offsets[ne_idx]
+        # 60 cheap passes over the flat hash array instead of one
+        # (n_flat × 60) matrix — transient memory O(n_flat)
+        for b in range(SIMHASH_BITS):
+            contrib = ((flat >> b) & 1) * 2 - 1
+            sums[ne_idx, b] = np.add.reduceat(contrib, offs_ne)
+    bits = (sums >= 0).astype(np.int64)
+    return (bits << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(axis=1)
 
 
 _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
@@ -886,16 +890,12 @@ def _band_keys_frame(
 
     def project(pdfs):
         planes = np.array(planes_list, dtype=np.int64)  # (n_planes, DIM)
-        bit_w = np.int64(1) << np.arange(band_bits, dtype=np.int64)
         band_idx = np.arange(n_bands, dtype=np.int64)
         for pdf in pdfs:
             if not len(pdf):
                 continue
             qv = np.array(list(pdf["qv"]), dtype=np.int64)  # (n, DIM)
-            bits = (qv @ planes.T >= 0).astype(np.int64)  # (n, n_planes)
-            keys = (
-                bits.reshape(len(qv), n_bands, band_bits) * bit_w
-            ).sum(axis=2)  # (n, n_bands)
+            keys = band_keys_numpy(qv, planes, band_bits)  # (n, n_bands)
             vec_ids = pdf["vec_id"].to_numpy()
             yield pd.DataFrame(
                 {
@@ -908,6 +908,20 @@ def _band_keys_frame(
     return q.mapInPandas(
         project, schema="vec_id long, band int, band_key long"
     )
+
+
+def band_keys_numpy(qv, planes, band_bits: int):
+    """(n, DIM) int64 quantized vectors × (n_planes, DIM) int64 planes
+    → (n, n_planes//band_bits) int64 band keys. The pure vectorized
+    math behind ``_band_keys_frame``, exposed for JVM-free
+    property-testing against a naive per-row reference."""
+    import numpy as np
+
+    n_planes = planes.shape[0]
+    n_bands = n_planes // band_bits
+    bit_w = np.int64(1) << np.arange(band_bits, dtype=np.int64)
+    bits = (qv @ planes.T >= 0).astype(np.int64)  # (n, n_planes)
+    return (bits.reshape(len(qv), n_bands, band_bits) * bit_w).sum(axis=2)
 
 
 def embedding_cosine_lsh_pairs(

@@ -98,3 +98,65 @@ def test_fwav_roundtrip_property(n, sr, seed):
     wave = rng.randint(-32768, 32768, size=n).astype(np.int16)
     back, got_sr = decode_fwav(encode_fwav(wave, sr))
     assert got_sr == sr and np.array_equal(back, wave)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 20),
+    dim=st.integers(1, 16),
+    n_planes=st.integers(1, 4),
+    band_bits=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_band_keys_numpy_matches_naive(n, dim, n_planes, band_bits, seed):
+    """The vectorized LSH band-key matmul equals a naive per-row,
+    per-plane Python-int reference — including the proj == 0 boundary
+    (sign rule is >= 0) and arbitrary geometry."""
+    from lake_satellite_image_etl_spark.operators.dedup import band_keys_numpy
+
+    n_planes = n_planes * band_bits  # must divide evenly
+    rng = np.random.RandomState(seed)
+    qv = rng.randint(-10_000, 10_001, size=(n, dim)).astype(np.int64)
+    planes = rng.randint(-1000, 1001, size=(n_planes, dim)).astype(np.int64)
+    # force some exact-zero projections to pin the >= 0 boundary
+    if n >= 2:
+        qv[1] = 0
+    got = band_keys_numpy(qv, planes, band_bits)
+    for i in range(n):
+        for b in range(n_planes // band_bits):
+            key = 0
+            for k in range(band_bits):
+                proj = sum(
+                    int(qv[i][d]) * int(planes[b * band_bits + k][d])
+                    for d in range(dim)
+                )
+                if proj >= 0:
+                    key += 1 << k
+            assert int(got[i][b]) == key, (i, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lists=st.lists(
+        st.lists(st.integers(0, 2**60 - 1), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_simhash_numpy_matches_naive(lists):
+    """The reduceat-based simhash fold equals a naive per-doc loop —
+    including empty hash lists (all 60 bits set) and mixed-length
+    batches, the cases the segment bookkeeping can get wrong."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_numpy,
+    )
+
+    got = simhash_numpy([np.array(h, dtype=np.int64) for h in lists])
+    for i, hashes in enumerate(lists):
+        expected = 0
+        for b in range(SIMHASH_BITS):
+            s = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+            if s >= 0:
+                expected += 1 << b
+        assert int(got[i]) == expected, i
