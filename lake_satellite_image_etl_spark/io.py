@@ -83,7 +83,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     flagged the repeat cost). A different sf_dir re-registers — last
     writer wins, same as createOrReplaceTempView itself.
     """
-    if getattr(spark, "_lse_registered_sf_dir", None) == sf_dir:
+    if getattr(spark, "_lse_registered_sf_dir", None) == sf_dir and all(
+        spark.catalog.tableExists(name) for name in TABLES
+    ):
+        # the marker alone isn't proof — a caller may have dropped or
+        # replaced a view since; verify the catalog actually holds them
         return
     for name in TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)

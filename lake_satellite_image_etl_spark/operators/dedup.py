@@ -282,17 +282,16 @@ SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
 HAMMING_THRESHOLD = 2
 
 
-def simhash60(toks):
-    """60-bit SimHash over distinct tokens: per bit b, sum ±1 by token
-    hash bit b; fingerprint bit = (sum >= 0).
-
-    The token hash is computed ONCE per token into an integer array
-    (one md5 each); the 60 bit-sums then run pure integer bit tests
-    over that array — not 60 re-hashes. Uses a precomputed
+def simhash_fold_expr(hashes):
+    """The 60-bit SimHash fold over a precomputed hash array, as a
+    Catalyst HOF expression: per bit b, sum ±1 by hash bit b;
+    fingerprint bit = (sum >= 0). This is the SEMANTIC SPEC that the
+    vectorized ``_simhash_frame`` / ``simhash_numpy`` hot path is
+    equivalence-tested against (tests/test_lsh_geometry.py) — one
+    definition, referenced by both sides. Uses a precomputed
     power-of-two array because Spark's shiftleft needs a literal
     shift."""
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
-    hashes = F.transform(F.array_distinct(toks), lambda t: tok_hash60(t))
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
         lambda bpos: F.when(
@@ -315,6 +314,14 @@ def simhash60(toks):
     )
 
 
+def simhash60(toks):
+    """60-bit SimHash over distinct tokens — the full spec form:
+    JVM-side md5 per distinct token, then ``simhash_fold_expr``."""
+    return simhash_fold_expr(
+        F.transform(F.array_distinct(toks), lambda t: tok_hash60(t))
+    )
+
+
 def _simhash_frame(hs: DataFrame) -> DataFrame:
     """(doc_id, hashes array<long>) → (doc_id, simhash long): the
     60-bit fingerprint fold as numpy per Arrow batch.
@@ -323,10 +330,10 @@ def _simhash_frame(hs: DataFrame) -> DataFrame:
     token hashing stays JVM-side (codegen'd builtins), and only the
     SIMHASH_BITS × |tokens| ±1 bit-sum — which as a Catalyst HOF costs
     ~60·|tokens| interpreted evals per doc — moves to vectorized
-    integer numpy. Bit-exact twin of ``simhash60`` (kept below as the
-    semantic spec, equivalence-tested on the fixture): hashes are
-    already int64, sums are small ints, sign rule identical — so the
-    fingerprints, bands, and oracle hash are unchanged.
+    integer numpy. Bit-exact twin of ``simhash_fold_expr`` (the
+    semantic spec above, equivalence-tested on the fixture): hashes
+    are already int64, sums are small ints, sign rule identical — so
+    the fingerprints, bands, and oracle hash are unchanged.
     """
     import numpy as np
     import pandas as pd
@@ -430,12 +437,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of docs at sf0.1), and a collect_list-based expansion would build
     # O(bucket²) structs in single rows — the join form keeps rows
     # tiny and lets AQE skew-splitting spread the hot buckets.
+    # NULL text ⇒ NULL hashes: the old HOF path yielded a NULL
+    # fingerprint that the band equi-join dropped (as does the
+    # oracle's SQL join on a NULL band_key); the numpy kernel would
+    # instead crash on None — drop declaratively, same semantics.
     hs = docs.select(
         "doc_id",
         F.transform(
             F.array_distinct(tokens_of(F.col("text"))), tok_hash60
         ).alias("hashes"),
-    )
+    ).filter(F.col("hashes").isNotNull())
     s = _simhash_frame(hs).localCheckpoint(eager=True)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = s.select(
@@ -941,7 +952,11 @@ def embedding_cosine_lsh_pairs(
         norm,
     )
 
-    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    # NULL embeddings: posexplode(NULL) used to drop the row; the
+    # numpy kernel would crash on None — drop declaratively instead.
+    q = emb.select(
+        "vec_id", qvec_of(F.col("embedding")).alias("qv")
+    ).filter(F.col("qv").isNotNull())
     bkt = q.select(
         "vec_id",
         "qv",

@@ -57,12 +57,22 @@ def _events_ts_encoding(events_glob: str) -> str:
         pattern = _os.path.join(pattern, "*.parquet")
     matches = sorted(_glob.glob(pattern)) or sorted(_glob.glob(events_glob))
     for path in matches:
+        if _os.path.isdir(path):
+            # directory-form dataset (events.parquet/part-*.parquet)
+            matches.extend(sorted(_glob.glob(_os.path.join(path, "*.parquet"))))
+            continue
         try:
             field = _pq.read_schema(path).field("ts")
         except (KeyError, OSError):
             continue
         return "ns-long" if str(field.type) == "timestamp[ns]" else "timestamp"
-    return "timestamp"
+    # fail LOUDLY: a silent "timestamp" default here would resurrect
+    # the r5 class of bug (misreading a legacy ns fixture) with an
+    # error pointing at the reader instead of the sniffer.
+    raise ValueError(
+        f"could not read a parquet footer with a 'ts' field under "
+        f"{events_glob!r}; cannot pick the streaming ts encoding"
+    )
 
 
 def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:

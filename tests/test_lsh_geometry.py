@@ -96,7 +96,8 @@ def test_vectorized_band_keys_match_hof_expr(spark):
 
 def test_vectorized_simhash_matches_hof_expr(spark):
     """Same contract for the simhash fingerprint: the numpy fold
-    (_simhash_frame) must be bit-identical to the simhash60 HOF spec,
+    (_simhash_frame) must be bit-identical to the simhash_fold_expr
+    HOF spec — the ONE shared definition, not a test-local copy —
     including the empty-token-list edge (all 60 bits set)."""
     from pyspark.sql import functions as F
 
@@ -105,7 +106,10 @@ def test_vectorized_simhash_matches_hof_expr(spark):
         tokens_of,
     )
     from lake_satellite_image_etl_spark.io import read_table
-    from lake_satellite_image_etl_spark.operators.dedup import _simhash_frame
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        _simhash_frame,
+        simhash_fold_expr,
+    )
 
     docs = read_table(spark, SF_DIR, "documents").limit(300)
     # append a degenerate row to force the zero-length-hashes branch
@@ -130,37 +134,25 @@ def test_vectorized_simhash_matches_hof_expr(spark):
     spec = {
         r.doc_id: r.simhash
         for r in hs.select(
-            "doc_id", _simhash_of_hashes(F.col("hashes")).alias("simhash")
+            "doc_id", simhash_fold_expr(F.col("hashes")).alias("simhash")
         ).collect()
     }
     assert fast == spec
 
 
-def _simhash_of_hashes(hashes):
-    """simhash60's fold applied to a precomputed hash array — the HOF
-    spec without re-tokenizing (mirrors simhash60 body exactly)."""
-    from pyspark.sql import functions as F
-
-    from lake_satellite_image_etl_spark.operators.dedup import SIMHASH_BITS
-
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda bpos: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.element_at(powers, bpos + 1)) != 0, 1
-                ).otherwise(-1),
-            )
-            >= 0,
-            1,
-        ).otherwise(0),
+def test_lsh_pairs_drop_null_embeddings(spark):
+    """A NULL embedding must be dropped declaratively before the
+    numpy band kernel (which would crash on None), matching the old
+    posexplode(NULL)-drops-the-row semantics and the oracle."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        embedding_cosine_lsh_pairs,
     )
-    return F.aggregate(
-        F.zip_with(bits, powers, lambda x, p: x.cast("long") * p),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None), (3, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
     )
+    pairs = {
+        (r.vec_a, r.vec_b) for r in embedding_cosine_lsh_pairs(emb).collect()
+    }
+    assert pairs == {(1, 3)}

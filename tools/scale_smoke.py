@@ -57,17 +57,26 @@ SIM_QUERIES = ["similarity_ivf_probe", "similarity_lsh_bucketed"]
 def _timed(fn, spark, sf_dir):
     """(wall seconds, output rows) for one query run.
 
-    The count rides along because linearity must be judged against
-    output growth too: the near-dup operators EMIT pairs, and on a
-    denser-duplication corpus the true pair set grows faster than the
-    input (SimHash on 10× word-soup docs legitimately finds ~68× the
-    pairs) — wall/input-ratio alone would flag an operator whose
-    per-pair throughput actually improved."""
+    TIMING uses a noop-format write — the full plan executes and every
+    result row materializes on the executors. It must NOT use
+    ``count()``: Catalyst prunes all projection-only work under a
+    count (a map-shaped query collapses to a zero-column parquet row
+    count, ``ReadSchema: struct<>``), which would time nothing and let
+    a real regression pass the linearity gate.
+
+    The output ROW COUNT is taken in a separate (untimed) run because
+    linearity must be judged against output growth too: the near-dup
+    operators EMIT pairs, and on a denser-duplication corpus the true
+    pair set grows faster than the input (SimHash on 10× word-soup
+    docs legitimately finds ~68× the pairs) — wall/input-ratio alone
+    would flag an operator whose per-pair throughput improved."""
     df = fn(spark, sf_dir)
     df.limit(1).collect()  # warm: plan + scan setup
     t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    dt = round(time.perf_counter() - t0, 2)
     n_out = fn(spark, sf_dir).count()
-    return round(time.perf_counter() - t0, 2), n_out
+    return dt, n_out
 
 
 def main() -> None:
