@@ -617,3 +617,80 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_gram_frac"),
         (top > REPETITION_THRESHOLD).alias("is_repetitive"),
     )
+
+
+#: portable PII patterns — identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB): character classes, \d, {n} quantifiers only.
+PII_EMAIL_RE = r"[a-z0-9.#]+@[a-z0-9.]+\.[a-z]+"
+PII_PHONE_RE = r"\+1-\d{3}-\d{4}"
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+    -- the fixture carries no real PII, so the ticket text is
+    -- SYNTHESIZED identically on both engines (deterministic from
+    -- c_custkey/c_name), then redacted — the scrub operator is what's
+    -- under test, not the generator.
+    WITH t AS (
+        SELECT c_custkey AS doc_id,
+               c_name || ' can be reached at '
+                 || lower(replace(c_name, ' ', '.')) || '.'
+                 || c_custkey || '@example.com'
+                 || ' or +1-' || lpad(((c_custkey * 7) % 900 + 100)::VARCHAR, 3, '0')
+                 || '-' || lpad(((c_custkey * 13) % 10000)::VARCHAR, 4, '0')
+                 || ' regarding ' || c_mktsegment AS ticket
+        FROM customer
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(ticket, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(ticket, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+           regexp_replace(
+               regexp_replace(ticket, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM t
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training corpus runs
+    before the text reaches a tokenizer: regex-match emails and phone
+    numbers, replace with typed placeholders, and count what was
+    redacted (the counts feed scrub-rate monitoring).
+
+    Pure ``regexp_replace``/``regexp_count`` expressions: JVM-side,
+    codegen'd, shuffle-free — a narrow map over the corpus at any
+    scale. Patterns are restricted to the regex subset with identical
+    semantics in Java regex and RE2 so the oracle is exact."""
+    c = read_table(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+        F.lit("."),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com"),
+    )
+    phone = F.concat(
+        F.lit("+1-"),
+        F.lpad(((F.col("c_custkey") * 7) % 900 + 100).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("c_custkey") * 13) % 10000).cast("string"), 4, "0"),
+    )
+    ticket = F.concat(
+        F.col("c_name"),
+        F.lit(" can be reached at "),
+        email,
+        F.lit(" or "),
+        phone,
+        F.lit(" regarding "),
+        F.col("c_mktsegment"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(ticket, PII_EMAIL_RE, "[EMAIL]"),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.regexp_count(ticket, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(ticket, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )

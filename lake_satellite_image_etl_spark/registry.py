@@ -190,6 +190,7 @@ _PRIORITY = (
     # r7 window:
     "text_repetition_score",
     "stream_window_batch",
+    "text_redact_pii",
 )
 
 
