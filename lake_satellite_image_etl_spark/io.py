@@ -58,13 +58,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+        if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # uniform policy: NO TIMESTAMP_NTZ leaves the reader. The µs
+    # fixtures read as NTZ on Spark 4 for every timestamp column
+    # (events.ts, o_orderdate, l_shipdate); epoch functions
+    # (unix_millis/unix_micros, F.window internals) reject NTZ, so a
+    # query written against one column class would break on another.
+    # The UTC session TZ makes the cast value-exact vs the DuckDB
+    # oracle's naive timestamps.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(

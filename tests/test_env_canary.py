@@ -34,6 +34,17 @@ def test_events_ts_reads_as_timestamp(spark):
     )
 
 
+def test_no_table_leaks_timestamp_ntz(spark):
+    """EVERY fixture table must leave the reader NTZ-free — the µs
+    fixtures read orders.o_orderdate / lineitem.l_shipdate as NTZ on
+    Spark 4 too, and any epoch function applied to them would hit the
+    same breakage class as r5's events.ts."""
+    for name in eio.TABLES:
+        df = eio.read_table(spark, SF_SMOKE, name)
+        ntz = [c for c, d in df.dtypes if d == "timestamp_ntz"]
+        assert not ntz, f"{name}: NTZ columns leaked: {ntz}"
+
+
 def test_events_ts_values_are_sane(spark):
     """A 1000× unit mix-up lands events in ~1972 (the r5 streaming
     bug) or ~year 52970; bound the actual range instead."""
