@@ -59,18 +59,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: Canonical registration order for the driver contract. The driver's
 #: correctness gate checks queries in dict order and (observed r2) caps
 #: at the first ~50 entries, so this list front-loads by verification
-#: value. Round-6 rotation (VERDICT r5 item 6): the five granular
-#: ``text_*`` entries — never driver-checked across five rounds — plus
-#: ``scalar_epoch_roundtrip`` (failed locally in r5 on the NTZ fixture,
-#: fixed this round) move INTO the window; six entries green in both
-#: r4 and r5 and untouched this round (sampling block, point-in-poly,
-#: vector_norms, text_edit_distance) rotate out to the head of the
-#: tail. Everything broken in r5 (window_session,
-#: scalar_event_composite, stream_sessionize_batch) and everything
-#: whose implementation changed this round (dedup_simhash,
-#: dedup_embedding_cosine_lsh, stream_dedup_batch) stays IN so the
-#: fixes get driver confirmation. Names not listed keep insertion
-#: order after the listed ones.
+#: value. Round-7 rotation (VERDICT r6 item 1): the three r6-new
+#: entries never driver-checked (``text_repetition_score``,
+#: ``stream_window_batch``, ``text_redact_pii``) plus the r7-new
+#: ``geo_polygon_union_exact`` move INTO the window; four entries
+#: green in both r5 and r6 and untouched this round (``join_asof``,
+#: ``join_range_bucket``, ``incremental_lookback``,
+#: ``corpus_pack_sequences``) rotate out to the head of the tail.
+#: Everything whose implementation changed this round
+#: (``similarity_ivf_probe``, ``dedup_simhash``,
+#: ``raster_stats_pipeline``) stays IN so the changes get driver
+#: confirmation. Names not listed keep insertion order after the
+#: listed ones.
 _PRIORITY = (
     "flagship_catalog",
     # -- dedup block (SURVEY §2.10 EXT) --------------------------------
@@ -94,8 +94,9 @@ _PRIORITY = (
     "text_normalize",
     # -- vector math ---------------------------------------------------
     "vector_centroid_cosine",
-    # -- geometry (A6 / U7) --------------------------------------------
+    # -- geometry (A6 / U7; exact even-odd union new r7) ---------------
     "geo_polygon_union_bbox",
+    "geo_polygon_union_exact",
     # -- scalar F3 epoch round-trip (r5 local fail, fixed r6) ----------
     "scalar_epoch_roundtrip",
     # -- multimodal kernels (video new in r6, never driver-checked) ----
@@ -123,23 +124,28 @@ _PRIORITY = (
     # -- joins (J1-J5 + EXT; remaining non-trivial forms) --------------
     "join_semi_anti",
     "join_fanout_1n",
-    "join_asof",
-    "join_range_bucket",
-    # -- kernel sinks / incremental (K1, K2, T2, T3) -------------------
+    # -- kernel sinks / incremental (K1, K2, T3) -----------------------
     "dedup_primary_key",
     "sink_artifact_manifest",
-    "incremental_lookback",
     "incremental_new_keys",
     # -- aggregates (A1/A2/A3-A5 composite) ----------------------------
     "agg_core_composite",
     # -- round-3-new entries, never driver-checked before r4 -----------
     "dedup_embedding_cosine_lsh",
     "pipeline_corpus_dedup",
-    "corpus_pack_sequences",
     "corpus_quality_filter",
     "corpus_contamination_flag",
     "stream_sessionize_batch",
+    # -- rotated IN r7 (r6-new, first driver check this round) ---------
+    "text_repetition_score",
+    "stream_window_batch",
+    "text_redact_pii",
     # ---- first 50 end here -------------------------------------------
+    # Rotated out r7 (driver-green r5+r6, untouched this round):
+    "join_asof",
+    "join_range_bucket",
+    "incremental_lookback",
+    "corpus_pack_sequences",
     # Rotated out r6 (driver-green r4+r5, untouched this round;
     # skew_salted_join made room for the new video entry):
     "skew_salted_join",
@@ -186,11 +192,6 @@ _PRIORITY = (
     "scalar_map_regex",
     "scalar_url_build",
     "scalar_nested_arrays",
-    # New r6, never driver-checked — first in line to rotate into the
-    # r7 window:
-    "text_repetition_score",
-    "stream_window_batch",
-    "text_redact_pii",
 )
 
 
