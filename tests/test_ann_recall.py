@@ -5,8 +5,11 @@ The oracle gate proves each path computes ITS OWN spec exactly
 question — how much of the TRUE neighborhood the candidate generation
 retains. Two very different regimes, both pinned:
 
-* IVF probes the √n nearest inverted lists — recall on the fixture's
-  brute-force top-5 (weak neighbors, cos ≈ 0.2-0.4) is ~0.56.
+* IVF (label-seeded + one Lloyd refinement, 5 probes) — recall on
+  the fixture's brute-force top-5 (weak neighbors, cos ≈ 0.2-0.4) is
+  ~0.88; the fixture codebook has only 10 cells, so 5 probes scan
+  ~half the corpus here, but the probe fraction is N_PROBE/√n at
+  scale (cell count scales, probe logic doesn't).
 * Sign-LSH recall is a function of neighbor SIMILARITY: per plane the
   disagreement probability is θ/π, so for the fixture's weak top-5
   (θ ≈ 70-80°) bucket agreement is near-random and recall is
@@ -44,7 +47,7 @@ def exact_pairs(spark):
 def test_ivf_probe_recall(spark, exact_pairs):
     got = _topk_pairs(spark, "similarity_ivf_probe")
     recall = len(got & exact_pairs) / len(exact_pairs)
-    assert recall >= 0.45, f"IVF recall@5 collapsed: {recall:.3f}"
+    assert recall >= 0.8, f"IVF recall@5 below floor: {recall:.3f}"
 
 
 def test_lsh_bucketed_weak_neighbor_recall_floor(spark, exact_pairs):
