@@ -221,29 +221,56 @@ def _point_in_polygon(px: np.ndarray, py: np.ndarray, poly: list[tuple[float, fl
     return inside
 
 
+def _union_mask(
+    px: np.ndarray, py: np.ndarray, rings: list[list[tuple[float, float]]]
+) -> np.ndarray:
+    """Union fill over a ring SET: a point is in the union iff it is
+    inside ANY ring (per-ring even-odd ray-cast, OR across rings) —
+    the mask the reference gets by unioning first with shapely
+    (main.py:386-388) and masking once (main.py:241-243). OR, not a
+    combined-edge even-odd pass, so overlapping rings keep their
+    interior (a combined pass would XOR the overlap away); interior
+    pixels shared by several rings are counted/kept ONCE."""
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        inside |= _point_in_polygon(px, py, ring)
+    return inside
+
+
+def _as_rings(poly) -> list[list[tuple[float, float]]]:
+    """Normalize ``polygon_of``'s return: one ring ([(x, y), ...]) or
+    a ring set ([[(x, y), ...], ...]). A ring's first element is a
+    point (pair of numbers); a ring set's is another ring."""
+    return [poly] if not isinstance(poly[0][0], (list, tuple)) else list(poly)
+
+
 def clip_to_polygon(stacked: DataFrame, polygon_of) -> DataFrame:
     """U3: crop to the polygon bbox and fill outside-polygon pixels
     with nodata — the semantics of ``rasterio.mask(..., crop=True,
     nodata=0)`` (main.py:241-243) without the GeoTIFF codec.
 
-    ``polygon_of(entity_id) -> [(x, y), ...]`` supplies the pixel-space
-    boundary (the reference's lon/lat polygon arrives via an affine
-    transform — out of scope without rasterio)."""
+    ``polygon_of(entity_id)`` supplies the pixel-space boundary (the
+    reference's lon/lat polygon arrives via an affine transform — out
+    of scope without rasterio): either one ring ``[(x, y), ...]`` or a
+    ring SET ``[[(x, y), ...], ...]`` for multi-polygon bodies, masked
+    with union semantics (``_union_mask`` — overlapping rings keep
+    interior pixels once, matching the reference's union-then-mask
+    order)."""
 
     def _clip(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, r in pdf.iterrows():
             w, h, nb = int(r["width"]), int(r["height"]), int(r["bands"])
             img = np.frombuffer(r["data"], dtype=np.uint8).reshape(nb, h, w).copy()
-            poly = polygon_of(int(r["entity_id"]))
-            xs = [p[0] for p in poly]
-            ys = [p[1] for p in poly]
+            rings = _as_rings(polygon_of(int(r["entity_id"])))
+            xs = [p[0] for ring in rings for p in ring]
+            ys = [p[1] for ring in rings for p in ring]
             x0, x1 = max(0, int(np.floor(min(xs)))), min(w - 1, int(np.ceil(max(xs))))
             y0, y1 = max(0, int(np.floor(min(ys)))), min(h - 1, int(np.ceil(max(ys))))
             crop = img[:, y0 : y1 + 1, x0 : x1 + 1]
             yy, xx = np.mgrid[y0 : y1 + 1, x0 : x1 + 1]
-            inside = _point_in_polygon(
-                xx.astype(float) + 0.5, yy.astype(float) + 0.5, poly
+            inside = _union_mask(
+                xx.astype(float) + 0.5, yy.astype(float) + 0.5, rings
             )
             crop = np.where(inside[None, :, :], crop, NODATA).astype(np.uint8)
             rows.append(

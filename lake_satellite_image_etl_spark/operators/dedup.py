@@ -269,8 +269,14 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-# SimHash: 60-bit fingerprint, 4 bands × 15 bits for candidate
-# generation, Hamming ≤ 10 verification.
+# SimHash: 60-bit fingerprint, banded for candidate generation.
+# Band geometry is a KNOB (see simhash_pairs): the registered query
+# pins 4 bands × 15 bits because its DuckDB oracle mirrors that
+# split, but any band_bits dividing 60 with n_bands ≥ threshold + 1
+# yields the SAME pair set by pigeonhole (a pair within Hamming h
+# differs in ≤ h bands, so with h < n_bands at least one band
+# matches) — wider bands are purely a selectivity/skew dial for
+# bigger corpora (2^band_bits keys per band).
 SIMHASH_BITS = 60
 SIMHASH_BAND_BITS = 15
 SIMHASH_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
@@ -417,14 +423,47 @@ _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit fingerprints, 4 bands of 15 bits
-    for candidates (pigeonhole: any pair within Hamming 3 shares a
-    band; larger distances probabilistically), Hamming ≤ HAMMING_THRESHOLD
-    verify.
+    """SimHash near-dup pairs — the registered (4 bands × 15 bits)
+    instantiation of ``simhash_pairs`` (the oracle mirrors this split
+    exactly)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    band_bits: int = SIMHASH_BAND_BITS,
+    hamming_threshold: int = HAMMING_THRESHOLD,
+) -> DataFrame:
+    """SimHash near-dup pairs over a (doc_id, text) DataFrame: 60-bit
+    fingerprints, SIMHASH_BITS/band_bits bands for candidates,
+    Hamming ≤ hamming_threshold verify — the parameterized kernel
+    behind dedup_simhash.
+
+    Band geometry (the scale dial, mirroring
+    ``embedding_cosine_lsh_pairs``): as long as hamming_threshold <
+    n_bands the pigeonhole guarantee holds and the RESULT SET is
+    identical for every band_bits — wider bands only make the buckets
+    more selective (2^band_bits keys per band), which is the fix for
+    the measured band skew (hottest 15-bit bucket holds 27% of docs
+    at sf0.1; at 20-bit bands occupancy drops ~2^5×). Size band_bits
+    ≈ log₂(n / target_occupancy), keeping n_bands = 60/band_bits >
+    hamming_threshold; past that bound recall turns probabilistic
+    (equivalence pinned in tests/test_lsh_geometry.py).
 
     Scale: identical shape to MinHash-LSH — band-keyed equi-join, no
     all-pairs; the fingerprint itself is one narrow map stage."""
-    docs = read_table(spark, sf_dir, "documents")
+    if SIMHASH_BITS % band_bits:
+        raise ValueError(
+            f"band_bits must divide {SIMHASH_BITS}, got {band_bits}"
+        )
+    n_bands = SIMHASH_BITS // band_bits
+    if hamming_threshold >= n_bands:
+        raise ValueError(
+            f"hamming_threshold {hamming_threshold} needs at least "
+            f"{hamming_threshold + 1} bands for exact recall; got "
+            f"{n_bands} (band_bits={band_bits}) — shrink band_bits"
+        )
     # The fingerprint table is two longs per doc — materialize it
     # (eager localCheckpoint) so the band self-join doesn't re-evaluate
     # the 60-bit fingerprint lineage on both sides. localCheckpoint
@@ -448,16 +487,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hashes"),
     ).filter(F.col("hashes").isNotNull())
     s = _simhash_frame(hs).localCheckpoint(eager=True)
-    mask = (1 << SIMHASH_BAND_BITS) - 1
+    mask = (1 << band_bits) - 1
     bands = s.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("simhash", band * SIMHASH_BAND_BITS)
+                    F.shiftright("simhash", band * band_bits)
                     .bitwiseAND(F.lit(mask))
-                    for band in range(SIMHASH_BANDS)
+                    for band in range(n_bands)
                 ]
             )
         ).alias("band", "band_key"),
@@ -476,7 +515,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         # hamming BEFORE the distinct: cheap bit math shrinks the set
         # the dedup shuffle has to carry
-        .filter(hamming <= HAMMING_THRESHOLD)
+        .filter(hamming <= hamming_threshold)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
     )

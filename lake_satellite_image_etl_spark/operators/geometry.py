@@ -231,14 +231,153 @@ def geo_polygon_union_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: rasterized-union grid: the demo coordinate space is [0, 30)²
+#: (x = l_quantity % 30, y = (l_extendedprice % 3000) / 100), so a
+#: 30×30 unit-cell lattice covers it exactly.
+GRID_N = 30
+
+
+def rasterized_union_cells(body: DataFrame, grid_n: int = GRID_N) -> DataFrame:
+    """Exact (cell-accurate) polygon UNION over a ring set, no
+    geometry library: rasterize each body's rings onto a unit lattice
+    — a cell belongs to the union iff its center is inside ANY ring
+    (per-ring even-odd ray-cast, OR across rings). Overlapping rings
+    therefore count interior cells ONCE; the emitted
+    ``overlap_cells = member_cells − union_cells`` is exactly the
+    double-count that the shoelace-sum in geo_polygon_union_bbox
+    cannot see (ref main.py:386-388 gets the same answer via
+    shapely's planar union).
+
+    Input: (body_id, rs array<ring>, n_polygons). All per-cell math
+    is Catalyst HOF expressions (no UDF, whole-stage codegen).
+
+    Scale: the cell relation is |bodies| × grid_n² narrow rows —
+    embarrassingly parallel, no join; rings ride along as one array
+    column per body (unioning thousands of rings per body at fine
+    resolution would instead explode rings and cells separately and
+    equi-join on the cell's ring-bbox bucket, the standard raster
+    spatial-join layout). One shuffle: the final per-body count
+    aggregate, map-side combined."""
+    cells = body.select(
+        "body_id",
+        "n_polygons",
+        "rs",
+        F.explode(F.sequence(F.lit(0), F.lit(grid_n - 1))).alias("gx"),
+    ).select(
+        "body_id",
+        "n_polygons",
+        "rs",
+        "gx",
+        F.explode(F.sequence(F.lit(0), F.lit(grid_n - 1))).alias("gy"),
+    )
+    cx = F.col("gx") + F.lit(0.5)
+    cy = F.col("gy") + F.lit(0.5)
+    hits = F.size(F.filter("rs", lambda r: point_in_ring(cx, cy, r)))
+    per_cell = cells.select("body_id", "n_polygons", hits.alias("hits"))
+    return (
+        per_cell.groupBy("body_id", "n_polygons")
+        .agg(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("union_cells"),
+            F.sum("hits").cast("long").alias("member_cells"),
+        )
+        .withColumn(
+            "overlap_cells",
+            (F.col("member_cells") - F.col("union_cells")).cast("long"),
+        )
+    )
+
+
+@query(
+    "geo_polygon_union_exact",
+    oracle=f"""
+    WITH geom AS (
+        SELECT (l_orderkey // 500) % 5 AS body_id, l_orderkey,
+               array_agg([
+                   (l_quantity % 30)::DOUBLE, ((l_extendedprice % 3000) / 100)::DOUBLE
+               ] ORDER BY l_linenumber, l_quantity, l_extendedprice) AS pts
+        FROM lineitem
+        WHERE l_orderkey % 500 = 0
+        GROUP BY l_orderkey
+    ),
+    rings AS (SELECT body_id, pts || [pts[1]] AS ring FROM geom),
+    body AS (SELECT body_id, array_agg(ring) AS rs,
+                    count(*) AS n_polygons
+             FROM rings GROUP BY body_id),
+    grid AS (
+        SELECT gx + 0.5 AS cx, gy + 0.5 AS cy
+        FROM generate_series(0, {GRID_N - 1}) AS a(gx),
+             generate_series(0, {GRID_N - 1}) AS b(gy)
+    ),
+    cells AS (
+        SELECT body_id, n_polygons,
+               len(list_filter(rs,
+                   r -> {_sql_point_in_ring("cx", "cy", "r")})) AS hits
+        FROM body, grid
+    )
+    SELECT body_id, n_polygons,
+           sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS union_cells,
+           sum(hits)::BIGINT AS member_cells,
+           (sum(hits) - sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END))::BIGINT
+               AS overlap_cells
+    FROM cells
+    GROUP BY body_id, n_polygons
+    """,
+)
+def geo_polygon_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/U7 exact form (main.py:386-388 ``reduce(union)``): the true
+    union MEASURE of each body's overlapping ring set via even-odd
+    rasterization — closes the one semantic gap of
+    geo_polygon_union_bbox, whose shoelace sum double-counts interior
+    overlap (reported here as overlap_cells)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 500 == 0
+    )
+    geom = li.groupBy(
+        (F.floor(F.col("l_orderkey") / 500) % 5).alias("body_id"),
+        F.col("l_orderkey"),
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber",
+                        "l_quantity",
+                        "l_extendedprice",
+                        F.array(
+                            (F.col("l_quantity") % 30).cast("double"),
+                            ((F.col("l_extendedprice") % 3000) / 100).cast("double"),
+                        ).alias("p"),
+                    )
+                )
+            ),
+            lambda s: s["p"],
+        ).alias("pts")
+    )
+    rings = geom.select(
+        "body_id",
+        F.concat(F.col("pts"), F.array(F.element_at("pts", 1))).alias("ring"),
+    )
+    body = rings.groupBy("body_id").agg(
+        F.collect_list("ring").alias("rs"),
+        F.count(F.lit(1)).alias("n_polygons"),
+    )
+    return rasterized_union_cells(body)
+
+
 def exact_union_requires_shapely(polygons):  # pragma: no cover
-    """The exact union *geometry* (main.py:386-388) needs a planar
-    clipping kernel; import-gated on shapely, absent here by design."""
+    """The exact union *polygon boundary* (main.py:386-388) as vector
+    geometry needs a planar clipping kernel; import-gated on shapely,
+    absent here by design. The union MEASURE (area/overlap at cell
+    resolution) is computed natively by rasterized_union_cells /
+    geo_polygon_union_exact above."""
     try:
         import shapely  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "exact polygon union requires shapely; the engine exposes "
-            "bbox/area union aggregates natively (geo_polygon_union_bbox)"
+            "exact polygon union boundary requires shapely; the engine "
+            "computes union measures natively (geo_polygon_union_exact, "
+            "geo_polygon_union_bbox)"
         ) from exc
     raise NotImplementedError

@@ -1,0 +1,95 @@
+"""Golden tests for the exact (even-odd rasterized) polygon union —
+VERDICT r6 item 4: two OVERLAPPING rings must not double-count their
+shared interior, in either the relational union measure
+(rasterized_union_cells) or the raster clip kernel's union mask."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+# two axis-aligned squares: [0,2]² and [1,3]² — 4 cells each on the
+# unit lattice, 1 shared cell, union 7
+SQ_A = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+SQ_B = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+
+
+def test_rasterized_union_counts_overlap_once(spark):
+    from lake_satellite_image_etl_spark.operators.geometry import (
+        rasterized_union_cells,
+    )
+
+    body = spark.createDataFrame(
+        [(1, [[list(p) for p in SQ_A], [list(p) for p in SQ_B]], 2)],
+        "body_id long, rs array<array<array<double>>>, n_polygons long",
+    )
+    row = rasterized_union_cells(body, grid_n=4).collect()[0]
+    assert row.union_cells == 7
+    assert row.member_cells == 8
+    assert row.overlap_cells == 1
+
+
+def test_union_bbox_shoelace_double_counts_the_same_overlap(spark):
+    """The companion bbox/shoelace aggregate is overlap-naive BY
+    DESIGN — pin the divergence the exact form closes: shoelace sums
+    4 + 4 = 8 where the true union measure is 7."""
+    from lake_satellite_image_etl_spark.operators.geometry import (
+        shoelace_area,
+    )
+
+    rings = spark.createDataFrame(
+        [(1, [list(p) for p in SQ_A]), (1, [list(p) for p in SQ_B])],
+        "body_id long, ring array<array<double>>",
+    )
+    total = rings.select(
+        shoelace_area(F.col("ring")).alias("a")
+    ).agg(F.sum("a")).collect()[0][0]
+    assert total == 8.0
+
+
+def test_clip_union_mask_two_overlapping_rings(spark):
+    """Multi-ring clip: pixels inside EITHER ring survive once;
+    pixels in neither become nodata. 4×4 single-band image of 7s."""
+    from lake_satellite_image_etl_spark.multimodal.raster import (
+        NODATA,
+        clip_to_polygon,
+    )
+
+    w = h = 4
+    img = np.full((1, h, w), 7, dtype=np.uint8)
+    stacked = spark.createDataFrame(
+        [(1, w, h, 1, bytearray(img.tobytes()))],
+        "entity_id long, width int, height int, bands int, data binary",
+    )
+    clipped = clip_to_polygon(stacked, lambda eid: [SQ_A, SQ_B]).collect()[0]
+    out = np.frombuffer(clipped.data, dtype=np.uint8).reshape(
+        clipped.bands, clipped.height, clipped.width
+    )
+    # crop = bbox of the ring SET: [0,3]×[0,3] → 4×4 kept
+    assert (clipped.width, clipped.height) == (4, 4)
+    kept = (out[0] != NODATA).sum()
+    assert kept == 7, f"union mask kept {kept} pixels, want 7"
+    # the shared cell (1,1) survives (once) and the far corners don't
+    assert out[0, 1, 1] == 7
+    assert out[0, 3, 0] == NODATA and out[0, 0, 3] == NODATA
+
+
+def test_clip_single_ring_backcompat(spark):
+    """A bare single ring (the pre-r7 polygon_of contract) still
+    works unchanged."""
+    from lake_satellite_image_etl_spark.multimodal.raster import (
+        NODATA,
+        clip_to_polygon,
+    )
+
+    w = h = 4
+    img = np.full((1, h, w), 9, dtype=np.uint8)
+    stacked = spark.createDataFrame(
+        [(1, w, h, 1, bytearray(img.tobytes()))],
+        "entity_id long, width int, height int, bands int, data binary",
+    )
+    clipped = clip_to_polygon(stacked, lambda eid: SQ_A).collect()[0]
+    out = np.frombuffer(clipped.data, dtype=np.uint8).reshape(
+        clipped.bands, clipped.height, clipped.width
+    )
+    assert (out[0] != NODATA).sum() == 4

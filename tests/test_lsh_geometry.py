@@ -156,3 +156,28 @@ def test_lsh_pairs_drop_null_embeddings(spark):
         (r.vec_a, r.vec_b) for r in embedding_cosine_lsh_pairs(emb).collect()
     }
     assert pairs == {(1, 3)}
+
+
+def test_simhash_band_geometry_equivalence(spark):
+    """The band_bits knob must be result-invariant while the
+    pigeonhole bound holds (hamming_threshold < n_bands): a pair
+    within Hamming h differs in at most h bands, so with h < n_bands
+    some band matches under ANY split of the 60 bits. 20-bit bands
+    (3 bands, 2^20 keys — the scaled geometry the 10x smoke drives)
+    must emit exactly the 15-bit default's pair set."""
+    import pytest
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, SF_DIR, "documents")
+    rows = lambda df: {tuple(r) for r in df.collect()}
+    assert rows(simhash_pairs(docs, band_bits=20)) == rows(
+        simhash_pairs(docs, band_bits=15)
+    )
+    # past the bound the guarantee is gone -> loud error, not silent
+    # recall loss
+    with pytest.raises(ValueError, match="exact recall"):
+        simhash_pairs(docs, band_bits=30)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_pairs(docs, band_bits=17)

@@ -88,9 +88,11 @@ def main() -> None:
         gen()
 
     from lake_satellite_image_etl_spark import registry
+    from lake_satellite_image_etl_spark.io import read_table
     from lake_satellite_image_etl_spark.operators.dedup import (
         dedup_embedding_cosine,
         embedding_cosine_lsh_pairs,
+        simhash_pairs,
     )
     from lake_satellite_image_etl_spark.session import get_spark
 
@@ -130,16 +132,32 @@ def main() -> None:
     # below by reading the input and emitting the output, so an
     # operator is "linear enough" when wall growth tracks whichever
     # grew more, with 2× slack for shuffle/log-factor costs.
+    # SimHash at 10x drives the SCALED band geometry (20-bit bands,
+    # 2^20 keys — the band_bits knob sized up for the larger corpus,
+    # like the 16-bit embedding-LSH line above). The pair SET is
+    # invariant under the knob while hamming_threshold < n_bands
+    # (pigeonhole; equivalence pinned in tests/test_lsh_geometry.py),
+    # so out_ratio stays comparable — only bucket occupancy/skew
+    # changes.
+    def _simhash_scaled(spark, sf_dir):
+        return simhash_pairs(
+            read_table(spark, sf_dir, "documents"), band_bits=20
+        )
+
+    scaled_fns = {"dedup_simhash": _simhash_scaled}
+
     table: dict[str, dict[str, object]] = {}
     for name in DOC_QUERIES + SIM_QUERIES:
         fn = queries[name]
         base, base_rows = _timed(fn, spark, BASE_DIR)
-        scale, scale_rows = _timed(fn, spark, SCALE_DIR)
+        scale, scale_rows = _timed(scaled_fns.get(name, fn), spark, SCALE_DIR)
         entry: dict[str, object] = {
             "sf0.1_sec": base,
             "sfscale_sec": scale,
             "rows_out": {"sf0.1": base_rows, "sfscale": scale_rows},
         }
+        if name in scaled_fns:
+            entry["scaled_geometry"] = "band_bits=20 (3 bands, 2^20 keys)"
         if name in DOC_QUERIES:
             entry["ratio"] = round(scale / base, 1) if base else float("nan")
             entry["row_ratio"] = 10.0
