@@ -93,3 +93,64 @@ def test_clip_single_ring_backcompat(spark):
         clipped.bands, clipped.height, clipped.width
     )
     assert (out[0] != NODATA).sum() == 4
+
+
+def _png_decode(png: bytes):
+    """Minimal chunk-walking PNG reader (test-local): returns
+    (w, h, color_type, raw pixel array channel-last) and verifies
+    signature + every chunk CRC."""
+    import struct
+    import zlib
+
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat, ihdr = 8, b"", None
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", png[pos + 8 + ln : pos + 12 + ln])
+        assert crc == zlib.crc32(tag + data), f"bad CRC on {tag}"
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        pos += 12 + ln
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    assert (depth, comp, filt, interlace) == (8, 0, 0, 0)
+    nch = {0: 1, 4: 2, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + w * nch)
+    assert (rows[:, 0] == 0).all(), "non-None scanline filter"
+    return w, h, color_type, rows[:, 1:].reshape(h, w, nch)
+
+
+def test_thumbnail_emits_valid_png(spark):
+    """U6 golden (VERDICT r6 item 5): thumbnail blobs parse as valid
+    PNG (signature, CRCs, dims) and the pixels round-trip the
+    nearest-neighbor decimation exactly."""
+    from lake_satellite_image_etl_spark.multimodal.raster import thumbnail
+
+    w, h, nb = 21, 14, 3
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(nb, h, w), dtype=np.uint8)
+    stacked = spark.createDataFrame(
+        [(5, w, h, nb, bytearray(img.tobytes()))],
+        "entity_id long, width int, height int, bands int, data binary",
+    )
+    row = thumbnail(stacked).collect()[0]
+    assert (row.thumb_width, row.thumb_height) == (3, 2)
+    pw, ph, color_type, px = _png_decode(bytes(row.thumb))
+    assert (pw, ph, color_type) == (3, 2, 2)  # RGB
+    ys = (np.arange(2) * h) // 2
+    xs = (np.arange(3) * w) // 3
+    expect = img[:, ys][:, :, xs].transpose(1, 2, 0)
+    assert (px == expect).all()
+
+
+def test_png_encode_grayscale_roundtrip():
+    from lake_satellite_image_etl_spark.multimodal.raster import png_encode
+
+    arr = np.arange(12, dtype=np.uint8).reshape(1, 3, 4)
+    w, h, color_type, px = _png_decode(png_encode(arr))
+    assert (w, h, color_type) == (4, 3, 0)
+    assert (px[:, :, 0] == arr[0]).all()
