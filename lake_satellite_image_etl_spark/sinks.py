@@ -88,6 +88,124 @@ def write_binary_artifacts(df: DataFrame, out_dir: str, key_col: str, data_col: 
     return n_written.value
 
 
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    pk: list[str],
+    driver: str | None = None,
+) -> int:
+    """K1 deployable form against a live RDBMS (main.py:453-457
+    ``INSERT … ON CONFLICT DO NOTHING``): distributed staging append +
+    one server-side set-based ``MERGE``.
+
+    Spark's JDBC sink streams the DataFrame into a session-unique
+    staging table from the EXECUTORS (batched PreparedStatement
+    inserts per partition — the distributed half); then a single
+    ``MERGE INTO target USING staging … WHEN NOT MATCHED THEN
+    INSERT`` runs inside the database (the transactional half —
+    Derby's ANSI analog of ON CONFLICT DO NOTHING; on Postgres the
+    same statement works verbatim from 15, or swap the one string for
+    INSERT … ON CONFLICT). This staging+merge split is the canonical
+    warehouse bulk-upsert: per-row upserts from tasks would hold row
+    locks across the whole job, while the merge is one set-based
+    statement the database can plan. Row-at-a-time engines with a
+    Python DB-API driver can use ``write_dbapi_upsert`` below
+    instead.
+
+    Creates the target (empty) when absent. Returns the number of
+    rows the MERGE inserted — 0 on a re-run with the same input
+    (run-twice contract, tests/test_jdbc.py).
+    """
+    jvm = df.sparkSession._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+
+    def q(ident: str) -> str:
+        return '"' + ident + '"'
+
+    staging = f"stage_{uuid.uuid4().hex[:12]}"
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", staging)
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.mode("overwrite").save()
+
+    # target create-if-absent: mode("ignore") no-ops when it exists
+    tgt = df.limit(0).write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        tgt = tgt.option("driver", driver)
+    tgt.mode("ignore").save()
+
+    cols = ", ".join(q(c) for c in df.columns)
+    src_cols = ", ".join(f"s.{q(c)}" for c in df.columns)
+    on = " AND ".join(f"t.{q(c)} = s.{q(c)}" for c in pk)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            n = stmt.executeUpdate(
+                f"MERGE INTO {table} t USING {staging} s ON {on} "
+                f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({src_cols})"
+            )
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+    return n
+
+
+def write_dbapi_upsert(
+    df: DataFrame,
+    connect_fn,
+    upsert_sql: str,
+    cols: list[str],
+    batch_size: int = 500,
+) -> int:
+    """K1 deployable form, row-batch flavor: ``foreachPartition``
+    batched upserts through any Python DB-API connection factory —
+    the exact executor-side loop a Postgres deployment runs with
+    ``connect_fn=psycopg2.connect(...)`` and ``upsert_sql="INSERT …
+    ON CONFLICT DO NOTHING"`` (main.py:453-457).
+
+    Each partition opens ONE connection, executes ``executemany`` per
+    ``batch_size`` rows, and commits once — parallelism = partition
+    count, a task retry re-upserts only its partition (idempotent by
+    the conflict clause). ``upsert_sql`` is dialect-owned by the
+    caller (ON CONFLICT / INSERT OR IGNORE / MERGE) with one ``?`` or
+    ``%s`` placeholder per column in ``cols`` order. Returns rows
+    actually inserted, summed from cursor rowcounts via an
+    accumulator in the same pass (a second counting action would
+    re-run the lineage)."""
+    rows = df.select(*cols)
+    n_inserted = rows.sparkSession.sparkContext.accumulator(0)
+
+    def _upsert_partition(it) -> None:
+        conn = connect_fn()
+        try:
+            cur = conn.cursor()
+            batch: list[tuple] = []
+
+            def flush() -> None:
+                if batch:
+                    cur.executemany(upsert_sql, batch)
+                    if cur.rowcount and cur.rowcount > 0:
+                        n_inserted.add(cur.rowcount)
+                    batch.clear()
+
+            for row in it:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    flush()
+            flush()
+            conn.commit()
+        finally:
+            conn.close()
+
+    rows.foreachPartition(_upsert_partition)
+    return n_inserted.value
+
+
 def write_partitioned_parquet(
     df: DataFrame, out_path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
