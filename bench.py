@@ -8,12 +8,21 @@ every result row is materialized and discarded there, so the timing
 measures the engine, not the driver transfer (a plain ``collect()``
 would bill multi-100k-row results' ser/de to the query; VERDICT r1
 flagged exactly that on join_fanout_1n).
+
+The run is split into FORKED BATCHES — a fresh JVM per
+``$SPARK_GRAFT_BENCH_BATCH`` (default 16) queries (VERDICT r6 item 7):
+~90 queries in one shared JVM accumulate codegen caches / broadcast
+refs / GC pressure until late queries read 3-10× their isolated time
+(r6's agg_exact_corr printed 18.2 s shared vs 1.66 s isolated), and
+per-query System.gc() was not enough. Batch JVM startup costs ~10 s
+each but makes the artifact trustworthy without footnotes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,6 +31,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "16"))
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -32,26 +42,29 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def main() -> None:
+def _query_names() -> list[str]:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    bench_names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if bench_names:
+        return [n for n in bench_names.split(",") if n in queries]
+    return list(queries)
+
+
+def run_batch(names: list[str]) -> None:
+    """Child mode: time the given queries in THIS process's JVM and
+    print one JSON line {"queries": {name: sec}}."""
     import __spark_entry__ as entrymod
     from lake_satellite_image_etl_spark.session import get_spark
 
-    bench_names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-
     queries = entrymod.queries()
-    if bench_names:
-        names = [n for n in bench_names.split(",") if n in queries]
-    else:
-        names = list(queries)
 
     timings: dict[str, float] = {}
-    total = 0.0
     for i, name in enumerate(names):
-        # liveness breadcrumb on stderr (stdout stays ONE JSON line);
-        # BENCH_r05 recorded a truncated tail — if a runner caps wall
-        # time, the log should at least show how far the run got.
+        # liveness breadcrumb on stderr (stdout stays ONE JSON line)
         print(f"bench [{i + 1}/{len(names)}] {name}", file=sys.stderr, flush=True)
         fn = queries[name]
         try:
@@ -63,14 +76,40 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")
         timings[name] = round(dt, 4)
-        total += dt if dt == dt else 0.0
-        # drop accumulated state between queries: 70 queries in one JVM
-        # otherwise build up broadcasts/codegen until GC thrash inflates
-        # late-running queries by 3-5× (measured) — the bench should
-        # time each query cold-state, like the driver's per-query runs.
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    print(json.dumps({"queries": timings}), flush=True)
+
+
+def main() -> None:
+    names = _query_names()
+    chunks = [names[i : i + BATCH] for i in range(0, len(names), BATCH)]
+    timings: dict[str, float] = {}
+    for ci, chunk in enumerate(chunks):
+        print(
+            f"bench batch {ci + 1}/{len(chunks)} ({len(chunk)} queries, fresh JVM)",
+            file=sys.stderr,
+            flush=True,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run-batch", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(proc.stderr)
+        try:
+            batch_timings = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+        except (IndexError, ValueError, KeyError):
+            print(
+                f"bench batch {ci + 1} produced no JSON (exit {proc.returncode})",
+                file=sys.stderr,
+                flush=True,
+            )
+            batch_timings = {n: float("nan") for n in chunk}
+        timings.update(batch_timings)
+
+    total = sum(t for t in timings.values() if t == t)
     print(
         json.dumps(
             {
@@ -79,6 +118,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_label(SF_DIR),
+                "batch_size": BATCH,
+                "n_batches": len(chunks),
             }
         ),
         flush=True,
@@ -86,4 +127,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run-batch":
+        run_batch([n for n in sys.argv[2].split(",") if n])
+    else:
+        main()
