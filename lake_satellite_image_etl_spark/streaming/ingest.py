@@ -38,14 +38,25 @@ LOOKBACK = "30 days"
 
 
 def _events_ts_encoding(events_glob: str) -> str:
-    """Inspect the parquet footer of one matching file to learn how
+    """Inspect the parquet footers of the matching files to learn how
     ``ts`` is physically encoded. Returns ``"ns-long"`` (legacy
-    nanosecond fixture: must be read as int64 and truncated) or
-    ``"timestamp"`` (µs/ms timestamp, NTZ or not: read directly).
+    nanosecond fixture: int64 annotated timestamp[ns] — must be read
+    as raw int64 and truncated) or ``"timestamp"`` (µs/ms int64 or
+    legacy INT96, NTZ or not: Spark's TimestampType reads all of
+    these directly). The physical type matters: pyarrow surfaces
+    BOTH int64-ns and INT96 as ``timestamp[ns]``, but only the former
+    needs the ``nanosAsLong`` raw-read path — classifying INT96 as
+    ns-long makes Spark demand bigint from an INT96 column and fail
+    the read (ADVICE r6).
 
-    Footer-sniffing beats hard-coding because the fixture generator has
-    shipped both encodings; a streaming source's schema is fixed up
-    front, so we must pick the right one before the query starts.
+    Footer-sniffing beats hard-coding because the fixture generator
+    has shipped several encodings; a streaming source's schema is
+    fixed up front, so we must pick the right one before the query
+    starts. ALL readable footers are collected first (files staged
+    flat or nested one level, ``part-*`` dirs included) and must
+    agree — a directory mixing encodings cannot be served by one
+    fixed schema, so that raises instead of silently misreading the
+    minority files (ADVICE r6).
     """
     import glob as _glob
     import os as _os
@@ -55,17 +66,36 @@ def _events_ts_encoding(events_glob: str) -> str:
     pattern = events_glob
     if "*" not in pattern and _os.path.isdir(pattern):
         pattern = _os.path.join(pattern, "*.parquet")
-    matches = sorted(_glob.glob(pattern)) or sorted(_glob.glob(events_glob))
-    for path in matches:
+    files: list[str] = []
+    for path in sorted(set(_glob.glob(pattern)) | set(_glob.glob(events_glob))):
         if _os.path.isdir(path):
             # directory-form dataset (events.parquet/part-*.parquet)
-            matches.extend(sorted(_glob.glob(_os.path.join(path, "*.parquet"))))
-            continue
+            files.extend(sorted(_glob.glob(_os.path.join(path, "*.parquet"))))
+        else:
+            files.append(path)
+
+    encodings: dict[str, str] = {}
+    for path in files:
         try:
-            field = _pq.read_schema(path).field("ts")
+            pf = _pq.ParquetFile(path)
+            field = pf.schema_arrow.field("ts")
+            idx = pf.schema_arrow.get_field_index("ts")
+            physical = pf.schema.column(idx).physical_type
         except (KeyError, OSError):
             continue
-        return "ns-long" if str(field.type) == "timestamp[ns]" else "timestamp"
+        encodings[path] = (
+            "ns-long"
+            if str(field.type) == "timestamp[ns]" and physical == "INT64"
+            else "timestamp"
+        )
+    distinct = set(encodings.values())
+    if len(distinct) > 1:
+        raise ValueError(
+            f"mixed ts encodings under {events_glob!r}: {encodings}; one "
+            "streaming schema cannot read both — re-stage the minority files"
+        )
+    if distinct:
+        return distinct.pop()
     # fail LOUDLY: a silent "timestamp" default here would resurrect
     # the r5 class of bug (misreading a legacy ns fixture) with an
     # error pointing at the reader instead of the sniffer.

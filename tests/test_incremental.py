@@ -203,3 +203,73 @@ def test_approx_distinct_within_5pct(spark):
     )
     for r in got.collect():
         assert abs(r["approx"] - r["exact"]) / r["exact"] <= 0.05
+
+
+def test_streaming_two_tranches_watermark_eviction(spark):
+    """VERDICT r6 item 8 — multi-micro-batch watermark lifecycle
+    across two AvailableNow drains of the SAME checkpoint:
+
+    run 1 (tranche 1): A(00:00) and B(10:00) both emit; the
+    checkpointed watermark advances to 10:00 − 1h = 09:00, which is
+    already past A's state expiry (00:00 + 1h) — A's dedup state is
+    FREED, B's lives until 11:00.
+
+    run 2 (tranche 2): a duplicate of A at 08:00 is LATE (< 09:00
+    watermark) and is dropped; a duplicate of A at 09:30 re-emits
+    (state was evicted — the lookback re-entry contract,
+    main.py:45-46); a duplicate of B at 10:30 is still suppressed
+    (state live); a fresh C at 12:00 emits."""
+    from pyspark.sql import types as T
+
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        run_available_now,
+    )
+
+    src = os.path.join(SCRATCH, "tranche_src")
+    out = os.path.join(SCRATCH, "tranche_out")
+    ckpt = os.path.join(SCRATCH, "tranche_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(name, rows):
+        tmp = os.path.join(SCRATCH, f"tmp_{name}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    from datetime import datetime
+
+    d = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    stage(
+        "t1",
+        [
+            (1, d(0), 1, "x", 1.0, "{}"),   # A
+            (2, d(10), 2, "y", 1.0, "{}"),  # B
+        ],
+    )
+    run_available_now(spark, src, out, ckpt, lookback="1 hour")
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    stage(
+        "t2",
+        [
+            (3, d(8), 1, "x", 2.0, "{}"),      # A dup, LATE -> dropped
+            (4, d(9, 30), 1, "x", 3.0, "{}"),  # A dup, state evicted -> emits
+            (5, d(10, 30), 2, "y", 2.0, "{}"), # B dup, state live -> suppressed
+            (6, d(12), 3, "z", 1.0, "{}"),     # C fresh -> emits
+        ],
+    )
+    run_available_now(spark, src, out, ckpt, lookback="1 hour")
+    rows = {
+        (r.user_id, r.event_type, r.ts)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (1, "x", d(0)) in rows and (2, "y", d(10)) in rows  # run 1
+    assert (1, "x", d(9, 30)) in rows, "evicted key failed to re-enter"
+    assert (3, "z", d(12)) in rows
+    assert (1, "x", d(8)) not in rows, "late row not dropped"
+    assert (2, "y", d(10, 30)) not in rows, "live dedup state lost"
+    assert len(rows) == 4
