@@ -629,6 +629,111 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: span-level exact dedup: consecutive SPAN_TOKENS-token windows, the
+#: C4/Lee-et-al.-2022 substring-dedup unit when the corpus carries no
+#: paragraph boundaries (k = 50 tokens in the paper; 10 here so the
+#: short fixture docs produce multiple spans). Docs whose duplicated-
+#: span fraction exceeds SPAN_DUP_FRAC_MAX are marked keep = false.
+SPAN_TOKENS = 10
+SPAN_DUP_FRAC_MAX = 0.5
+
+
+@query(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, (len(toks) // {SPAN_TOKENS})::BIGINT AS n_spans,
+                    toks
+             FROM t),
+    spans AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, i * {SPAN_TOKENS} + 1,
+                              i * {SPAN_TOKENS} + {SPAN_TOKENS}), ' '))
+                   AS span_hash
+        FROM base, unnest(generate_series(0, n_spans - 1)) AS u(i)
+        WHERE n_spans > 0
+    ),
+    counts AS (SELECT span_hash, count(*) AS cnt FROM spans GROUP BY 1),
+    per_doc AS (
+        SELECT s.doc_id,
+               sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS n_dup
+        FROM spans s JOIN counts c USING (span_hash) GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_spans,
+           COALESCE(p.n_dup, 0)::BIGINT AS n_dup_spans,
+           CASE WHEN b.n_spans > 0
+                THEN round(COALESCE(p.n_dup, 0)::DOUBLE / b.n_spans, 6)
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN b.n_spans > 0
+                 THEN COALESCE(p.n_dup, 0)::DOUBLE / b.n_spans
+                 ELSE 0.0 END) <= {SPAN_DUP_FRAC_MAX} AS keep
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4 / Lee et al. 2022 unit, scaled
+    down to the fixture): split each doc into consecutive
+    {SPAN_TOKENS}-token spans, hash each span, count corpus-wide
+    occurrences, and score each doc by its duplicated-span fraction
+    (keep = fraction ≤ {SPAN_DUP_FRAC_MAX}) — the operator that
+    catches boilerplate shared across otherwise-distinct documents,
+    which whole-doc dedup (dedup_exact_hash) cannot.
+
+    Scale: the only corpus-sized shuffle carries (span_hash) —
+    32-char hashes, never text — for the count; the count table joins
+    back on the same key (no re-shuffle of the span side under AQE),
+    and the per-doc rollup shuffles (doc_id, two ints). Short docs
+    (< {SPAN_TOKENS} tokens, zero full spans) are preserved with
+    dup_frac 0 via the left join, not silently dropped. The trailing
+    partial span is excluded on both engines (floor split)."""
+    k = SPAN_TOKENS
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens_of(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.floor(F.size("toks") / k).cast("long").alias("n_spans"),
+    )
+    # guard the sequence: Spark's sequence(0, -1) is a DESCENDING
+    # 2-element array (not empty like DuckDB's generate_series), so
+    # zero-span docs must skip the transform entirely
+    spans = base.filter(F.col("n_spans") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.col("n_spans") - 1).cast("int")),
+                lambda i: F.md5(
+                    F.array_join(F.slice("toks", i * k + 1, k), " ")
+                ),
+            )
+        ).alias("span_hash"),
+    )
+    counts = spans.groupBy("span_hash").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        spans.join(counts, "span_hash")
+        .groupBy("doc_id")
+        .agg(F.sum((F.col("cnt") > 1).cast("long")).alias("n_dup"))
+    )
+    dup_frac = F.when(
+        F.col("n_spans") > 0,
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("double") / F.col("n_spans"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id", "n_spans")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(dup_frac, 6).alias("dup_frac"),
+            (dup_frac <= SPAN_DUP_FRAC_MAX).alias("keep"),
+        )
+    )
+
+
 #: safety bound on propagation rounds — a backstop against a buggy
 #: non-converging loop, far above any real near-dup component diameter
 #: (components are quasi-cliques; diameter grows ~log of chain length).

@@ -78,7 +78,7 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
+    "dedup_span_exact",
     "dedup_embedding_cosine",
     # -- similarity search ---------------------------------------------
     "similarity_topk_bruteforce",
@@ -141,11 +141,13 @@ _PRIORITY = (
     "stream_window_batch",
     "text_redact_pii",
     # ---- first 50 end here -------------------------------------------
-    # Rotated out r7 (driver-green r5+r6, untouched this round):
+    # Rotated out r7 (driver-green r5+r6, untouched this round;
+    # dedup_cluster_assign made room for the r7-new dedup_span_exact):
     "join_asof",
     "join_range_bucket",
     "incremental_lookback",
     "corpus_pack_sequences",
+    "dedup_cluster_assign",
     # Rotated out r6 (driver-green r4+r5, untouched this round;
     # skew_salted_join made room for the new video entry):
     "skew_salted_join",
