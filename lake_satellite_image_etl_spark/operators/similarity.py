@@ -195,28 +195,63 @@ N_PROBE = 5
     """,
 )
 def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k, IVF shape: coarse quantizer → one Lloyd refinement →
-    inverted lists → probe the {N_PROBE} nearest lists → exact re-rank.
-
-    The coarse codebook is seeded by the per-label integer centroid
-    table, then refined by one exact Lloyd iteration (assign every
-    vector to its nearest seed centroid, recompute centroids from the
-    assignment) — the k-means training step itself, expressed
-    relationally, so the codebook is geometry-driven rather than a
-    label stand-in. Exact integer sums keep the assignment
-    engine-independent. A query probes its {N_PROBE} nearest refined
-    centroids and searches only those lists — at 100 TB with √n
-    centroids this is the classic n·√n ANN cost instead of n² (the
-    probe fraction is N_PROBE/√n; the 10-cell fixture codebook makes
-    that fraction look large here, but the cell count, not the probe
-    logic, is what scales). The probe join shuffles on the centroid
-    id (bounded, near-uniform after refinement); more Lloyd rounds
-    would chain the same two CTE/DataFrame blocks. Recall measured at
-    {N_PROBE} probes on the refined codebook is pinned ≥ 0.8 in
-    tests/test_ann_recall.py; both engines share the identical
-    assignment, so the gate compares exactly."""
+    """ANN top-k, IVF shape — the registered (label-seeded,
+    {N_PROBE}-probe) instantiation of ``ivf_topk`` (the oracle
+    mirrors that codebook exactly). Recall measured at {N_PROBE}
+    probes on the refined codebook is pinned ≥ 0.8 in
+    tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", "label", qvec_of(F.col("embedding")).alias("qv"))
+    return ivf_topk(emb)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    seed_bits: int = 0,
+    n_probe: int = N_PROBE,
+    query_stride: int = QUERY_STRIDE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k over a (vec_id, label, embedding) DataFrame, IVF
+    shape: coarse quantizer → one Lloyd refinement → inverted lists →
+    probe the n_probe nearest lists → exact re-rank. The
+    parameterized kernel behind similarity_ivf_probe.
+
+    The coarse codebook is seeded by per-label integer centroids —
+    split ``2**seed_bits`` ways per label by deterministic sign-LSH
+    bits when ``seed_bits > 0`` (the CELL-COUNT dial: size
+    ``labels × 2^seed_bits ≈ √n`` for your n, exactly like the
+    ``band_bits`` knobs on the dedup paths; the registered entry pins
+    0 because its DuckDB oracle mirrors the 10-cell label codebook) —
+    then refined by one exact Lloyd iteration (assign every vector to
+    its nearest seed centroid, recompute centroids from the
+    assignment): the k-means training step itself, expressed
+    relationally, so cells are geometry-driven. Exact integer sums
+    keep the assignment engine-independent.
+
+    Scale: with √n cells this is the classic n·√n ANN cost instead of
+    n² — assignment is n × cells broadcast-map work, and a query
+    probes n_probe/cells of the corpus. The probe join shuffles on
+    the centroid id (bounded, near-uniform after refinement); more
+    Lloyd rounds would chain the same two DataFrame blocks."""
+    q = emb.select(
+        "vec_id", "label", qvec_of(F.col("embedding")).alias("qv")
+    ).filter(F.col("qv").isNotNull())
+    if seed_bits:
+        if seed_bits > N_PLANES:
+            raise ValueError(
+                f"seed_bits {seed_bits} exceeds the {N_PLANES}-plane "
+                "matrix; extend PLANES to split finer"
+            )
+        # label-local geometric split: seed cell = label # first
+        # seed_bits sign-plane bits (coherent subcells, unlike a
+        # random mod split, so the Lloyd step starts near k-means++
+        # quality)
+        q = q.withColumn(
+            "label",
+            F.concat_ws(
+                "#", F.col("label"), _bucket_expr(F.col("qv"), seed_bits)
+            ),
+        )
 
     def centroids(rows: DataFrame, key: str) -> DataFrame:
         """Exact integer centroid (component-wise sum) per cell."""
@@ -264,7 +299,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         assigned.filter(
-            (F.col("crank") <= N_PROBE) & (F.col("vec_id") % QUERY_STRIDE == 0)
+            (F.col("crank") <= n_probe) & (F.col("vec_id") % query_stride == 0)
         )
         .select(F.col("vec_id").alias("query_id"), "c_label")
     )
@@ -285,7 +320,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qn), "query_id")
         .select("query_id", "candidate_id", cos.alias("cos_sim_exact"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select(
             "query_id",
             "candidate_id",
@@ -295,14 +330,18 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(qv):
-    """LSH bucket id: bit p = sign of the integer projection onto
-    hyperplane p. Planes are literal arrays — data-independent, known
-    at plan time, constant-folded by Catalyst."""
+def _bucket_expr(qv, n_planes: int = N_PLANES):
+    """LSH bucket id over the first ``n_planes`` hyperplanes: bit p =
+    sign of the integer projection onto hyperplane p. Planes are
+    literal arrays — data-independent, known at plan time,
+    constant-folded by Catalyst."""
     planes = F.array(
-        *[F.array(*[F.lit(w).cast("long") for w in row]) for row in PLANES]
+        *[
+            F.array(*[F.lit(w).cast("long") for w in row])
+            for row in PLANES[:n_planes]
+        ]
     )
-    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(N_PLANES)])
+    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
     projections = F.transform(
         planes,
         lambda row: F.aggregate(

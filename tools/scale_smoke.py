@@ -94,6 +94,7 @@ def main() -> None:
         embedding_cosine_lsh_pairs,
         simhash_pairs,
     )
+    from lake_satellite_image_etl_spark.operators.similarity import ivf_topk
     from lake_satellite_image_etl_spark.session import get_spark
 
     queries, _ = registry.load_all()
@@ -144,7 +145,23 @@ def main() -> None:
             read_table(spark, sf_dir, "documents"), band_bits=20
         )
 
-    scaled_fns = {"dedup_simhash": _simhash_scaled}
+    # IVF at 120 K vectors drives the scaled CODEBOOK (seed_bits=5:
+    # 10 labels × 32 = 320 cells ≈ √n), not the 10-cell fixture
+    # codebook — 5 probes then scan ~1.6% of the corpus per query
+    # instead of ~50%. Unlike the simhash knob this changes the
+    # result set (different cells ⇒ different candidate recall); the
+    # smoke checks cost shape, recall is pinned separately in
+    # tests/test_ann_recall.py.
+    def _ivf_scaled(spark, sf_dir):
+        return ivf_topk(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            seed_bits=5,
+        )
+
+    scaled_fns = {
+        "dedup_simhash": _simhash_scaled,
+        "similarity_ivf_probe": _ivf_scaled,
+    }
 
     table: dict[str, dict[str, object]] = {}
     for name in DOC_QUERIES + SIM_QUERIES:
