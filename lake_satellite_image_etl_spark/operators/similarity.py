@@ -125,11 +125,14 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 5
 
-
-@query(
-    "similarity_ivf_probe",
-    oracle=f"""
-    WITH q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings),
+#: the IVF codebook as SQL — seed per-label integer centroids, one
+#: exact Lloyd refinement, final cell assignment. Shared verbatim by
+#: the ``similarity_ivf_probe`` and ``dedup_semantic_cells`` oracles
+#: so both mirror the SAME codebook the Spark side builds
+#: (``ivf_assign``); ends with ``assigned`` (every vector × every
+#: cell, ranked by cosine affinity) and ``lists`` (the crank-1 cell
+#: membership).
+SQL_IVF_CELL_CTES = f"""q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings),
     e AS (
         SELECT vec_id, label, unnest(qv) AS qc,
                unnest(generate_series(1, len(qv))) AS pos
@@ -172,7 +175,13 @@ N_PROBE = 5
                                   ORDER BY c_cos DESC, c_label) AS crank
         FROM affinity
     ),
-    lists AS (SELECT vec_id, qv, nrm, c_label FROM assigned WHERE crank = 1),
+    lists AS (SELECT vec_id, qv, nrm, c_label FROM assigned WHERE crank = 1)"""
+
+
+@query(
+    "similarity_ivf_probe",
+    oracle=f"""
+    WITH {SQL_IVF_CELL_CTES},
     probes AS (
         SELECT vec_id AS query_id, c_label FROM assigned
         WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
@@ -204,35 +213,29 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb)
 
 
-def ivf_topk(
-    emb: DataFrame,
-    seed_bits: int = 0,
-    n_probe: int = N_PROBE,
-    query_stride: int = QUERY_STRIDE,
-    top_k: int = TOP_K,
-) -> DataFrame:
-    """ANN top-k over a (vec_id, label, embedding) DataFrame, IVF
-    shape: coarse quantizer → one Lloyd refinement → inverted lists →
-    probe the n_probe nearest lists → exact re-rank. The
-    parameterized kernel behind similarity_ivf_probe.
-
-    The coarse codebook is seeded by per-label integer centroids —
+def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
+    """Build the IVF codebook and rank every vector against every
+    cell: coarse quantizer seeded by per-label integer centroids —
     split ``2**seed_bits`` ways per label by deterministic sign-LSH
     bits when ``seed_bits > 0`` (the CELL-COUNT dial: size
     ``labels × 2^seed_bits ≈ √n`` for your n, exactly like the
-    ``band_bits`` knobs on the dedup paths; the registered entry pins
-    0 because its DuckDB oracle mirrors the 10-cell label codebook) —
-    then refined by one exact Lloyd iteration (assign every vector to
-    its nearest seed centroid, recompute centroids from the
-    assignment): the k-means training step itself, expressed
+    ``band_bits`` knobs on the dedup paths; the registered entries
+    pin 0 because their DuckDB oracles mirror the 10-cell label
+    codebook) — then refined by one exact Lloyd iteration (assign
+    every vector to its nearest seed centroid, recompute centroids
+    from the assignment): the k-means training step itself, expressed
     relationally, so cells are geometry-driven. Exact integer sums
     keep the assignment engine-independent.
 
-    Scale: with √n cells this is the classic n·√n ANN cost instead of
-    n² — assignment is n × cells broadcast-map work, and a query
-    probes n_probe/cells of the corpus. The probe join shuffles on
-    the centroid id (bounded, near-uniform after refinement); more
-    Lloyd rounds would chain the same two DataFrame blocks."""
+    Returns ``(vec_id, qv, nrm, c_label, c_cos, crank)`` — crank 1 is
+    the vector's cell (the ``lists`` CTE of ``SQL_IVF_CELL_CTES``);
+    crank ≤ n_probe is its probe set. Shared by ``ivf_topk`` (ANN)
+    and ``dedup_semantic_cells`` (SemDeDup).
+
+    Scale: assignment is n × cells broadcast-map work (the codebook
+    broadcasts — it is √n rows of DIM ints); with √n cells the
+    downstream inverted-list ops are the classic n·√n cost instead of
+    n²; more Lloyd rounds would chain the same two DataFrame blocks."""
     q = emb.select(
         "vec_id", "label", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
@@ -290,7 +293,25 @@ def ivf_topk(
     cent0 = centroids(q, "label")
     cells = assign(cent0).filter(F.col("crank") == 1).select("vec_id", "qv", "c_label")
     cent1 = centroids(cells, "c_label")
-    assigned = assign(cent1)
+    return assign(cent1)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    seed_bits: int = 0,
+    n_probe: int = N_PROBE,
+    query_stride: int = QUERY_STRIDE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k over a (vec_id, label, embedding) DataFrame, IVF
+    shape: ``ivf_assign`` codebook → inverted lists → probe the
+    n_probe nearest lists → exact re-rank. The parameterized kernel
+    behind similarity_ivf_probe.
+
+    Scale: a query probes n_probe/cells of the corpus; the probe join
+    shuffles on the centroid id (bounded, near-uniform after the
+    Lloyd refinement)."""
+    assigned = ivf_assign(emb, seed_bits)
     lists = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("qv").alias("c_qv"),
@@ -303,7 +324,7 @@ def ivf_topk(
         )
         .select(F.col("vec_id").alias("query_id"), "c_label")
     )
-    qn = n.select(
+    qn = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
         F.col("nrm").alias("q_nrm"),
@@ -467,5 +488,100 @@ def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_id",
             F.round("cos_sim_exact", 6).alias("cos_sim"),
             "rank",
+        )
+    )
+
+
+#: SemDeDup duplicate threshold — same cosine bar as the global
+#: brute-force dedup (operators/dedup.py COSINE_DUP_THRESHOLD) so the
+#: two paths are directly comparable: semantic dedup finds the subset
+#: of those pairs whose ends land in the same IVF cell.
+SEMANTIC_DUP_TAU = 0.4
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH {SQL_IVF_CELL_CTES},
+    sizes AS (
+        SELECT c_label, count(*)::BIGINT AS cell_size FROM lists GROUP BY 1
+    ),
+    dups AS (
+        SELECT a.vec_id, min(b.vec_id) AS keeper
+        FROM lists a
+        JOIN lists b ON b.c_label = a.c_label AND b.vec_id < a.vec_id
+        WHERE {sql_dot("a.qv", "b.qv")}::DOUBLE / (a.nrm * b.nrm)
+                  >= {SEMANTIC_DUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT l.vec_id, l.c_label AS cell, s.cell_size, d.keeper,
+           d.keeper IS NOT NULL AS is_dup
+    FROM lists l
+    JOIN sizes s ON s.c_label = l.c_label
+    LEFT JOIN dups d ON d.vec_id = l.vec_id
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup shape (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space (the ``ivf_assign``
+    k-means codebook — shared with the ANN index, built once in a
+    real pipeline), then compare vectors ONLY within their cluster
+    and mark as duplicate any vector with a smaller-id in-cell
+    neighbor at cosine ≥ {SEMANTIC_DUP_TAU}; ``keeper`` is that
+    group's canonical representative (the minimum such neighbor),
+    NULL for kept vectors.
+
+    vs the other embedding-dedup paths: ``dedup_embedding_cosine`` is
+    the exact all-pairs baseline (n², hard-capped), and
+    ``dedup_embedding_cosine_lsh`` buckets by random hyperplanes —
+    SemDeDup instead blocks by LEARNED geometry, which is what makes
+    it the web-scale standard: within-cell pairs are n·(n/cells) and
+    the cells follow the data's density rather than fixed planes.
+    Recall vs the global baseline is the fraction of dup pairs whose
+    ends share a cell (measured in tests/test_semantic_dedup.py);
+    missed pairs are the price of never comparing across clusters.
+
+    Scale: one broadcast assignment pass (codebook is √n rows), one
+    self-join shuffled on the cell id with per-cell cardinality
+    bounded by the Lloyd-balanced cells, one min-aggregate. No
+    all-pairs stage anywhere; cell count is the ``seed_bits`` dial."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb)
+    lists = assigned.filter(F.col("crank") == 1).select(
+        "vec_id", "qv", "nrm", "c_label"
+    )
+    a = lists.select(
+        F.col("vec_id"),
+        F.col("qv").alias("a_qv"),
+        F.col("nrm").alias("a_nrm"),
+        "c_label",
+    )
+    b = lists.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("qv").alias("b_qv"),
+        F.col("nrm").alias("b_nrm"),
+        "c_label",
+    )
+    cos = dot_long(F.col("a_qv"), F.col("b_qv")).cast("double") / (
+        F.col("a_nrm") * F.col("b_nrm")
+    )
+    dups = (
+        a.join(b, "c_label")
+        .filter(F.col("b_vec_id") < F.col("vec_id"))
+        .filter(cos >= SEMANTIC_DUP_TAU)
+        .groupBy("vec_id")
+        .agg(F.min("b_vec_id").alias("keeper"))
+    )
+    sizes = lists.groupBy("c_label").agg(F.count("*").alias("cell_size"))
+    return (
+        lists.join(F.broadcast(sizes), "c_label")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("c_label").alias("cell"),
+            "cell_size",
+            "keeper",
+            F.col("keeper").isNotNull().alias("is_dup"),
         )
     )

@@ -1,0 +1,64 @@
+"""SemDeDup quality: the oracle gate proves ``dedup_semantic_cells``
+computes its own spec exactly; these tests pin the spec's relationship
+to the exact all-pairs baseline at the SAME cosine threshold —
+soundness (every flagged dup is a true cosine dup), within-cell
+completeness (no same-cell baseline pair is missed), and the measured
+cross-cell recall loss that is the price of cluster blocking.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def baseline_pairs(spark):
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    return {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def semantic(spark):
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        dedup_semantic_cells,
+    )
+
+    return {
+        r["vec_id"]: r for r in dedup_semantic_cells(spark, SF_ORACLE).collect()
+    }
+
+
+def test_soundness_every_flagged_dup_is_a_true_dup(semantic, baseline_pairs):
+    flagged = [r for r in semantic.values() if r["is_dup"]]
+    assert flagged, "fixture produced no semantic dups — threshold drifted"
+    for r in flagged:
+        assert (r["keeper"], r["vec_id"]) in baseline_pairs
+        assert semantic[r["keeper"]]["cell"] == r["cell"]
+
+
+def test_within_cell_completeness(semantic, baseline_pairs):
+    """Every baseline dup pair whose ends share a cell must be caught,
+    and the keeper can only be an even-smaller in-cell partner."""
+    for a, b in baseline_pairs:
+        if semantic[a]["cell"] == semantic[b]["cell"]:
+            assert semantic[b]["is_dup"]
+            assert semantic[b]["keeper"] <= a
+
+
+def test_cross_cell_recall(semantic, baseline_pairs):
+    """Cluster blocking only ever LOSES cross-cell pairs; the caught
+    set is a subset of the baseline's higher-id dup ends, and on the
+    fixture the cells retain a usable fraction of them."""
+    dup_high = {b for _, b in baseline_pairs}
+    caught = {v for v, r in semantic.items() if r["is_dup"]}
+    assert caught <= dup_high
+    recall = len(caught) / len(dup_high)
+    assert recall >= 0.3, f"semantic recall collapsed: {recall:.3f}"
