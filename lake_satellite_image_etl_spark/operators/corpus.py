@@ -317,3 +317,152 @@ def corpus_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_shared") >= CONTAM_MIN_SHARED).alias("contaminated"),
     )
+
+
+#: training-context chunking geometry: CHUNK_TOKENS-token windows
+#: advancing by CHUNK_STRIDE (overlap = CHUNK_TOKENS - CHUNK_STRIDE
+#: tokens carries context across boundaries, the standard RAG /
+#: long-document-training shape). Fixture docs run 10-99 tokens, so
+#: 1-4 chunks per document.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "corpus_chunk_documents",
+    oracle=f"""
+    -- fixed-token sliding-window chunking: chunk i covers tokens
+    -- [i*stride, i*stride + chunk); a document emits exactly
+    -- ceil((n - chunk)/stride) + 1 chunks (one if n <= chunk), so the
+    -- tail chunk may be short but every token is covered and no chunk
+    -- starts past the end. Pure integer arithmetic — identical on
+    -- both engines.
+    WITH t AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks,
+               len({_SQL_TOKS})::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n_tokens,
+               CASE WHEN n_tokens <= {CHUNK_TOKENS} THEN 1
+                    ELSE ((n_tokens - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE}) + 1 END AS n_chunks
+        FROM t
+    ),
+    x AS (
+        SELECT doc_id, toks, n_tokens,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM c
+    )
+    SELECT doc_id, chunk_id, n_tokens,
+           chunk_id * {CHUNK_STRIDE} AS start_tok,
+           len(list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}))::BIGINT
+               AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                          chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM x
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the step that turns deduped
+    documents into bounded training/retrieval contexts: CHUNK_TOKENS-
+    token windows every CHUNK_STRIDE tokens (overlapping tails carry
+    context across boundaries), each chunk re-joined to text.
+
+    Plan: one narrow map stage — tokenize, compute the chunk count
+    with integer arithmetic, ``posexplode(sequence(...))`` the chunk
+    index, ``slice``/``array_join`` the window — no shuffle at all
+    and no Python; at 100 TB this is embarrassingly parallel scan
+    work whose output is ~(1 + overlap/stride)× input bytes, and the
+    explode happens AFTER the per-document arithmetic so no
+    intermediate row set exceeds the output."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        tokens_of(F.col("text")).alias("toks"),
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    n_chunks = F.when(F.col("n_tokens") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        (
+            (F.col("n_tokens") - CHUNK_TOKENS + CHUNK_STRIDE - 1)
+            / F.lit(CHUNK_STRIDE)
+        ).cast("long")
+        + 1
+    )
+    x = t.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_id", "_zero"
+        ),
+    )
+    start = F.col("chunk_id").cast("long") * CHUNK_STRIDE
+    window = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return x.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_tokens",
+        start.alias("start_tok"),
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )
+
+
+#: vocabulary size for the corpus top-k vocabulary build.
+VOCAB_TOP_K = 100
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+    -- corpus vocabulary: global term frequency + document frequency,
+    -- top {VOCAB_TOP_K} terms by (tf DESC, term ASC) — the
+    -- deterministic tie-break makes the cut exact on both engines.
+    WITH t AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, count(*)::BIGINT AS tf,
+               count(DISTINCT doc_id)::BIGINT AS df
+        FROM t GROUP BY term
+    ),
+    ranked AS (
+        SELECT term, tf, df,
+               row_number() OVER (ORDER BY tf DESC, term) AS rank
+        FROM counts
+    )
+    SELECT term, tf, df, rank FROM ranked WHERE rank <= {VOCAB_TOP_K}
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build — the tokenizer-training precursor: global
+    term frequency and document frequency per term, top VOCAB_TOP_K
+    by frequency with a deterministic term tie-break.
+
+    Plan: explode → ONE partial-aggregated shuffle on term (map-side
+    combine collapses each partition to its distinct terms before the
+    exchange; df rides the same shuffle via count(DISTINCT doc_id)
+    expanded by Catalyst) → global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    The final rank window runs over the ALREADY-REDUCED top-k rows —
+    a single bounded partition by construction, not a scale risk."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    topk = counts.orderBy(F.desc("tf"), F.asc("term")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return topk.select(
+        "term", "tf", "df", F.row_number().over(w).cast("long").alias("rank")
+    )

@@ -1,0 +1,92 @@
+"""Structural properties of the r7 corpus operators beyond the oracle
+gate: chunk geometry (coverage, overlap, reconstruction) and vocabulary
+consistency (tf/df accounting against an independent recount).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_chunk_documents,
+    )
+
+    rows = corpus_chunk_documents(spark, SF_ORACLE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for lst in by_doc.values():
+        lst.sort(key=lambda r: r["chunk_id"])
+    return by_doc
+
+
+def test_chunk_geometry(chunks):
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    assert chunks
+    for doc_id, lst in chunks.items():
+        n = lst[0]["n_tokens"]
+        # contiguous ids, stride starts, full coverage, bounded windows
+        assert [r["chunk_id"] for r in lst] == list(range(len(lst)))
+        for r in lst:
+            assert r["start_tok"] == r["chunk_id"] * CHUNK_STRIDE
+            assert 1 <= r["n_chunk_tokens"] <= CHUNK_TOKENS
+        last = lst[-1]
+        assert last["start_tok"] + last["n_chunk_tokens"] == n
+        # no chunk starts past the end; exactly the spec'd count
+        expected = 1 if n <= CHUNK_TOKENS else -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE) + 1
+        assert len(lst) == expected
+
+
+def test_chunk_reconstruction(spark, chunks):
+    """Concatenating each chunk's first CHUNK_STRIDE tokens (plus the
+    tail) reproduces the document's token stream exactly."""
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.corpus import CHUNK_STRIDE
+
+    texts = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in read_table(spark, SF_ORACLE, "documents").collect()
+    }
+    for doc_id, lst in chunks.items():
+        rebuilt: list[str] = []
+        for r in lst[:-1]:
+            rebuilt.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+        rebuilt.extend(lst[-1]["chunk_text"].split(" "))
+        assert rebuilt == texts[doc_id], f"doc {doc_id} token stream diverged"
+
+
+def test_vocab_accounting(spark):
+    from collections import Counter
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_vocab_topk,
+    )
+
+    tf = Counter()
+    df = Counter()
+    for r in read_table(spark, SF_ORACLE, "documents").collect():
+        toks = r["text"].lower().split(" ")
+        tf.update(toks)
+        df.update(set(toks))
+    got = corpus_vocab_topk(spark, SF_ORACLE).collect()
+    assert got
+    for r in got:
+        assert r["tf"] == tf[r["term"]]
+        assert r["df"] == df[r["term"]]
+    ranks = sorted(r["rank"] for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    ordered = sorted(got, key=lambda r: r["rank"])
+    assert all(
+        a["tf"] > b["tf"] or (a["tf"] == b["tf"] and a["term"] < b["term"])
+        for a, b in zip(ordered, ordered[1:])
+    )
