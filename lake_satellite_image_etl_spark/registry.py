@@ -84,6 +84,8 @@ _PRIORITY = (
     "similarity_topk_bruteforce",
     "similarity_ivf_probe",
     "similarity_lsh_bucketed",
+    # -- r7-new: SemDeDup over the shared IVF codebook -----------------
+    "dedup_semantic_cells",
     # -- text analysis (granular forms first driver-checked r6) --------
     "text_profile",
     "text_tfidf_top_terms",
@@ -100,9 +102,7 @@ _PRIORITY = (
     # -- scalar F3 epoch round-trip (r5 local fail, fixed r6) ----------
     "scalar_epoch_roundtrip",
     # -- multimodal kernels (video new in r6, never driver-checked) ----
-    "multimodal_image_features",
     "multimodal_binaryfile_scan",
-    "multimodal_audio_features",
     "multimodal_video_frames",
     # -- session window (only r2-unchecked windows entry) --------------
     "window_session",
@@ -123,7 +123,6 @@ _PRIORITY = (
     "filter_pixel_predicates",
     # -- joins (J1-J5 + EXT; remaining non-trivial forms) --------------
     "join_semi_anti",
-    "join_fanout_1n",
     # -- kernel sinks / incremental (K1, K2, T3) -----------------------
     "dedup_primary_key",
     "sink_artifact_manifest",
@@ -136,11 +135,22 @@ _PRIORITY = (
     "corpus_quality_filter",
     "corpus_contamination_flag",
     "stream_sessionize_batch",
+    # -- r7-new: chunking + SCD2 (first driver check this round) -------
+    "corpus_chunk_documents",
+    "scd2_event_state",
     # -- rotated IN r7 (r6-new, first driver check this round) ---------
     "text_repetition_score",
     "stream_window_batch",
     "text_redact_pii",
     # ---- first 50 end here -------------------------------------------
+    # r8 candidate (r7-new, local-only — rotate in next round):
+    "corpus_vocab_topk",
+    # Rotated out r7 (driver-green r5+r6, kernels untouched this
+    # round; made room for dedup_semantic_cells /
+    # corpus_chunk_documents / scd2_event_state):
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "join_fanout_1n",
     # Rotated out r7 (driver-green r5+r6, untouched this round;
     # dedup_cluster_assign made room for the r7-new dedup_span_exact):
     "join_asof",
