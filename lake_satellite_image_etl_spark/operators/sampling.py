@@ -106,3 +106,80 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= BALANCED_N)
         .select("vec_id", "label")
     )
+
+
+#: mixture weights in quarter-units: a source's target epoch rate is
+#: weight = w_num/4 with w_num = 1 + (hash(source) % 8) ∈ [1, 8], so
+#: rates span 0.25×-2.0× — downsampling AND upsampling in one rule.
+#: md5-derived like every sampling key here: deterministic, portable,
+#: and documentable; a production run replaces the hash with a real
+#: per-source weight table (broadcast join instead of the hash — the
+#: plan shape is identical).
+MIX_QUARTER_UNITS = 4
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle=f"""
+    -- weighted corpus mixing: each document is emitted
+    -- floor(weight) times plus one more iff its own hash falls under
+    -- the fractional remainder — exact integer arithmetic in
+    -- quarter-units, so expected per-source volume is weight × docs
+    -- with zero randomness. epoch numbers the repeats (the
+    -- upsampling "pass" the copy belongs to).
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               1 + ({_sql_key_hash("source")} % 8) AS w_num,
+               {_sql_key_hash("doc_id")} % {MIX_QUARTER_UNITS} AS frac_bucket
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_chars, w_num,
+               (w_num // {MIX_QUARTER_UNITS})
+                   + CASE WHEN frac_bucket < w_num % {MIX_QUARTER_UNITS}
+                          THEN 1 ELSE 0 END AS n_copies
+        FROM w
+    )
+    SELECT doc_id, source, n_chars,
+           (w_num / {MIX_QUARTER_UNITS}.0) AS weight,
+           unnest(generate_series(1, n_copies)) AS epoch
+    FROM c
+    WHERE n_copies > 0
+    """,
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction — the per-source up/down-sampling
+    step that turns N corpora plus a weight vector into one epoch
+    stream: emit each document ``floor(weight)`` times, plus one more
+    iff hash(doc_id) lands under the fractional remainder. With
+    weights in exact quarter-units there is no randomness anywhere:
+    per-source volume is exactly reproducible, re-runs and engines
+    agree row-for-row, and a document's epoch membership never
+    changes as the corpus around it grows (the property ``sample()``
+    cannot give you).
+
+    Plan: a narrow map stage (two hash computations, integer
+    arithmetic) then ``posexplode(sequence(...))`` for the ≤2 copies —
+    no shuffle; output volume is Σ weight_s × |source_s|. At 100 TB
+    upsampling inflates bytes exactly as configured and downsampled
+    rows are dropped BEFORE the explode, pushable to the scan."""
+    docs = read_table(spark, sf_dir, "documents")
+    w_num = 1 + (tok_hash60(F.col("source")) % 8)
+    frac_bucket = tok_hash60(F.col("doc_id").cast("string")) % MIX_QUARTER_UNITS
+    n_copies = (w_num / F.lit(MIX_QUARTER_UNITS)).cast("long") + F.when(
+        frac_bucket < w_num % MIX_QUARTER_UNITS, 1
+    ).otherwise(0)
+    c = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        w_num.alias("w_num"),
+        n_copies.alias("n_copies"),
+    ).filter(F.col("n_copies") > 0)
+    return c.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("w_num") / MIX_QUARTER_UNITS).alias("weight"),
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
+    )

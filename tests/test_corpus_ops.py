@@ -90,3 +90,38 @@ def test_vocab_accounting(spark):
         a["tf"] > b["tf"] or (a["tf"] == b["tf"] and a["term"] < b["term"])
         for a, b in zip(ordered, ordered[1:])
     )
+
+
+def test_mix_weighted_accounting(spark):
+    """Recount the mixture independently: per-document copy counts
+    from the md5 recipe must match, and per-source volume must equal
+    sum of exact quarter-unit weights (no randomness anywhere)."""
+    import hashlib
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.sampling import (
+        MIX_QUARTER_UNITS,
+        corpus_mix_weighted,
+    )
+    from tests.conftest import SF_ORACLE
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = read_table(spark, SF_ORACLE, "documents").collect()
+    expected: dict[int, int] = {}
+    for d in docs:
+        w_num = 1 + (h60(d["source"]) % 8)
+        extra = 1 if h60(str(d["doc_id"])) % MIX_QUARTER_UNITS < w_num % MIX_QUARTER_UNITS else 0
+        expected[d["doc_id"]] = w_num // MIX_QUARTER_UNITS + extra
+
+    got: dict[int, list] = {}
+    for r in corpus_mix_weighted(spark, SF_ORACLE).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in expected.items():
+        rows = got.get(doc_id, [])
+        assert len(rows) == n, f"doc {doc_id}: {len(rows)} copies != {n}"
+        assert sorted(r["epoch"] for r in rows) == list(range(1, n + 1))
+    # both regimes must actually occur on the fixture
+    assert any(n >= 2 for n in expected.values()), "no upsampling hit"
+    assert any(n == 0 for n in expected.values()), "no downsampling hit"
