@@ -545,11 +545,31 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one broadcast assignment pass (codebook is √n rows), one
     self-join shuffled on the cell id with per-cell cardinality
     bounded by the Lloyd-balanced cells, one min-aggregate. No
-    all-pairs stage anywhere; cell count is the ``seed_bits`` dial."""
+    all-pairs stage anywhere; cell count is the ``seed_bits`` dial
+    (the registered entry pins 0 = the 10-cell oracle codebook; the
+    10× smoke drives ``semantic_dedup_cells`` at seed_bits=5)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb)
-    lists = assigned.filter(F.col("crank") == 1).select(
-        "vec_id", "qv", "nrm", "c_label"
+    return semantic_dedup_cells(emb)
+
+
+def semantic_dedup_cells(
+    emb: DataFrame, seed_bits: int = 0, tau: float = SEMANTIC_DUP_TAU
+) -> DataFrame:
+    """The parameterized kernel behind ``dedup_semantic_cells``:
+    ``seed_bits`` sizes the codebook (cells = labels × 2^seed_bits ≈
+    √n — within-cell pair work is then n·√n total), ``tau`` is the
+    duplicate bar."""
+    assigned = ivf_assign(emb, seed_bits)
+    # materialize the cell assignment ONCE: it feeds three consumers
+    # (both self-join sides + the cell-size aggregate), and without the
+    # cut Catalyst replays the whole two-phase codebook build per
+    # consumer (audited 28 exchanges → 4). Same lineage-cut precedent
+    # as label_propagate_components; production would persist the
+    # assignment as a table the ANN index also reads.
+    lists = (
+        assigned.filter(F.col("crank") == 1)
+        .select("vec_id", "qv", "nrm", "c_label")
+        .localCheckpoint(eager=True)
     )
     a = lists.select(
         F.col("vec_id"),
@@ -569,7 +589,7 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = (
         a.join(b, "c_label")
         .filter(F.col("b_vec_id") < F.col("vec_id"))
-        .filter(cos >= SEMANTIC_DUP_TAU)
+        .filter(cos >= tau)
         .groupBy("vec_id")
         .agg(F.min("b_vec_id").alias("keeper"))
     )

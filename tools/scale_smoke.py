@@ -49,6 +49,9 @@ DOC_QUERIES = [
     "text_profile",
     "text_tfidf_top_terms",
 ]
+#: embedding-side CORPUS queries (work over all n vectors, no query
+#: set): row ratio = 60×, judged on the same linearity bar as docs
+EMB_QUERIES = ["dedup_semantic_cells"]
 #: registered embedding-side queries: vectors 60×, queries 60× →
 #: compare per-query, not raw
 SIM_QUERIES = ["similarity_ivf_probe", "similarity_lsh_bucketed"]
@@ -158,13 +161,32 @@ def main() -> None:
             seed_bits=5,
         )
 
+    # SemDeDup at 120 K vectors drives the scaled codebook too
+    # (320 cells ≈ √n): within-cell pair work is n·(n/cells) — with
+    # the fixture codebook's 10 cells the self-join would be ~n²/10.
+    def _semantic_scaled(spark, sf_dir):
+        from lake_satellite_image_etl_spark.operators.similarity import (
+            semantic_dedup_cells,
+        )
+
+        return semantic_dedup_cells(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            seed_bits=5,
+        )
+
     scaled_fns = {
         "dedup_simhash": _simhash_scaled,
         "similarity_ivf_probe": _ivf_scaled,
+        "dedup_semantic_cells": _semantic_scaled,
+    }
+    scaled_geometry = {
+        "dedup_simhash": "band_bits=20 (3 bands, 2^20 keys)",
+        "similarity_ivf_probe": "seed_bits=5 (320 cells)",
+        "dedup_semantic_cells": "seed_bits=5 (320 cells)",
     }
 
     table: dict[str, dict[str, object]] = {}
-    for name in DOC_QUERIES + SIM_QUERIES:
+    for name in DOC_QUERIES + EMB_QUERIES + SIM_QUERIES:
         fn = queries[name]
         base, base_rows = _timed(fn, spark, BASE_DIR)
         scale, scale_rows = _timed(scaled_fns.get(name, fn), spark, SCALE_DIR)
@@ -174,10 +196,10 @@ def main() -> None:
             "rows_out": {"sf0.1": base_rows, "sfscale": scale_rows},
         }
         if name in scaled_fns:
-            entry["scaled_geometry"] = "band_bits=20 (3 bands, 2^20 keys)"
-        if name in DOC_QUERIES:
+            entry["scaled_geometry"] = scaled_geometry[name]
+        if name in DOC_QUERIES or name in EMB_QUERIES:
             entry["ratio"] = round(scale / base, 1) if base else float("nan")
-            entry["row_ratio"] = 10.0
+            entry["row_ratio"] = 10.0 if name in DOC_QUERIES else 60.0
             entry["out_ratio"] = (
                 round(scale_rows / base_rows, 1) if base_rows else float("nan")
             )
