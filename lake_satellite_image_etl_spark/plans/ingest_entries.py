@@ -284,6 +284,55 @@ def stream_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join_batch",
+    oracle="""
+    -- click attribution: every purchase joined to same-user clicks in
+    -- the preceding hour. A streaming inner join over completely
+    -- drained inputs equals the batch join — matches emit as both
+    -- sides arrive; the watermark only bounds buffered state.
+    WITH a AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, click_id, purchase_id, click_ts, purchase_ts
+    FROM a JOIN b ON a.user_id = b.user_id
+        AND purchase_ts >= click_ts
+        AND purchase_ts <= click_ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join end-to-end (the fourth streaming
+    driver entry): two watermarked file-source streams — clicks and
+    purchases — inner-joined on user within a 1-hour attribution
+    window, drained AvailableNow into a parquet sink, then the landed
+    matches read back. See
+    streaming/ingest.run_stream_stream_join_available_now for the
+    state-eviction contract."""
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        run_stream_stream_join_available_now,
+    )
+
+    scratch = _scratch("stream_join_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    out = os.path.join(scratch, "out")
+    run_stream_stream_join_available_now(
+        spark, src, out, os.path.join(scratch, "ckpt")
+    )
+    return spark.read.parquet(out).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+@query(
     "sink_artifact_manifest",
     oracle="""
     -- what the artifact store must contain after the K2 sink runs:

@@ -143,8 +143,10 @@ _PRIORITY = (
     "stream_window_batch",
     "text_redact_pii",
     # ---- first 50 end here -------------------------------------------
-    # r8 candidate (r7-new, local-only — rotate in next round):
+    # r8 candidates (r7-new, local-only — rotate in next round):
     "corpus_vocab_topk",
+    "corpus_mix_weighted",
+    "stream_stream_join_batch",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

@@ -236,3 +236,60 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_stream_join_available_now(
+    spark: SparkSession,
+    events_glob: str,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "1 day",
+) -> None:
+    """Stream-stream event-time inner join, drained AvailableNow:
+    click attribution — each purchase joined to every click by the
+    same user in the preceding hour. The canonical Structured
+    Streaming two-stream join: BOTH sides watermarked (bounds the
+    buffered state) and the join condition carries the event-time
+    range (tells the engine when a buffered click can never match
+    again and is evictable).
+
+    Scale: state is the 1-hour click buffer per user — shuffled on
+    user_id like any equi-join, bounded by watermark eviction, never
+    the full history. Two independent file sources; an inner join
+    emits matches as both sides arrive, so an AvailableNow drain over
+    complete inputs equals the batch join (the oracle)."""
+    clicks = (
+        read_events_stream(spark, events_glob)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, events_glob)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "purchase_id", "click_ts", "purchase_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -312,3 +312,73 @@ def test_scd2_intervals(spark):
         evs.sort(key=lambda e: (e["ts"], e["event_id"]))
         final_state = evs[-1]["event_type"]
         assert by_user[uid][-1]["state"] == final_state
+
+
+def test_stream_stream_join_two_tranches_eviction(spark):
+    """Stream-stream join state lifecycle across two AvailableNow
+    drains of the same checkpoint (1-hour watermark, 1-hour
+    attribution window):
+
+    tranche 1: click C1@00:00 + purchase P1@00:30 match; click
+    C2@06:00 + purchase P2@06:10 match. The checkpointed global
+    watermark advances to 05:00 (min over both sources) — past C1's
+    evictability bound (00:00 + window + watermark), so C1's buffered
+    state is FREED; C2's is live.
+
+    tranche 2: purchase P3@00:45 would match C1 in batch but is late
+    (< watermark) with the matching click evicted — NO match may
+    emit; purchase P4@06:30 still matches the live C2."""
+    from datetime import datetime
+
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        run_stream_stream_join_available_now,
+    )
+
+    src = os.path.join(SCRATCH, "ssj_src")
+    out = os.path.join(SCRATCH, "ssj_out")
+    ckpt = os.path.join(SCRATCH, "ssj_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(name, rows):
+        tmp = os.path.join(SCRATCH, f"ssj_tmp_{name}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    d = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    stage(
+        "t1",
+        [
+            (1, d(0), 1, "click", 1.0, "{}"),      # C1
+            (2, d(0, 30), 1, "purchase", 1.0, "{}"),  # P1 -> (C1,P1)
+            (3, d(6), 2, "click", 1.0, "{}"),      # C2
+            (4, d(6, 10), 2, "purchase", 1.0, "{}"),  # P2 -> (C2,P2)
+        ],
+    )
+    run_stream_stream_join_available_now(
+        spark, src, out, ckpt, watermark="1 hour"
+    )
+    first = {
+        (r.click_id, r.purchase_id) for r in spark.read.parquet(out).collect()
+    }
+    assert first == {(1, 2), (3, 4)}
+
+    stage(
+        "t2",
+        [
+            (5, d(0, 45), 1, "purchase", 2.0, "{}"),  # late + C1 evicted
+            (6, d(6, 30), 2, "purchase", 2.0, "{}"),  # matches live C2
+        ],
+    )
+    run_stream_stream_join_available_now(
+        spark, src, out, ckpt, watermark="1 hour"
+    )
+    rows = {
+        (r.click_id, r.purchase_id) for r in spark.read.parquet(out).collect()
+    }
+    assert (3, 6) in rows, "live click state lost across micro-batches"
+    assert (1, 5) not in rows, "evicted/late purchase still matched"
+    assert rows == {(1, 2), (3, 4), (3, 6)}
