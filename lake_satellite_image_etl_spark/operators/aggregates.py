@@ -371,6 +371,45 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_grouping_sets",
+    oracle="""
+    -- explicit GROUPING SETS (the general form rollup/cube sugar
+    -- over): per-(status, priority) detail plus BOTH one-dimension
+    -- marginals, but NOT the grand total — a set rollup can't
+    -- express. grouping_id() disambiguates NULL-as-subtotal from
+    -- NULL data.
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n,
+           grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT explicit grouping sets — detail + both marginals without
+    the grand total (a combination neither rollup nor cube gives).
+    Catalyst expands the sets over ONE shuffle (Expand node feeding a
+    single hash aggregate), same as rollup/cube; gid is the standard
+    grouping_id disambiguator for NULL-valued group keys."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(*) AS n,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                   AS gid
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
     "agg_exact_corr",
     oracle="""
     WITH q AS (

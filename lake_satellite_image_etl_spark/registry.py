@@ -147,6 +147,7 @@ _PRIORITY = (
     "corpus_vocab_topk",
     "corpus_mix_weighted",
     "stream_stream_join_batch",
+    "agg_grouping_sets",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
