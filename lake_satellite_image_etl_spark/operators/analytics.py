@@ -1,0 +1,167 @@
+"""Event-analytics operators over the ``events`` fact table —
+funnel progression and cohort retention, the two queries every
+product-analytics engine (ClickHouse ``windowFunnel``, Amplitude/
+Mixpanel cohort grids) treats as primitives. Both are pure
+relational compositions here: conditional aggregation + self-joins
+on the user key, fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+#: funnel stage sequence and the end-to-end completion window.
+FUNNEL_STAGES = ("click", "view", "purchase")
+FUNNEL_WINDOW_HOURS = 6
+
+
+@query(
+    "analytics_window_funnel",
+    oracle=f"""
+    -- greedy earliest-match funnel (ClickHouse windowFunnel
+    -- semantics, strictly increasing timestamps): stage 1 anchors at
+    -- the user's EARLIEST click; each later stage is the earliest
+    -- strictly-later event of its type still inside the anchor's
+    -- {FUNNEL_WINDOW_HOURS}-hour window. Users without a click are
+    -- not in the funnel.
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, t1, min(e.ts) AS t2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = '{FUNNEL_STAGES[1]}'
+         AND e.ts > t1 AND e.ts <= t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY s1.user_id, t1
+    ),
+    s3 AS (
+        SELECT s2.user_id, t1, t2, min(e.ts) AS t3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = '{FUNNEL_STAGES[2]}'
+         AND e.ts > t2 AND e.ts <= t1 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
+        GROUP BY s2.user_id, t1, t2
+    )
+    SELECT user_id, t1, t2, t3,
+           1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS stages
+    FROM s3
+    """,
+)
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel progression — how far each user advances through
+    click → view → purchase inside a {FUNNEL_WINDOW_HOURS}-hour window
+    anchored at their earliest click (greedy earliest-match, the
+    ClickHouse ``windowFunnel`` contract).
+
+    Plan: one pre-aggregation per stage, each shuffled on the SAME
+    user_id key — the anchor aggregate is |users| rows, and every
+    later stage joins the (small) survivor set back to the
+    stage-filtered scan (filter pushed to parquet), so work shrinks
+    monotonically down the funnel. At 100 TB the stage filters prune
+    the fact scan per stage and no state beyond |users| exists."""
+    ev = read_table(spark, sf_dir, "events")
+    window = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOUR")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    e2 = ev.filter(F.col("event_type") == FUNNEL_STAGES[1]).select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("ts2")
+    )
+    s2 = (
+        s1.join(
+            e2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("ts2") > F.col("t1"))
+            & (F.col("ts2") <= F.col("t1") + window),
+            "left",
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts2").alias("t2"))
+    )
+    e3 = ev.filter(F.col("event_type") == FUNNEL_STAGES[2]).select(
+        F.col("user_id").alias("u3"), F.col("ts").alias("ts3")
+    )
+    s3 = (
+        s2.join(
+            e3,
+            (F.col("u3") == F.col("user_id"))
+            & (F.col("ts3") > F.col("t2"))
+            & (F.col("ts3") <= F.col("t1") + window),
+            "left",
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("ts3").alias("t3"))
+    )
+    return s3.select(
+        "user_id",
+        "t1",
+        "t2",
+        "t3",
+        (
+            F.lit(1)
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        )
+        .cast("long")
+        .alias("stages"),
+    )
+
+
+@query(
+    "analytics_cohort_retention",
+    oracle="""
+    -- daily cohort retention grid: users cohorted by the calendar
+    -- day of their first-ever event; a cell counts distinct cohort
+    -- members active offset days later (day granularity fits the
+    -- fixture's 30-day span; production swaps 'day' for 'week').
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               datediff('day', f.cohort_day,
+                        date_trunc('day', e.ts)) AS day_offset
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, day_offset,
+           count(*)::BIGINT AS n_active
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+)
+def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the activity grid behind every retention
+    chart: users cohorted by first-seen day, each (cohort,
+    day-offset) cell counting distinct members active that day.
+
+    Plan: first-seen is one user_id aggregate; the activity join
+    shuffles the fact table on user_id ONCE (the cohort side is
+    |users| rows — broadcastable when dims allow, AQE decides); the
+    grid aggregate is a distinct-then-count on (user, cohort, offset),
+    whose distinct collapses map-side. The output is |cohorts| ×
+    |offsets| — tiny at any input scale."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

@@ -36,6 +36,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.similarity",
     "lake_satellite_image_etl_spark.operators.geometry",
     "lake_satellite_image_etl_spark.operators.sampling",
+    "lake_satellite_image_etl_spark.operators.analytics",
     "lake_satellite_image_etl_spark.functions.scalars",
     "lake_satellite_image_etl_spark.functions.text",
     "lake_satellite_image_etl_spark.functions.vectors",
@@ -148,6 +149,8 @@ _PRIORITY = (
     "corpus_mix_weighted",
     "stream_stream_join_batch",
     "agg_grouping_sets",
+    "analytics_window_funnel",
+    "analytics_cohort_retention",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
