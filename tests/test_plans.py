@@ -191,3 +191,46 @@ def test_quality_filter_has_no_per_source_document_sort(spark):
     # over the aggregated count table, which sits above a HashAggregate
     rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
     assert rn_lines and all("quality" in ln for ln in rn_lines), plan
+
+
+def test_chunking_and_mixing_are_shuffle_free(spark):
+    """The chunking and mixture operators claim pure narrow plans —
+    explode after per-row arithmetic, no Exchange anywhere."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_chunk_documents,
+    )
+    from lake_satellite_image_etl_spark.operators.sampling import (
+        corpus_mix_weighted,
+    )
+
+    for fn in (corpus_chunk_documents, corpus_mix_weighted):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_scd2_plans_one_reused_shuffle(spark):
+    """SCD2's lag, post-filter lead, and version windows share one
+    (user_id → ts, event_id) partitioning: exactly ONE shuffle
+    exchange in the whole plan."""
+    import re
+
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        scd2_event_state,
+    )
+
+    plan = _plan(scd2_event_state(spark, SF_SMOKE))
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles == 1, f"SCD2 shuffled {n_shuffles}x:\n{plan}"
+
+
+def test_funnel_stage_filters_reach_scan(spark):
+    """Each funnel stage must push its event_type filter into the
+    parquet scan — the per-stage pruning the 100 TB claim rests on."""
+    from lake_satellite_image_etl_spark.operators.analytics import (
+        analytics_window_funnel,
+    )
+
+    plan = _plan(analytics_window_funnel(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    for stage in ("click", "view", "purchase"):
+        assert stage in plan, f"stage filter {stage} missing from scan"
