@@ -259,3 +259,137 @@ def multimodal_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("channels", F.lit(3))
     )
     return decoded.orderBy("entity_id")
+
+
+#: perceptual-hash geometry: 6×6 block grid → 36-bit aHash, split
+#: into 3 bands of 12 bits. 3 bands with threshold 2 keeps exact
+#: recall by pigeonhole (two hashes within Hamming 2 agree on ≥1 of 3
+#: bands); at corpus scale band_bits is the occupancy dial exactly as
+#: in the simhash/embedding-LSH paths.
+PHASH_GRID = 6
+PHASH_BITS = PHASH_GRID * PHASH_GRID
+PHASH_BANDS = 3
+PHASH_HAMMING_MAX = 2
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """Average-hash kernel (aHash — the classic perceptual fingerprint:
+    grayscale, downsample to a coarse grid, threshold each cell at the
+    image mean): bit (by·6+bx) = 1 iff the 2×2 block's channel-summed
+    pixel total × 36 exceeds the image total. Pure integer
+    comparisons — engine-exact, no float thresholds.
+
+    Vectorized over the Arrow batch: one reshape-sum per batch, no
+    per-row Python loop."""
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        powers = (np.int64(1) << np.arange(PHASH_BITS, dtype=np.int64)).reshape(
+            PHASH_GRID, PHASH_GRID
+        )
+        for pdf in batches:
+            arrs = np.stack([decode_fimg(b) for b in pdf["image"]])  # n,c,h,w
+            gray = arrs.astype(np.int64).sum(axis=1)  # n,h,w
+            n, h, w = gray.shape
+            blocks = gray.reshape(n, h // 2, 2, w // 2, 2).sum(axis=(2, 4))
+            tot = blocks.sum(axis=(1, 2), keepdims=True)
+            bits = blocks * (PHASH_GRID * PHASH_GRID) > tot
+            phash = (bits * powers).sum(axis=(1, 2))
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"].astype("int64"),
+                    "phash": phash.astype("int64"),
+                }
+            )
+
+    return images.mapInPandas(kern, schema="entity_id long, phash long")
+
+
+_SQL_PHASH_CTES = """px AS (
+        SELECT entity_id, x, y,
+               ((entity_id * 11 + 0 * 29 + y * 5 + x * 3) % 256)
+             + ((entity_id * 11 + 1 * 29 + y * 5 + x * 3) % 256)
+             + ((entity_id * 11 + 2 * 29 + y * 5 + x * 3) % 256) AS gray
+        FROM ids, unnest(generate_series(0, 11)) AS ux(x),
+                  unnest(generate_series(0, 11)) AS uy(y)
+    ),
+    blocks AS (
+        SELECT entity_id, x // 2 AS bx, y // 2 AS by,
+               sum(gray)::BIGINT AS bsum
+        FROM px GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT entity_id, sum(bsum)::BIGINT AS t FROM blocks GROUP BY 1),
+    h AS (
+        SELECT b.entity_id,
+               sum(CASE WHEN b.bsum * 36 > t.t
+                        THEN 1::BIGINT << (b.by * 6 + b.bx)
+                        ELSE 0 END)::BIGINT AS phash
+        FROM blocks b JOIN tot t USING (entity_id) GROUP BY b.entity_id
+    )"""
+
+
+@query(
+    "multimodal_image_dedup",
+    oracle=f"""
+    -- near-duplicate images by perceptual hash: the oracle
+    -- regenerates the synthetic pixels, recomputes the 36-bit aHash
+    -- relationally, and brute-forces Hamming ≤ {PHASH_HAMMING_MAX}
+    -- pairs (the SPEC; the engine uses banded buckets with exact
+    -- recall by pigeonhole).
+    WITH ids AS (
+        SELECT p_partkey::BIGINT AS entity_id FROM part WHERE p_partkey <= 50
+    ),
+    {_SQL_PHASH_CTES}
+    SELECT a.entity_id AS ent_a, b.entity_id AS ent_b,
+           bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+    FROM h a JOIN h b ON a.entity_id < b.entity_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    """,
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup — the multimodal twin of dedup_simhash:
+    perceptual aHash in an Arrow kernel (decode is CPU work), then the
+    SAME banded-bucket self-join shape as every near-dup path here
+    ({PHASH_BANDS} bands × 12 bits, Hamming ≤ {PHASH_HAMMING_MAX}
+    verify — exact recall by pigeonhole, never all-pairs).
+
+    Scale: hashing is embarrassingly parallel scan work (one 8-byte
+    hash per image leaves the kernel — payloads never shuffle); the
+    band join carries (entity_id, phash) pairs only, with AQE
+    splitting any hot bucket. 100 TB of images reduce to |images| × 8
+    bytes of join input."""
+    hashes = image_phash(with_images(spark, sf_dir)).localCheckpoint(eager=True)
+    band_bits = PHASH_BITS // PHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = hashes.select(
+        "entity_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright("phash", band * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("long")
+                    + F.lit(band << band_bits).cast("long")
+                    for band in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("entity_id").alias("ent_a"),
+        F.col("phash").alias("ph_a"),
+        "band_key",
+    )
+    b = bands.select(
+        F.col("entity_id").alias("ent_b"),
+        F.col("phash").alias("ph_b"),
+        "band_key",
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .filter(hamming <= PHASH_HAMMING_MAX)
+        .select("ent_a", "ent_b", hamming.cast("long").alias("hamming"))
+        .dropDuplicates(["ent_a", "ent_b"])
+    )

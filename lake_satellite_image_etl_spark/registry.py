@@ -151,6 +151,7 @@ _PRIORITY = (
     "agg_grouping_sets",
     "analytics_window_funnel",
     "analytics_cohort_retention",
+    "multimodal_image_dedup",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
