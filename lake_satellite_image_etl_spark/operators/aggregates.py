@@ -532,3 +532,169 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
         F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("med_bal"),
     )
+
+
+PCTL_PS = (0.25, 0.5, 0.9, 0.99)
+_SQL_PS = "[" + ", ".join(str(p) for p in PCTL_PS) + "]"
+
+HIST_MIN = 0.0
+HIST_WIDTH = 25_000.0
+HIST_BINS = 20
+
+
+@query(
+    "agg_percentiles",
+    oracle=f"""
+    -- Continuous (linear-interpolation) percentiles decomposed into
+    -- the rank/fraction primitive so both engines compute the SAME
+    -- IEEE ops: built-in quantile_cont/percentile differ in their
+    -- interpolation formula's op order, which leaks into low bits.
+    WITH ranked AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS x,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    ps AS (
+        SELECT DISTINCT flag, n, unnest({_SQL_PS}::DOUBLE[]) AS p
+        FROM ranked
+    ),
+    ix AS (
+        SELECT flag, n, p,
+               floor(p * (n - 1)::DOUBLE) AS idx,
+               p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        FROM ps
+    ),
+    brk AS (
+        SELECT ix.flag, ix.p, ix.frac,
+               min(CASE WHEN r.rn = ix.idx + 1 THEN r.x END) AS lo,
+               min(CASE WHEN r.rn = ix.idx + 2 THEN r.x END) AS hi
+        FROM ix JOIN ranked r
+          ON r.flag = ix.flag AND r.rn BETWEEN ix.idx + 1 AND ix.idx + 2
+        GROUP BY ix.flag, ix.p, ix.frac
+    )
+    SELECT flag, p,
+           round(lo + (coalesce(hi, lo) - lo) * frac, 6) AS pctl_price
+    FROM brk
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT exact continuous percentiles (p25/p50/p90/p99 of
+    l_extendedprice per returnflag), decomposed into rank + linear
+    interpolation.
+
+    Why not ``F.percentile``: its interpolation op order differs from
+    DuckDB's ``quantile_cont``, so low-order double bits diverge.
+    Decomposing pins the formula: row_number ranks the group (ONE
+    shuffle, the same sort any exact quantile needs), the tiny
+    (group × p) index table broadcasts back, and the interpolation
+    ``lo + (hi - lo) * frac`` is identical IEEE ops on both engines.
+
+    Scale: exact quantiles need a per-group sort — at 100 TB run
+    ``percentile_approx`` first and refine exactly inside the two
+    candidate buckets (same rank arithmetic over a tiny slice); the
+    rank/frac decomposition here is exactly the refine step."""
+    li = read_table(spark, sf_dir, "lineitem")
+    wr = Window.partitionBy("flag").orderBy("x")
+    wn = Window.partitionBy("flag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("x"),
+    ).select(
+        "flag",
+        "x",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    ps = (
+        ranked.select("flag", "n")
+        .distinct()
+        .select(
+            "flag",
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in PCTL_PS])).alias("p"),
+        )
+    )
+    pos = F.col("p") * (F.col("n") - 1).cast("double")
+    ix = ps.select(
+        "flag",
+        "p",
+        F.floor(pos).alias("idx"),
+        (pos - F.floor(pos)).alias("frac"),
+    )
+    j = ranked.join(
+        F.broadcast(ix),
+        (ranked["flag"] == ix["flag"])
+        & F.col("rn").between(F.col("idx") + 1, F.col("idx") + 2),
+    )
+    brk = j.groupBy(ranked["flag"].alias("flag"), "p", "frac").agg(
+        F.min(F.when(F.col("rn") == F.col("idx") + 1, F.col("x"))).alias("lo"),
+        F.min(F.when(F.col("rn") == F.col("idx") + 2, F.col("x"))).alias("hi"),
+    )
+    interp = F.col("lo") + (
+        F.coalesce(F.col("hi"), F.col("lo")) - F.col("lo")
+    ) * F.col("frac")
+    return brk.select("flag", "p", F.round(interp, 6).alias("pctl_price"))
+
+
+@query(
+    "stats_histogram",
+    oracle=f"""
+    -- Fixed-bound equi-width histogram: bucket in plain arithmetic
+    -- (identical both engines), counts + DECIMAL-exact totals.
+    WITH b AS (
+        SELECT least(floor((o_totalprice - {HIST_MIN}) / {HIST_WIDTH}),
+                     {HIST_BINS - 1})::BIGINT AS bucket,
+               round(o_totalprice * 100)::BIGINT AS cents
+        FROM orders
+    )
+    SELECT bucket,
+           {HIST_MIN} + bucket * {HIST_WIDTH} AS lo_edge,
+           count(*) AS n,
+           round(sum(cents)::DOUBLE / 100, 2) AS total_price,
+           round(sum(cents)::DOUBLE / count(*) / 100, 6) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT data-profiling histogram: {HIST_BINS} fixed-width buckets
+    over o_totalprice with per-bucket count / exact total / mean.
+
+    Fixed bounds make it ONE pass (no min/max pre-scan): the bucket
+    expression is a narrow map, the aggregate map-side-combines to
+    ≤{HIST_BINS} groups. Totals sum integer cents in DECIMAL —
+    exact at any scale and partition order. At 100 TB this is the
+    profile pass you run per column; data-driven bounds cost one extra
+    tiny min/max aggregate first."""
+    o = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_MIN) / HIST_WIDTH),
+        F.lit(HIST_BINS - 1),
+    ).cast("long")
+    b = o.select(
+        bucket.alias("bucket"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias(
+                "total_price"
+            ),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100, 6
+            ).alias("avg_price"),
+        )
+        .select(
+            "bucket",
+            (F.lit(HIST_MIN) + F.col("bucket") * HIST_WIDTH).alias("lo_edge"),
+            "n",
+            "total_price",
+            "avg_price",
+        )
+    )
