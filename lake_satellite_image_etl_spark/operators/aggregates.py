@@ -9,7 +9,7 @@ order must not leak into the output).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.io import read_table
@@ -618,18 +618,20 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pos = F.col("p") * (F.col("n") - 1).cast("double")
+    # fresh column names break the self-join lineage ambiguity (ix is
+    # derived from ranked)
     ix = ps.select(
-        "flag",
+        F.col("flag").alias("pflag"),
         "p",
         F.floor(pos).alias("idx"),
         (pos - F.floor(pos)).alias("frac"),
     )
     j = ranked.join(
         F.broadcast(ix),
-        (ranked["flag"] == ix["flag"])
+        (F.col("pflag") == F.col("flag"))
         & F.col("rn").between(F.col("idx") + 1, F.col("idx") + 2),
     )
-    brk = j.groupBy(ranked["flag"].alias("flag"), "p", "frac").agg(
+    brk = j.groupBy("flag", "p", "frac").agg(
         F.min(F.when(F.col("rn") == F.col("idx") + 1, F.col("x"))).alias("lo"),
         F.min(F.when(F.col("rn") == F.col("idx") + 2, F.col("x"))).alias("hi"),
     )

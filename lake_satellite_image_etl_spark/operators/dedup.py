@@ -1330,3 +1330,122 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM) — the third classic blocking family
+# next to LSH banding and length-bucket blocking: sort the corpus by a
+# similarity-preserving key and compare each record only with its W
+# following neighbors (Hernández & Stolfo 1995). Key here = the
+# minimum hashed shingle (a 1-permutation MinHash), so near-dups —
+# which share their rarest-hash shingle with high probability —
+# land adjacent.
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 5
+SNM_RANGE_PARTS = 32
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    -- sorted-neighborhood near-dup: rank docs by (min shingle hash,
+    -- doc_id), pair each doc with its next {SNM_WINDOW} neighbors,
+    -- keep pairs with exact Jaccard >= {NGRAM_JACCARD_THRESHOLD}.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
+    r AS (
+        SELECT doc_id, hsh,
+               row_number() OVER (
+                   ORDER BY list_min(hsh), doc_id) AS rnk
+        FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.hsh, b.hsh))::DOUBLE
+                 / len(list_distinct(a.hsh || b.hsh)), 6) AS jaccard
+    FROM r a JOIN r b
+      ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {SNM_WINDOW}
+    WHERE len(list_intersect(a.hsh, b.hsh))::DOUBLE
+          / len(list_distinct(a.hsh || b.hsh))
+          >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection: candidates = pairs
+    within a rank window of {SNM_WINDOW} under a global sort on
+    (min-shingle-hash, doc_id), verified with exact Jaccard.
+
+    The global rank is computed WITHOUT a single-partition sort — the
+    scalable recipe: ``repartitionByRange`` on the key (each range
+    sorted independently), then per-partition ``row_number`` plus a
+    broadcast table of cumulative partition offsets. The only
+    single-partition window in the plan runs over exactly
+    {SNM_RANGE_PARTS} rows (one per range). At 100 TB the sort is
+    the cluster-wide terasort primitive (linear, spill-friendly), the
+    offsets table stays tiny, and the neighbor join is an equi-join
+    on rank — candidate volume is exactly W·n, immune to key skew
+    (contrast: a hot LSH bucket is quadratic in its occupancy). The
+    price is recall: only rank-adjacent dups are found — the classic
+    SNM trade; multi-pass SNM with a second key is the standard
+    recall patch."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        hashed_shingles(tokens_of(F.col("text"))).alias("hsh"),
+    ).withColumn("key", F.array_min("hsh"))
+    # materialize ONE range partitioning so the counts pass and the
+    # rank pass see identical pid assignment (range boundaries come
+    # from sampling; two separate actions could legally resample)
+    part = (
+        sh.repartitionByRange(SNM_RANGE_PARTS, "key", "doc_id")
+        .sortWithinPartitions("key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window as _W
+
+    cnt = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = cnt.select(
+        "pid",
+        F.coalesce(
+            F.sum("cnt").over(
+                _W.orderBy("pid").rowsBetween(_W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    ranked = part.join(F.broadcast(offs), "pid").select(
+        "doc_id",
+        "hsh",
+        (
+            F.row_number().over(
+                _W.partitionBy("pid").orderBy("key", "doc_id")
+            )
+            + F.col("off")
+        ).alias("rnk"),
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hsh").alias("hsh_a"),
+        F.col("rnk").alias("rnk_a"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hsh").alias("hsh_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    deltas = spark.range(1, SNM_WINDOW + 1).select(
+        F.col("id").alias("delta")
+    )
+    cand = a.crossJoin(F.broadcast(deltas)).withColumn(
+        "rnk_b", F.col("rnk_a") + F.col("delta")
+    )
+    jac = F.size(F.array_intersect("hsh_a", "hsh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("hsh_a", "hsh_b"))
+    return (
+        cand.join(b, "rnk_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    )

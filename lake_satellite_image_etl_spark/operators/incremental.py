@@ -106,6 +106,63 @@ def dedup_primary_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: changelog op mapping for cdc_apply_changelog: the event stream is
+#: read as a CDC feed keyed on user_id; this event_type is the delete
+#: marker, every other type is an upsert carrying the new row image.
+CDC_DELETE_OP = "error"
+
+
+@query(
+    "cdc_apply_changelog",
+    oracle=f"""
+    -- CDC changelog → snapshot compaction (latest-wins): the newest
+    -- op per key decides survival; a key whose final op is the
+    -- delete marker vanishes from the snapshot.
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_op,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> '{CDC_DELETE_OP}'
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply — compact an insert/update/delete changelog into the
+    current snapshot (the Debezium→Hudi/Delta "merge latest image"
+    step; the reference's upsert sink main.py:453-457 is the
+    insert-only special case). Latest op per key wins, ordered by
+    (ts, event_id); keys whose final op is the delete marker are
+    dropped.
+
+    Plan: ONE aggregate, not a window — ``max(struct(ts, event_id,
+    payload...))`` is an ordinary partial-aggregatable max, so the
+    map side combines each input partition down to one candidate row
+    per key before the shuffle. A row_number window (the oracle's
+    form) would shuffle and sort EVERY changelog row; at 100 TB of
+    changelog with a bounded key space the struct-max shuffle carries
+    |keys|×|partitions| rows instead. The delete filter runs after
+    compaction, exactly once per key."""
+    ev = read_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+    )
+    return latest.select(
+        "user_id",
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_type").alias("last_op"),
+        F.col("last.value").alias("last_value"),
+    ).filter(F.col("last_op") != CDC_DELETE_OP)
+
+
 def idempotent_append(
     new_rows: DataFrame, existing: DataFrame, pk: list[str]
 ) -> DataFrame:

@@ -183,3 +183,63 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w_num") / MIX_QUARTER_UNITS).alias("weight"),
         F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("epoch"),
     )
+
+
+#: stratified sampling: proportional allocation at this rate, with a
+#: floor of one row per stratum so rare strata never vanish.
+STRAT_PCT = 10
+
+
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    -- exact proportional stratified sample: each source contributes
+    -- EXACTLY greatest(1, floor(|stratum| * {STRAT_PCT}%)) rows,
+    -- chosen by deterministic hash order within the stratum.
+    WITH sized AS (
+        SELECT doc_id, source, n_chars,
+               count(*) OVER (PARTITION BY source) AS stratum_n,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_key_hash("doc_id")}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, stratum_n
+    FROM sized
+    WHERE rn <= greatest(1, stratum_n * {STRAT_PCT} // 100)
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling — every stratum (source) contributes
+    exactly ⌊{STRAT_PCT}% · |stratum|⌋ rows (min 1), not the
+    binomially-noisy count ``sampleBy`` gives: quota sampling is what
+    evaluation-set construction and per-domain corpus caps actually
+    require. Row choice is hash-ordered, so the drawn set is stable
+    across runs, engines, and cluster layouts, and shrinking the rate
+    yields a SUBSET of the larger sample (nested samples).
+
+    Plan: one shuffle on source; the count and the row_number share
+    the same window partitioning, so Catalyst plans a single exchange
+    + sort. At 100 TB with few giant strata, replace the row_number
+    with the decomposed rank used by corpus_quality_filter (count
+    table + intra-bucket row_number) — the hash order makes both
+    forms pick the identical set."""
+    docs = read_table(spark, sf_dir, "documents")
+    wn = Window.partitionBy("source")
+    wr = Window.partitionBy("source").orderBy(
+        tok_hash60(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.count(F.lit(1)).over(wn).alias("stratum_n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    quota = F.greatest(
+        F.lit(1),
+        F.floor(F.col("stratum_n") * STRAT_PCT / 100),
+    )
+    return sized.filter(F.col("rn") <= quota).select(
+        "doc_id", "source", "n_chars", "stratum_n"
+    )

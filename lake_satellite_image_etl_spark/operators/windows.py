@@ -175,3 +175,84 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     ).drop("session_no")
+
+
+@query(
+    "window_gap_fill",
+    oracle="""
+    -- time-series resample + gap fill: hourly buckets per user over
+    -- the user's own [first, last] span; missing hours appear with
+    -- n_events=0 and the last observed value carried forward (LOCF).
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               count(*) AS n_events,
+               round(sum(value), 6) AS obs_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    )
+    SELECT g.user_id, g.bucket,
+           coalesce(o.n_events, 0) AS n_events,
+           last_value(o.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket = g.bucket
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT time-series gap fill — resample each user's event stream to
+    a dense hourly grid (missing hours materialized with n_events=0)
+    and forward-fill the last observed hourly value (LOCF), the
+    standard densify step before any per-entity time-series model.
+
+    Plan: every stage — the hourly pre-aggregate, the per-user span,
+    the grid↔observation join, and the LOCF window — is keyed on
+    user_id, so Catalyst plans ONE exchange and reuses it end to end.
+    The dense grid is generated by ``sequence()`` + ``explode`` from
+    the 2-column span table (narrow, no shuffle), so grid size is
+    bounded by hours-of-span per user, independent of event volume:
+    at 100 TB the pre-aggregate collapses the fact table first and
+    everything after operates on |users × active-hours| rows. A
+    pathological always-on key costs its span in hours, not its event
+    count."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("obs_value"),
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("obs_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )
