@@ -694,3 +694,85 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(ticket, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+#: logistic quality-classifier weights over the three
+#: text_quality_score features — the shape of a fastText-style binary
+#: quality filter with the learned weights frozen as constants (a
+#: production run swaps in real trained weights; the plan is
+#: identical: pure narrow arithmetic, no model runtime needed).
+QC_BIAS = -2.0
+QC_W_LENGTH = 3.0
+QC_W_DIVERSITY = 2.0
+QC_W_STOPDEV = -4.0
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    -- frozen logistic classifier over the quality features: logit is
+    -- exact double arithmetic, probability = 1/(1+exp(-logit)), the
+    -- keep label thresholds the (rounding-free) logit at 0.
+    WITH t AS (
+        SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               least(n_chars / 400.0, 1.0) AS length_score,
+               len(list_distinct(toks))::DOUBLE / len(toks) AS diversity,
+               abs(len(list_filter(toks,
+                       t -> list_contains({_SQL_STOPS}, t)))::DOUBLE
+                   / len(toks) - 0.1) AS stop_dev
+        FROM t
+    ), z AS (
+        SELECT doc_id,
+               {QC_BIAS} + {QC_W_LENGTH} * length_score
+                 + {QC_W_DIVERSITY} * diversity
+                 + {QC_W_STOPDEV} * stop_dev AS logit
+        FROM m
+    )
+    SELECT doc_id,
+           round(logit, 6) AS logit,
+           round(1.0 / (1.0 + exp(-logit)), 6) AS p_keep,
+           logit > 0 AS keep
+    FROM z
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-style quality filtering — a logistic classifier over the
+    text_quality_score features with frozen weights, scoring every
+    document with a keep-probability and a binary keep label (the
+    fastText-classifier step of a pre-training pipeline, e.g. the
+    CCNet/GPT-3 quality filter, reduced to its Spark plan shape).
+
+    Plan: a narrow map stage — token stats via array HOFs, then a
+    dot product and a sigmoid, all whole-stage-codegen; zero shuffles,
+    zero Python. At 100 TB this is scan-bound, embarrassingly
+    parallel, and composes with corpus_quality_filter's percentile
+    machinery downstream. The keep label thresholds the un-rounded
+    logit at 0 (sign is exact), so the boolean is immune to the one
+    transcendental in the plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("double")
+    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stop_dev = F.abs(
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+            "double"
+        )
+        / n_tokens
+        - 0.1
+    )
+    logit = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LENGTH) * length_score
+        + F.lit(QC_W_DIVERSITY) * diversity
+        + F.lit(QC_W_STOPDEV) * stop_dev
+    )
+    return docs.select(
+        "doc_id",
+        F.round(logit, 6).alias("logit"),
+        F.round(1.0 / (1.0 + F.exp(-logit)), 6).alias("p_keep"),
+        (logit > 0).alias("keep"),
+    )

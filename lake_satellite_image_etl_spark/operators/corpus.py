@@ -466,3 +466,148 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "term", "tf", "df", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination PRE-filter — the membership structure that
+# makes decontamination cheap when the corpus is 100 TB but the
+# benchmark is megabytes: instead of joining every corpus shingle
+# against the benchmark set, probe a BLOOM_BITS-bit filter (BLOOM_K
+# positions sliced from the 60-bit shingle hash) and only ship bloom
+# CANDIDATES to the exact join. False positives are possible (and the
+# oracle reproduces them exactly — the arithmetic is deterministic);
+# false negatives are impossible, so the prefilter never loses a
+# contaminated document (superset property pinned in
+# tests/test_corpus_ops.py).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 16384  # 2^14 filter bits → 14-bit positions
+BLOOM_K = 3  # positions per shingle: three 14-bit slices of the hash
+
+
+def _sql_bloom_positions(h: str) -> str:
+    slices = ", ".join(
+        f"(({h}) // {1 << (14 * i)}) % {BLOOM_BITS}" for i in range(BLOOM_K)
+    )
+    return f"list_distinct([{slices}])"
+
+
+def _bloom_positions(col) -> "F.Column":
+    return F.array_distinct(
+        F.array(
+            *[
+                F.shiftright(col, 14 * i).bitwiseAND(BLOOM_BITS - 1)
+                for i in range(BLOOM_K)
+            ]
+        )
+    )
+
+
+@query(
+    "corpus_bloom_prefilter",
+    oracle=f"""
+    -- bloom-filter decontamination prefilter: benchmark shingles set
+    -- {BLOOM_K} bit positions each in a {BLOOM_BITS}-bit filter
+    -- (stored as 32-bit words — shifts stay under the BIGINT sign
+    -- bit on every engine); a training shingle is a CANDIDATE iff
+    -- all of its positions are set. Output: per-doc candidate count.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
+    bench_pos AS (
+        SELECT DISTINCT unnest({_sql_bloom_positions('s')}) AS pos
+        FROM (SELECT unnest(hsh) AS s FROM sh
+              WHERE doc_id % {BENCHMARK_STRIDE} = 0)
+    ),
+    words AS (
+        SELECT pos // 32 AS w,
+               bit_or(1::BIGINT << (pos % 32)) AS mask
+        FROM bench_pos GROUP BY 1
+    ),
+    train AS (
+        SELECT doc_id, s, {_sql_bloom_positions('s')} AS plist
+        FROM (SELECT doc_id, unnest(hsh) AS s FROM sh
+              WHERE doc_id % {BENCHMARK_STRIDE} != 0)
+    ),
+    probe AS (
+        SELECT doc_id, s, len(plist) AS n_pos, unnest(plist) AS pos
+        FROM train
+    ),
+    hitpos AS (
+        SELECT p.doc_id, p.s, p.n_pos, count(*) AS n_hit
+        FROM probe p JOIN words w ON w.w = p.pos // 32
+        WHERE ((w.mask >> (p.pos % 32)) & 1) = 1
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, count(*) AS n_bloom_candidates,
+           count(*) >= {CONTAM_MIN_SHARED} AS maybe_contaminated
+    FROM hitpos WHERE n_hit = n_pos
+    GROUP BY doc_id
+    """,
+)
+def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter — the scale form of
+    corpus_contamination_flag's broadcast join: compress the benchmark
+    shingle set into a {BLOOM_BITS}-bit bloom filter ({BLOOM_K}
+    hash positions per shingle, sliced from the same 60-bit hash) and
+    count, per training document, the shingles the filter cannot rule
+    out.
+
+    Plan: the filter is a ≤{BLOOM_BITS // 32}-row (word, mask) table —
+    broadcast to every probe, membership is an O(1) word lookup + bit
+    test, all JVM-side integer ops. At 100 TB the probe side stays a
+    narrow scan (explode → broadcast-join → bit test → count); only
+    bloom candidates — benchmark true hits plus the filter's
+    deterministic false positives — survive to the exact verify,
+    which is exactly how production decontamination avoids shuffling
+    the corpus against the benchmark. No false negatives by
+    construction (superset of the exact operator's hit set, pinned in
+    tests/test_corpus_ops.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
+    bench_pos = (
+        sh.filter(is_bench)
+        .select(F.explode("hsh").alias("s"))
+        .select(F.explode(_bloom_positions(F.col("s"))).alias("pos"))
+        .distinct()
+    )
+    words = bench_pos.groupBy(
+        F.shiftright("pos", 5).alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pos % 32 as int))")
+        ).alias("mask")
+    )
+    train = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("hsh").alias("s"))
+        .withColumn("plist", _bloom_positions(F.col("s")))
+        .select(
+            "doc_id",
+            "s",
+            F.size("plist").alias("n_pos"),
+            F.explode("plist").alias("pos"),
+        )
+    )
+    hitpos = (
+        train.join(F.broadcast(words), F.shiftright(train["pos"], 5) == words["w"])
+        .filter(
+            F.expr("(shiftright(mask, cast(pos % 32 as int)) & 1) = 1")
+        )
+        .groupBy("doc_id", "s", "n_pos")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hitpos.filter(F.col("n_hit") == F.col("n_pos"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_candidates"))
+        .select(
+            "doc_id",
+            "n_bloom_candidates",
+            (F.col("n_bloom_candidates") >= CONTAM_MIN_SHARED).alias(
+                "maybe_contaminated"
+            ),
+        )
+    )

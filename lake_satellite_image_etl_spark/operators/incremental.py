@@ -112,6 +112,31 @@ def dedup_primary_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_DELETE_OP = "error"
 
 
+def compact_changelog(changelog: DataFrame) -> DataFrame:
+    """Latest row-image per key, in the RAW changelog schema —
+    tombstones (delete-marker rows) are KEPT so a later merge with an
+    older out-of-order upsert cannot resurrect a deleted key; readers
+    filter ``event_type != CDC_DELETE_OP`` at query time. Idempotent
+    and associative: compact(compact(A) ∪ B) == compact(A ∪ B), the
+    property the streaming foreachBatch merge relies on."""
+    return (
+        changelog.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last")
+        )
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.ts").alias("ts"),
+            F.col("last.event_type").alias("event_type"),
+            F.col("last.value").alias("value"),
+        )
+    )
+
+
+
 @query(
     "cdc_apply_changelog",
     oracle=f"""
@@ -151,16 +176,17 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     |keys|×|partitions| rows instead. The delete filter runs after
     compaction, exactly once per key."""
     ev = read_table(spark, sf_dir, "events")
-    latest = ev.groupBy("user_id").agg(
-        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+    return (
+        compact_changelog(ev)
+        .filter(F.col("event_type") != CDC_DELETE_OP)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
     )
-    return latest.select(
-        "user_id",
-        F.col("last.event_id").alias("last_event_id"),
-        F.col("last.ts").alias("last_ts"),
-        F.col("last.event_type").alias("last_op"),
-        F.col("last.value").alias("last_value"),
-    ).filter(F.col("last_op") != CDC_DELETE_OP)
 
 
 def idempotent_append(

@@ -1,0 +1,124 @@
+"""Physical-layout operators — Z-order (Morton) clustering, the
+multi-column data-skipping layout Delta/Iceberg expose as OPTIMIZE
+ZORDER BY: interleave the bits of several clustering keys so that
+range-partitioning on ONE derived value co-locates rows that are
+close in EVERY key, letting parquet min/max stats prune scans on any
+of the clustered columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+#: bits per dimension in the interleave (keys are reduced mod 2^Z_BITS)
+Z_BITS = 8
+#: trailing z-bits dropped to form a coarse block id: 6 bits = a
+#: (2^3 × 2^3) tile in (x, y)
+Z_BLOCK_SHIFT = 6
+
+
+def z_value(x: Column, y: Column) -> Column:
+    """Morton interleave of two Z_BITS-bit keys: bit i of x lands at
+    z-bit 2i, bit i of y at 2i+1. Pure literal-shift integer ops —
+    whole-stage-codegen arithmetic, no UDF."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _sql_z(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def write_zorder_layout(
+    df: DataFrame, x_col: str, y_col: str, path: str, n_files: int = 8
+) -> None:
+    """Cluster ``df`` into ``n_files`` parquet files by the Morton
+    value of (x_col mod 2^Z_BITS, y_col mod 2^Z_BITS):
+    ``repartitionByRange`` + in-partition sort on z gives every file a
+    DISJOINT z-range, hence a bounded tile in (x, y) — the property
+    that makes parquet min/max skipping fire for predicates on EITHER
+    column (tested in tests/test_zorder.py)."""
+    z = z_value(
+        F.col(x_col).bitwiseAND((1 << Z_BITS) - 1),
+        F.col(y_col).bitwiseAND((1 << Z_BITS) - 1),
+    ).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    -- Z-order locality map: Morton-interleave (l_partkey mod
+    -- {1 << Z_BITS}, l_suppkey mod {1 << Z_BITS}), then summarize each
+    -- coarse z-block (z >> {Z_BLOCK_SHIFT}). Because a z-prefix fixes
+    -- the high bits of BOTH keys, every block is a
+    -- {1 << (Z_BLOCK_SHIFT // 2)}×{1 << (Z_BLOCK_SHIFT // 2)} tile:
+    -- max-min spans stay within the tile on both axes.
+    WITH z AS (
+        SELECT l_partkey % {1 << Z_BITS} AS x,
+               l_suppkey % {1 << Z_BITS} AS y,
+               {_sql_z(f"l_partkey % {1 << Z_BITS}", f"l_suppkey % {1 << Z_BITS}")} AS zval
+        FROM lineitem
+    )
+    SELECT zval // {1 << Z_BLOCK_SHIFT} AS z_block,
+           count(*) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering map over lineitem (l_partkey × l_suppkey):
+    the per-block extent summary that proves why the layout skips —
+    each coarse z-block is a bounded tile in both keys, so a file
+    holding one block serves min/max pruning for predicates on either
+    column. ``write_zorder_layout`` materializes the layout itself;
+    the disjoint-file-range and both-axis-pruning properties are
+    pinned in tests/test_zorder.py.
+
+    Plan: the interleave is literal-shift integer arithmetic (codegen,
+    no UDF), the block summary one small-key aggregate. At 100 TB the
+    real cost center is the layout WRITE — a range shuffle on z
+    (terasort-shaped, linear) done once, amortized over every
+    subsequent pruned scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = (1 << Z_BITS) - 1
+    x = F.col("l_partkey").bitwiseAND(m)
+    y = F.col("l_suppkey").bitwiseAND(m)
+    z = li.select(
+        x.alias("x"), y.alias("y"), z_value(x, y).alias("zval")
+    )
+    return (
+        z.groupBy(
+            F.shiftright("zval", Z_BLOCK_SHIFT).alias("z_block")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

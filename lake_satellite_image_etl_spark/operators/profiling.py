@@ -1,0 +1,120 @@
+"""Data-profiling operators — the Deequ/Great-Expectations-style
+one-pass table summary every ingestion pipeline runs before trusting
+a new drop: per-column row/null/distinct counts, numeric extents and
+mean, string extents. (The reference has no profiler; this is part of
+the large-scale pipeline block, like stats_histogram in
+aggregates.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lake_satellite_image_etl_spark.io import read_table
+from lake_satellite_image_etl_spark.registry import query
+
+#: profiled columns of ``orders``: (name, kind). Numeric values also
+#: get a canonical string form so NULL/distinct accounting is uniform
+#: across kinds; o_totalprice goes through DECIMAL(18,2) so the
+#: canonical string is engine-independent (raw double→string
+#: formatting is not).
+PROFILE_COLS = (
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _sql_melt() -> str:
+    parts = []
+    for name, kind in PROFILE_COLS:
+        if name == "o_totalprice":
+            val_str = f"({name}::DECIMAL(18,2))::VARCHAR"
+            num_val = name
+        elif kind == "num":
+            val_str = f"{name}::VARCHAR"
+            num_val = f"{name}::DOUBLE"
+        else:
+            val_str = name
+            num_val = "NULL::DOUBLE"
+        parts.append(
+            f"SELECT '{name}' AS col_name, '{kind}' AS kind, "
+            f"{val_str} AS val_str, {num_val} AS num_val FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "profile_table_stats",
+    oracle=f"""
+    -- one-pass table profile in long form: melt each profiled column
+    -- to (col_name, kind, canonical string, numeric value), then one
+    -- aggregate per column.
+    WITH m AS ({_sql_melt()})
+    SELECT col_name,
+           count(*) AS n_rows,
+           sum(CASE WHEN val_str IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_nulls,
+           count(DISTINCT val_str) AS n_distinct,
+           round(min(num_val), 2) AS min_num,
+           round(max(num_val), 2) AS max_num,
+           round(avg(num_val), 6) AS mean_num,
+           min(CASE WHEN kind = 'str' THEN val_str END) AS min_str,
+           max(CASE WHEN kind = 'str' THEN val_str END) AS max_str
+    FROM m GROUP BY col_name
+    """,
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler — per-column rows / nulls / exact distincts /
+    extents / mean for a declared column list, in one aggregation
+    pass (the summary a data-quality gate checks before a 100 TB drop
+    is admitted downstream).
+
+    Plan: melt-then-aggregate. Each row explodes into |cols| narrow
+    (col_name, value) rows BEFORE the shuffle — no per-column scans,
+    no Expand from multiple DISTINCT aggregates (one distinct per
+    group key instead of k independent distinct columns). The shuffle
+    key is col_name (|cols| groups); partial aggregation collapses
+    everything except the distinct stream map-side. At 100 TB: one
+    scan, shuffle volume ≈ distinct values only; swap
+    ``approx_count_distinct`` into the same plan when exact
+    cardinality isn't required."""
+    o = read_table(spark, sf_dir, "orders")
+    structs = []
+    for name, kind in PROFILE_COLS:
+        if name == "o_totalprice":
+            val_str = F.col(name).cast("decimal(18,2)").cast("string")
+            num_val = F.col(name)
+        elif kind == "num":
+            val_str = F.col(name).cast("string")
+            num_val = F.col(name).cast("double")
+        else:
+            val_str = F.col(name)
+            num_val = F.lit(None).cast("double")
+        structs.append(
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.lit(kind).alias("kind"),
+                val_str.alias("val_str"),
+                num_val.alias("num_val"),
+            )
+        )
+    m = o.select(F.explode(F.array(*structs)).alias("c")).select("c.*")
+    return m.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("val_str").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+        F.countDistinct("val_str").alias("n_distinct"),
+        F.round(F.min("num_val"), 2).alias("min_num"),
+        F.round(F.max("num_val"), 2).alias("max_num"),
+        F.round(F.avg("num_val"), 6).alias("mean_num"),
+        F.min(F.when(F.col("kind") == "str", F.col("val_str"))).alias(
+            "min_str"
+        ),
+        F.max(F.when(F.col("kind") == "str", F.col("val_str"))).alias(
+            "max_str"
+        ),
+    )

@@ -385,3 +385,74 @@ def sink_artifact_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"holds {len(manifest)} — non-atomic or lost write"
         )
     return spark.createDataFrame(manifest, schema="key string, n_bytes bigint")
+
+
+@query(
+    "stream_cdc_batch",
+    oracle="""
+    -- equals the batch CDC compaction (cdc_apply_changelog): the
+    -- streaming foreachBatch merge over two tranches must converge to
+    -- the same latest-wins snapshot, tombstones filtered at read.
+    WITH ranked AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           ts AS last_ts,
+           event_type AS last_op,
+           value AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC merge run end-to-end: the events changelog is
+    staged as TWO source files (split by event_id parity), drained
+    AvailableNow with ``maxFilesPerTrigger=1`` so the foreachBatch
+    merge really executes across ≥2 micro-batches, each compacting
+    (previous snapshot ∪ batch) into a new snapshot version. The
+    returned frame is the final snapshot with tombstones filtered —
+    by the merge's order-independence it must equal the one-shot
+    batch compaction, which is exactly what the oracle computes.
+    Tombstone persistence across batches (a delete never resurrected
+    by an older late upsert) is pinned separately in
+    tests/test_incremental.py::test_stream_cdc_tombstone_survives_late_upsert."""
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        CDC_DELETE_OP,
+    )
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        run_stream_cdc,
+    )
+
+    scratch = _scratch("stream_cdc_")
+    src = os.path.join(scratch, "src")
+    os.makedirs(src, exist_ok=True)
+    ev = read_table(spark, sf_dir, "events")
+    for name, half in (
+        ("even", ev.filter(F.col("event_id") % 2 == 0)),
+        ("odd", ev.filter(F.col("event_id") % 2 == 1)),
+    ):
+        tmp = os.path.join(scratch, f"tmp_{name}")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _glob
+
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    snap = os.path.join(scratch, "snap")
+    ckpt = os.path.join(scratch, "ckpt")
+    latest = run_stream_cdc(spark, src, snap, ckpt)
+    return (
+        spark.read.parquet(latest)
+        .filter(F.col("event_type") != CDC_DELETE_OP)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+        )
+    )

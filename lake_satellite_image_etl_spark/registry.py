@@ -37,6 +37,8 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.geometry",
     "lake_satellite_image_etl_spark.operators.sampling",
     "lake_satellite_image_etl_spark.operators.analytics",
+    "lake_satellite_image_etl_spark.operators.profiling",
+    "lake_satellite_image_etl_spark.operators.layout",
     "lake_satellite_image_etl_spark.functions.scalars",
     "lake_satellite_image_etl_spark.functions.text",
     "lake_satellite_image_etl_spark.functions.vectors",
@@ -152,6 +154,18 @@ _PRIORITY = (
     "analytics_window_funnel",
     "analytics_cohort_retention",
     "multimodal_image_dedup",
+    # r8 candidates (late-r7 additions, local-only):
+    "agg_percentiles",
+    "stats_histogram",
+    "cdc_apply_changelog",
+    "window_gap_fill",
+    "dedup_sorted_neighborhood",
+    "sample_stratified_exact",
+    "corpus_bloom_prefilter",
+    "profile_table_stats",
+    "layout_zorder",
+    "text_quality_classifier",
+    "stream_cdc_batch",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

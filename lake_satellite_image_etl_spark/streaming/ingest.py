@@ -105,7 +105,11 @@ def _events_ts_encoding(events_glob: str) -> str:
     )
 
 
-def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    events_glob: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming file source over the events parquet, normalized to a
     plain ``TIMESTAMP`` ``ts`` column (mirroring io.read_table).
 
@@ -113,7 +117,17 @@ def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:
     truncated to micros; µs fixtures are read with ``TimestampType``
     directly (the explicit schema overrides Spark 4's NTZ inference,
     and the UTC session TZ makes the values oracle-exact).
+    ``max_files_per_trigger`` caps files per micro-batch (so a staged
+    multi-file source exercises the multi-batch path even under an
+    AvailableNow drain).
     """
+
+    def _reader(schema):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+        return r.parquet(events_glob)
+
     if _events_ts_encoding(events_glob) == "ns-long":
         nanos_schema = T.StructType(
             [
@@ -122,9 +136,9 @@ def read_events_stream(spark: SparkSession, events_glob: str) -> DataFrame:
             ]
         )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.readStream.schema(nanos_schema).parquet(events_glob)
+        raw = _reader(nanos_schema)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_glob)
+    return _reader(EVENTS_SCHEMA)
 
 
 def dedup_stream(events: DataFrame, lookback: str = LOOKBACK) -> DataFrame:
@@ -293,3 +307,64 @@ def run_stream_stream_join_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_cdc(
+    spark: SparkSession,
+    events_glob: str,
+    snap_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = 1,
+) -> str:
+    """Streaming CDC merge: drain the changelog AvailableNow, one
+    ``foreachBatch`` per micro-batch, each merging the batch into a
+    versioned parquet snapshot (read latest → union → re-compact →
+    write v=<batch_id>). Tombstones live IN the snapshot (see
+    ``compact_changelog``), so a delete observed in batch N cannot be
+    resurrected by an out-of-order older upsert in batch N+k — the
+    merge is order-independent across batches. Returns the final
+    snapshot version path.
+
+    Scale: each merge is one partial-aggregatable compaction keyed on
+    the entity id; snapshot size is |live keys + tombstones|, not
+    changelog volume. (Production would age tombstones out past the
+    source's max lateness and MERGE into a table format instead of
+    rewriting the snapshot — same plan per batch.)
+    """
+    import glob as _glob
+    import os as _os
+
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        compact_changelog,
+    )
+
+    def _latest_version() -> str | None:
+        vs = sorted(_glob.glob(_os.path.join(snap_dir, "v=*")))
+        return vs[-1] if vs else None
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+
+    def _merge(batch_df, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        prev = _latest_version()
+        allrows = batch_df.select(*cols)
+        if prev is not None:
+            allrows = bspark.read.parquet(prev).select(*cols).unionByName(
+                allrows
+            )
+        out = _os.path.join(snap_dir, f"v={batch_id:06d}")
+        compact_changelog(allrows).write.mode("overwrite").parquet(out)
+
+    ev = read_events_stream(
+        spark, events_glob, max_files_per_trigger=max_files_per_trigger
+    )
+    q = (
+        ev.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_version()
+    assert latest is not None, "stream produced no snapshot version"
+    return latest

@@ -125,3 +125,30 @@ def test_mix_weighted_accounting(spark):
     # both regimes must actually occur on the fixture
     assert any(n >= 2 for n in expected.values()), "no upsampling hit"
     assert any(n == 0 for n in expected.values()), "no downsampling hit"
+
+
+def test_bloom_prefilter_is_superset_of_exact_hits(spark):
+    """A bloom filter can false-positive but never false-negative:
+    every shingle the exact decontamination join counts must also be a
+    bloom candidate, so per-doc candidate counts dominate exact shared
+    counts and no contaminated doc escapes the prefilter."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_bloom_prefilter,
+        corpus_contamination_flag,
+    )
+
+    exact = {
+        r["doc_id"]: r["n_shared"]
+        for r in corpus_contamination_flag(spark, SF_ORACLE).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_candidates"]
+        for r in corpus_bloom_prefilter(spark, SF_ORACLE).collect()
+    }
+    assert exact, "exact contamination op returned no hits (vacuous)"
+    for doc_id, n_shared in exact.items():
+        assert doc_id in bloom, f"doc {doc_id} lost by bloom prefilter"
+        assert bloom[doc_id] >= n_shared, (
+            f"doc {doc_id}: bloom candidates {bloom[doc_id]} < exact "
+            f"shared {n_shared}"
+        )

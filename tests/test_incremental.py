@@ -382,3 +382,70 @@ def test_stream_stream_join_two_tranches_eviction(spark):
     assert (3, 6) in rows, "live click state lost across micro-batches"
     assert (1, 5) not in rows, "evicted/late purchase still matched"
     assert rows == {(1, 2), (3, 4), (3, 6)}
+
+
+def test_stream_cdc_tombstone_survives_late_upsert(spark):
+    """CDC-merge tombstone lifecycle across two checkpointed
+    AvailableNow runs: a key deleted in run 1 must NOT be resurrected
+    by an out-of-order OLDER upsert arriving in run 2 (the tombstone
+    is part of the snapshot, so the merge stays order-independent),
+    while a genuinely newer upsert does update its key."""
+    from datetime import datetime
+
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        run_stream_cdc,
+    )
+
+    src = os.path.join(SCRATCH, "cdc_src")
+    snap = os.path.join(SCRATCH, "cdc_snap")
+    ckpt = os.path.join(SCRATCH, "cdc_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def stage(name, rows):
+        tmp = os.path.join(SCRATCH, f"cdc_tmp_{name}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    d = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    # run 1: key 1 created then DELETED; key 2 created
+    stage(
+        "t1",
+        [
+            (1, d(0), 1, "signup", 1.0, "{}"),
+            (2, d(2), 1, "error", 0.0, "{}"),   # delete key 1 @ 02:00
+            (3, d(1), 2, "signup", 2.0, "{}"),
+        ],
+    )
+    v1 = run_stream_cdc(spark, src, snap, ckpt)
+    snap1 = {r["user_id"]: r for r in spark.read.parquet(v1).collect()}
+    assert snap1[1]["event_type"] == "error", "tombstone missing from snapshot"
+    assert snap1[2]["event_type"] == "signup"
+
+    # run 2 (same checkpoint — only the new file is read): key 1 gets
+    # an upsert OLDER than its delete; key 2 a genuinely newer update;
+    # key 3 is fresh
+    stage(
+        "t2",
+        [
+            (4, d(1), 1, "view", 9.0, "{}"),    # late upsert, ts < delete
+            (5, d(3), 2, "view", 3.0, "{}"),
+            (6, d(0), 3, "signup", 4.0, "{}"),
+        ],
+    )
+    v2 = run_stream_cdc(spark, src, snap, ckpt)
+    snap2 = {r["user_id"]: r for r in spark.read.parquet(v2).collect()}
+    assert snap2[1]["event_type"] == "error", "delete was resurrected"
+    assert snap2[2]["event_type"] == "view" and snap2[2]["value"] == 3.0
+    assert snap2[3]["event_type"] == "signup"
+    # live view (tombstones filtered) drops key 1
+    live = {
+        r["user_id"]
+        for r in spark.read.parquet(v2)
+        .filter(F.col("event_type") != "error")
+        .collect()
+    }
+    assert live == {2, 3}

@@ -234,3 +234,68 @@ def test_funnel_stage_filters_reach_scan(spark):
     assert "PushedFilters" in plan
     for stage in ("click", "view", "purchase"):
         assert stage in plan, f"stage filter {stage} missing from scan"
+
+
+def test_cdc_compaction_is_aggregate_not_window(spark):
+    """cdc_apply_changelog claims map-side-combinable max(struct)
+    compaction: exactly one shuffle, no Window/Sort over the
+    changelog."""
+    import re
+
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        cdc_apply_changelog,
+    )
+
+    plan = _plan(cdc_apply_changelog(spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles == 1, f"CDC compaction shuffled {n_shuffles}x:\n{plan}"
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_quality_classifier_and_zorder_are_narrow_jvm_plans(spark):
+    """The classifier is a pure scan-speed map; the z-value interleave
+    is literal-shift codegen arithmetic. Neither may shuffle before
+    its (optional) final aggregate, and neither may leave the JVM."""
+    from lake_satellite_image_etl_spark.functions.text import (
+        text_quality_classifier,
+    )
+    from lake_satellite_image_etl_spark.operators.layout import (
+        layout_zorder,
+    )
+
+    plan = _plan(text_quality_classifier(spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+    plan = _plan(layout_zorder(spark, SF_SMOKE))
+    assert "Python" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_bloom_prefilter_broadcasts_filter_words(spark):
+    """The bloom word table must reach the corpus probe as a
+    broadcast — a shuffle join here would defeat the prefilter's
+    purpose."""
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_bloom_prefilter,
+    )
+
+    plan = _plan(corpus_bloom_prefilter(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profiler_melt_avoids_expand(spark):
+    """profile_table_stats claims the melt-then-aggregate shape: one
+    distinct stream keyed by col_name, not the Expand operator that k
+    independent COUNT(DISTINCT col_k) aggregates would plan."""
+    from lake_satellite_image_etl_spark.operators.profiling import (
+        profile_table_stats,
+    )
+
+    plan = _plan(profile_table_stats(spark, SF_SMOKE))
+    assert "Expand" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan

@@ -1,0 +1,63 @@
+"""Z-order layout properties: the query's per-block tile bound, and
+the written layout's disjoint per-file z-ranges with bounded per-file
+extents on BOTH clustered columns (the data-skipping property)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from tests.conftest import SF_ORACLE
+
+
+def test_zorder_blocks_are_tiles(spark):
+    from lake_satellite_image_etl_spark.operators.layout import (
+        Z_BLOCK_SHIFT,
+        layout_zorder,
+    )
+
+    tile = 1 << (Z_BLOCK_SHIFT // 2)  # 8 for shift 6
+    rows = layout_zorder(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["max_x"] - r["min_x"] < tile, r
+        assert r["max_y"] - r["min_y"] < tile, r
+
+
+def test_zorder_written_files_have_disjoint_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.layout import (
+        Z_BITS,
+        write_zorder_layout,
+    )
+
+    li = read_table(spark, SF_ORACLE, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    path = str(tmp_path / "zorder")
+    write_zorder_layout(li, "l_partkey", "l_suppkey", path, n_files=8)
+
+    ranges = []
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        t = pq.read_table(f, columns=["_z", "l_partkey", "l_suppkey"])
+        if t.num_rows == 0:
+            continue
+        zs = t.column("_z").to_pylist()
+        xs = [v & ((1 << Z_BITS) - 1) for v in t.column("l_partkey").to_pylist()]
+        ys = [v & ((1 << Z_BITS) - 1) for v in t.column("l_suppkey").to_pylist()]
+        ranges.append((min(zs), max(zs)))
+        spans.append((max(xs) - min(xs), max(ys) - min(ys)))
+    assert len(ranges) > 1, "expected multiple z-clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file z-ranges {(lo1, hi1)} {(lo2, hi2)}"
+    # every file's extent is a strict subset of the full key domain on
+    # BOTH axes — the reason min/max pruning fires for either column
+    # (a random layout gives ~full-domain spans in every file)
+    full = (1 << Z_BITS) - 1
+    assert any(sx < full * 0.8 and sy < full * 0.8 for sx, sy in spans), spans
