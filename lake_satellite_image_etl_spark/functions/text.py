@@ -776,3 +776,86 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-logit)), 6).alias("p_keep"),
         (logit > 0).alias("keep"),
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    -- corpus-trained bigram LM with add-one smoothing, scoring each
+    -- document by mean log-probability of its own bigrams:
+    -- P(w2|w1) = (C(w1 w2) + 1) / (C1(w1) + V), C1 = count of w1 as
+    -- a bigram HISTORY (non-final positions), V = vocabulary size.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    ),
+    bgw AS (SELECT doc_id, bigram,
+                   split_part(bigram, ' ', 1) AS w1 FROM bg),
+    cb AS (SELECT bigram, count(*) AS cb FROM bgw GROUP BY 1),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t))
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((cb + 1.0) / (c1 + v))), 6) AS avg_logp
+    FROM bgw b
+    JOIN cb USING (bigram)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical language-model quality scoring — train a bigram LM
+    on the corpus itself (add-one smoothing) and score every document
+    by the mean log-probability of its bigrams: the perplexity-filter
+    shape (CCNet's KenLM step) with the model expressed relationally
+    instead of as a binary model file.
+
+    Plan: bigrams come from a narrow HOF transform+explode (no
+    self-join on position); the two count tables are VOCABULARY-sized
+    — both join back broadcast, so the only corpus-sized shuffles are
+    the two count aggregations and the final per-doc mean. At 100 TB:
+    counts are partial-aggregated map-side (Zipf makes the hot keys
+    combine early), the model stays broadcastable because vocab ≪
+    corpus, and scoring is embarrassingly parallel. Swapping in a
+    real KenLM binary turns the broadcast join into a mapInPandas
+    with the same surrounding plan."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.substring_index("bigram", " ", 1))
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return (
+        bg.join(F.broadcast(cb), "bigram")
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("cb") + 1.0) / (F.col("c1") + F.col("v")))),
+                6,
+            ).alias("avg_logp"),
+        )
+    )

@@ -165,3 +165,68 @@ def analytics_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "analytics_event_transitions",
+    oracle="""
+    -- first-order Markov transition matrix over per-user event
+    -- sequences: count (prev_type -> type) pairs and the row-
+    -- normalized transition probability.
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    c AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM o WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+               AS p_transition
+    FROM c
+    """,
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix — the user-path analytics
+    primitive behind flow visualizations and next-action models:
+    per-user chronological lag pairs, counted and row-normalized into
+    transition probabilities.
+
+    Plan: ONE corpus shuffle (the per-user sequence window on the
+    same high-cardinality user key SCD2 uses), then the transition
+    count collapses to |event_types|² rows — the normalizing window
+    runs on that tiny table. At 100 TB the sequence shuffle is the
+    irreducible cost (any sequence model needs the per-entity order);
+    everything after is negligible."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    c = (
+        o.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = _W.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wn), 6
+        ).alias("p_transition"),
+    )

@@ -39,6 +39,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.analytics",
     "lake_satellite_image_etl_spark.operators.profiling",
     "lake_satellite_image_etl_spark.operators.layout",
+    "lake_satellite_image_etl_spark.operators.sketches",
     "lake_satellite_image_etl_spark.functions.scalars",
     "lake_satellite_image_etl_spark.functions.text",
     "lake_satellite_image_etl_spark.functions.vectors",
@@ -166,6 +167,9 @@ _PRIORITY = (
     "layout_zorder",
     "text_quality_classifier",
     "stream_cdc_batch",
+    "text_bigram_lm_score",
+    "analytics_event_transitions",
+    "sketch_count_min",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
