@@ -168,3 +168,107 @@ def vector_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("qv"), F.col("cq")), 6).alias("cos_to_centroid"),
         )
     )
+
+
+@query(
+    "vector_quantize_int8",
+    oracle=f"""
+    -- int8 symmetric quantization of each embedding (the ANN-index /
+    -- model-weight compression step): code_i =
+    -- floor(q_i*127/amax + 0.5) with amax = max|q_i|; error is
+    -- measured EXACTLY in scaled integers (|code_i*amax - 127*q_i|)
+    -- so no float summation-order leaks into the gate.
+    WITH q AS (
+        SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, qv,
+               list_max(list_transform(qv, x -> abs(x))) AS amax
+        FROM q
+    ),
+    c AS (
+        SELECT vec_id, amax,
+               list_transform(
+                   generate_series(1, len(qv)),
+                   i -> floor(qv[i] * 127.0 / amax + 0.5)::BIGINT
+               ) AS code,
+               qv
+        FROM s WHERE amax > 0
+    ),
+    e AS (
+        SELECT vec_id, amax,
+               len(code) AS n_dims,
+               len(list_filter(code, x -> abs(x) = 127)) AS n_saturated,
+               list_max(list_transform(
+                   generate_series(1, len(code)),
+                   i -> abs(code[i] * amax - 127 * qv[i])
+               )) AS max_err_scaled,
+               list_sum(list_transform(
+                   generate_series(1, len(code)),
+                   i -> abs(code[i] * amax - 127 * qv[i])
+               ))::BIGINT AS sum_err_scaled
+        FROM c
+    )
+    SELECT vec_id, amax, n_dims, n_saturated,
+           round(max_err_scaled / (127.0 * {QUANT}), 8) AS max_abs_err,
+           round(sum_err_scaled / (127.0 * {QUANT} * n_dims), 8)
+               AS mean_abs_err
+    FROM e
+    """,
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with exact
+    per-vector reconstruction-error accounting — the compression step
+    in front of any large ANN index (4× memory cut for float32), here
+    with the error math kept in scaled INTEGERS so it is exact and
+    engine-independent.
+
+    Plan: pure narrow array-HOF arithmetic per row — no shuffle, no
+    Python; at 100 TB this runs at scan speed and writes a column 4×
+    smaller. Rounding is floor(x+0.5) (not ``round``) because
+    half-even vs half-up tie behavior differs across engines; floor
+    is IEEE-exact everywhere."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = qvec_of(F.col("embedding"))
+    s = emb.select("vec_id", qv.alias("qv")).withColumn(
+        "amax",
+        F.array_max(F.transform(F.col("qv"), lambda x: F.abs(x))),
+    ).filter(F.col("amax") > 0)
+    code = F.transform(
+        F.col("qv"),
+        lambda x: F.floor(
+            x * 127.0 / F.col("amax") + 0.5
+        ).cast("long"),
+    )
+    c = s.withColumn("code", code)
+    err = F.zip_with(
+        F.col("code"),
+        F.col("qv"),
+        lambda cd, q: F.abs(cd * F.col("amax") - 127 * q),
+    )
+    e = c.select(
+        "vec_id",
+        "amax",
+        F.size("code").alias("n_dims"),
+        F.size(
+            F.filter(F.col("code"), lambda x: F.abs(x) == 127)
+        ).alias("n_saturated"),
+        F.array_max(err).alias("max_err_scaled"),
+        F.aggregate(
+            err, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_err_scaled"),
+    )
+    return e.select(
+        "vec_id",
+        "amax",
+        "n_dims",
+        "n_saturated",
+        F.round(F.col("max_err_scaled") / (127.0 * QUANT), 8).alias(
+            "max_abs_err"
+        ),
+        F.round(
+            F.col("sum_err_scaled")
+            / (127.0 * QUANT * F.col("n_dims")),
+            8,
+        ).alias("mean_abs_err"),
+    )

@@ -552,20 +552,25 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, per training document, the shingles the filter cannot rule
     out.
 
-    Plan: the filter is a ≤{BLOOM_BITS // 32}-row (word, mask) table —
-    broadcast to every probe, membership is an O(1) word lookup + bit
-    test, all JVM-side integer ops. At 100 TB the probe side stays a
-    narrow scan (explode → broadcast-join → bit test → count); only
-    bloom candidates — benchmark true hits plus the filter's
-    deterministic false positives — survive to the exact verify,
-    which is exactly how production decontamination avoids shuffling
-    the corpus against the benchmark. No false negatives by
-    construction (superset of the exact operator's hit set, pinned in
+    Plan: the filter materializes to a ≤{BLOOM_BITS // 32}-long word
+    array — CONSTANT size by construction regardless of benchmark or
+    corpus scale — inlined as a literal into the probe expression
+    (the broadcast-variable pattern behind Spark's own runtime-bloom
+    ``might_contain``). The probe side is therefore a pure narrow
+    scan: explode shingles, three literal-shift bit tests per
+    shingle, then ONE corpus shuffle for the per-doc candidate count
+    — no join at all, which is why this beats the exact broadcast
+    join it pre-filters for. Only bloom candidates — benchmark true
+    hits plus the filter's deterministic false positives — survive
+    to the exact verify. No false negatives by construction
+    (superset of the exact operator's hit set, pinned in
     tests/test_corpus_ops.py)."""
     docs = read_table(spark, sf_dir, "documents")
+    # one shingling pass serves both the filter build (bench rows) and
+    # the probe scan
     sh = docs.select(
         "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
-    )
+    ).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
     bench_pos = (
         sh.filter(is_bench)
@@ -573,34 +578,36 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(_bloom_positions(F.col("s"))).alias("pos"))
         .distinct()
     )
-    words = bench_pos.groupBy(
-        F.shiftright("pos", 5).alias("w")
-    ).agg(
-        F.bit_or(
-            F.expr("shiftleft(1L, cast(pos % 32 as int))")
-        ).alias("mask")
-    )
-    train = (
-        sh.filter(~is_bench)
-        .select("doc_id", F.explode("hsh").alias("s"))
-        .withColumn("plist", _bloom_positions(F.col("s")))
-        .select(
-            "doc_id",
-            "s",
-            F.size("plist").alias("n_pos"),
-            F.explode("plist").alias("pos"),
+    word_rows = (
+        bench_pos.groupBy(F.shiftright("pos", 5).alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(pos % 32 as int))")
+            ).alias("mask")
         )
+        .collect()
     )
-    hitpos = (
-        train.join(F.broadcast(words), F.shiftright(train["pos"], 5) == words["w"])
-        .filter(
-            F.expr("(shiftright(mask, cast(pos % 32 as int)) & 1) = 1")
+    n_words = BLOOM_BITS // 32
+    assert len(word_rows) <= n_words  # structural bound, not data-dependent
+    masks = [0] * n_words
+    for r in word_rows:
+        masks[r["w"]] = r["mask"]
+    arr_sql = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
+
+    def _bit_test(i: int) -> str:
+        pos = f"(shiftright(s, {14 * i}) & {BLOOM_BITS - 1})"
+        return (
+            f"(shiftright(element_at({arr_sql}, "
+            f"cast({pos} div 32 as int) + 1), "
+            f"cast({pos} % 32 as int)) & 1) = 1"
         )
-        .groupBy("doc_id", "s", "n_pos")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+
+    passes = " AND ".join(_bit_test(i) for i in range(BLOOM_K))
+    probe = sh.filter(~is_bench).select(
+        "doc_id", F.explode("hsh").alias("s")
     )
     return (
-        hitpos.filter(F.col("n_hit") == F.col("n_pos"))
+        probe.filter(F.expr(passes))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bloom_candidates"))
         .select(

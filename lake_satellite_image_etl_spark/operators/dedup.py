@@ -1343,7 +1343,10 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SNM_WINDOW = 5
-SNM_RANGE_PARTS = 32
+#: rank buckets = top bits of the 60-bit uniform sort key: 2^10
+#: key-prefix ranges, balanced by hash uniformity — no sampling pass,
+#: no materialization barrier, deterministic across runs.
+SNM_BUCKET_SHIFT = 50
 
 
 @query(
@@ -1375,51 +1378,50 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     within a rank window of {SNM_WINDOW} under a global sort on
     (min-shingle-hash, doc_id), verified with exact Jaccard.
 
-    The global rank is computed WITHOUT a single-partition sort — the
-    scalable recipe: ``repartitionByRange`` on the key (each range
-    sorted independently), then per-partition ``row_number`` plus a
-    broadcast table of cumulative partition offsets. The only
-    single-partition window in the plan runs over exactly
-    {SNM_RANGE_PARTS} rows (one per range). At 100 TB the sort is
-    the cluster-wide terasort primitive (linear, spill-friendly), the
-    offsets table stays tiny, and the neighbor join is an equi-join
-    on rank — candidate volume is exactly W·n, immune to key skew
-    (contrast: a hot LSH bucket is quadratic in its occupancy). The
-    price is recall: only rank-adjacent dups are found — the classic
-    SNM trade; multi-pass SNM with a second key is the standard
-    recall patch."""
+    The global rank is computed WITHOUT a single-partition sort and
+    WITHOUT a sampling pass: the sort key is a uniform 60-bit hash, so
+    its top {60 - SNM_BUCKET_SHIFT} bits are 2^{60 - SNM_BUCKET_SHIFT}
+    balanced, ORDER-PRESERVING range buckets — rank = (cumulative
+    count of earlier buckets, a broadcast table built from one tiny
+    aggregate) + (row_number within the bucket, parallel across
+    buckets). Same decomposition corpus_quality_filter uses; the only
+    single-partition window runs over ≤2^{60 - SNM_BUCKET_SHIFT}
+    bucket-count rows. The neighbor join is an equi-join on rank —
+    candidate volume is exactly W·n, immune to key skew (contrast: a
+    hot LSH bucket is quadratic in its occupancy). The price is
+    recall: only rank-adjacent dups are found — the classic SNM
+    trade; multi-pass SNM with a second key is the standard recall
+    patch."""
     docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as _W
+
     sh = docs.select(
         "doc_id",
         hashed_shingles(tokens_of(F.col("text"))).alias("hsh"),
     ).withColumn("key", F.array_min("hsh"))
-    # materialize ONE range partitioning so the counts pass and the
-    # rank pass see identical pid assignment (range boundaries come
-    # from sampling; two separate actions could legally resample)
-    part = (
-        sh.repartitionByRange(SNM_RANGE_PARTS, "key", "doc_id")
-        .sortWithinPartitions("key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+    # materialize the shingled table ONCE — three consumers below
+    # (bucket counts + both sides of the neighbor join) would each
+    # recompute the md5 shingling otherwise
+    b = (
+        sh.withColumn("bkt", F.shiftright("key", SNM_BUCKET_SHIFT))
         .localCheckpoint(eager=True)
     )
-    from pyspark.sql import Window as _W
-
-    cnt = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offs = cnt.select(
-        "pid",
+    counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = counts.select(
+        "bkt",
         F.coalesce(
             F.sum("cnt").over(
-                _W.orderBy("pid").rowsBetween(_W.unboundedPreceding, -1)
+                _W.orderBy("bkt").rowsBetween(_W.unboundedPreceding, -1)
             ),
             F.lit(0),
         ).alias("off"),
     )
-    ranked = part.join(F.broadcast(offs), "pid").select(
+    ranked = b.join(F.broadcast(offs), "bkt").select(
         "doc_id",
         "hsh",
         (
             F.row_number().over(
-                _W.partitionBy("pid").orderBy("key", "doc_id")
+                _W.partitionBy("bkt").orderBy("key", "doc_id")
             )
             + F.col("off")
         ).alias("rnk"),
@@ -1429,22 +1431,24 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hsh").alias("hsh_a"),
         F.col("rnk").alias("rnk_a"),
     )
-    b = ranked.select(
+    bb = ranked.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hsh").alias("hsh_b"),
         F.col("rnk").alias("rnk_b"),
     )
-    deltas = spark.range(1, SNM_WINDOW + 1).select(
-        F.col("id").alias("delta")
-    )
-    cand = a.crossJoin(F.broadcast(deltas)).withColumn(
-        "rnk_b", F.col("rnk_a") + F.col("delta")
-    )
+    cand = a.select(
+        "doc_a",
+        "hsh_a",
+        "rnk_a",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, SNM_WINDOW + 1)])
+        ).alias("delta"),
+    ).withColumn("rnk_b", F.col("rnk_a") + F.col("delta"))
     jac = F.size(F.array_intersect("hsh_a", "hsh_b")).cast(
         "double"
     ) / F.size(F.array_union("hsh_a", "hsh_b"))
     return (
-        cand.join(b, "rnk_b")
+        cand.join(bb, "rnk_b")
         .withColumn("jac", jac)
         .filter(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))

@@ -256,3 +256,62 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: EMA smoothing factor for window_ema
+EMA_ALPHA = 0.2
+
+
+@query(
+    "window_ema",
+    oracle=f"""
+    -- exponential moving average per user, CLOSED FORM: the recursive
+    -- e_i = a*v_i + (1-a)*e_(i-1) with e_1 = v_1 unrolls to
+    -- e_n = (1-a)^(n-1)*v_1 + sum_(i=2..n) a*(1-a)^(n-i)*v_i —
+    -- a weighted sum, so the sequential recurrence becomes one
+    -- window rank + one aggregate (no iteration, no UDF).
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id, max(n) AS n_events,
+           round(sum(value * CASE WHEN rn = 1
+                 THEN power(1 - {EMA_ALPHA}, n - 1)
+                 ELSE {EMA_ALPHA} * power(1 - {EMA_ALPHA}, n - rn)
+           END), 6) AS ema
+    FROM r GROUP BY user_id
+    """,
+)
+def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential moving average of each user's event values — the
+    time-series smoothing primitive that LOOKS inherently sequential
+    (e_i depends on e_{i-1}) but unrolls to a weighted sum, turning
+    the recurrence into rank + aggregate.
+
+    Plan: the rank window and the weighted-sum aggregate share the
+    user_id partitioning — ONE shuffle total. This is the general
+    trick for linear recurrences at 100 TB: closed-form the
+    dependency so each row's contribution is independent, and the
+    engine parallelizes freely; the alternative (collect_list + fold,
+    or applyInPandas) serializes each key's history through one task
+    and caps parallelism at |keys|."""
+    ev = read_table(spark, sf_dir, "events")
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    r = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    decay = 1 - EMA_ALPHA
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(decay), F.col("n") - 1)
+    ).otherwise(EMA_ALPHA * F.pow(F.lit(decay), F.col("n") - F.col("rn")))
+    return r.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.round(F.sum(F.col("value") * weight), 6).alias("ema"),
+    )

@@ -170,6 +170,9 @@ _PRIORITY = (
     "text_bigram_lm_score",
     "analytics_event_transitions",
     "sketch_count_min",
+    "window_ema",
+    "vector_quantize_int8",
+    "multimodal_audio_vad",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

@@ -275,17 +275,22 @@ def test_quality_classifier_and_zorder_are_narrow_jvm_plans(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
 
 
-def test_bloom_prefilter_broadcasts_filter_words(spark):
-    """The bloom word table must reach the corpus probe as a
-    broadcast — a shuffle join here would defeat the prefilter's
-    purpose."""
+def test_bloom_prefilter_probe_is_joinless_single_shuffle(spark):
+    """The bloom filter is inlined as a literal word array, so the
+    probe side must plan as a pure narrow scan + ONE shuffle (the
+    per-doc candidate count) with NO join operator at all — the
+    property that makes the prefilter cheaper than the exact
+    broadcast join it guards."""
+    import re
+
     from lake_satellite_image_etl_spark.operators.corpus import (
         corpus_bloom_prefilter,
     )
 
     plan = _plan(corpus_bloom_prefilter(spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in plan, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Python" not in plan, plan
 
 
 def test_profiler_melt_avoids_expand(spark):

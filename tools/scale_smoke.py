@@ -46,8 +46,11 @@ DOC_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
+    "dedup_sorted_neighborhood",
+    "corpus_bloom_prefilter",
     "text_profile",
     "text_tfidf_top_terms",
+    "text_bigram_lm_score",
 ]
 #: embedding-side CORPUS queries (work over all n vectors, no query
 #: set): row ratio = 60×, judged on the same linearity bar as docs
