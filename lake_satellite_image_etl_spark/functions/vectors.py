@@ -210,9 +210,13 @@ def vector_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT vec_id, amax, n_dims, n_saturated,
-           round(max_err_scaled / (127.0 * {QUANT}), 8) AS max_abs_err,
-           round(sum_err_scaled / (127.0 * {QUANT} * n_dims), 8)
-               AS mean_abs_err
+           -- exact integer round-half-up of err*1e8 in original float
+           -- units: (2a*E + b) // (2b); all terms fit int64, so no
+           -- float rounding-tie can diverge between engines
+           (2 * max_err_scaled * 100000000 + 127 * {QUANT})
+               // (2 * 127 * {QUANT}) AS max_abs_err_e8,
+           (2 * sum_err_scaled * 100000000 + 127 * {QUANT} * n_dims)
+               // (2 * 127 * {QUANT} * n_dims) AS mean_abs_err_e8
     FROM e
     """,
 )
@@ -263,12 +267,12 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amax",
         "n_dims",
         "n_saturated",
-        F.round(F.col("max_err_scaled") / (127.0 * QUANT), 8).alias(
-            "max_abs_err"
-        ),
-        F.round(
-            F.col("sum_err_scaled")
-            / (127.0 * QUANT * F.col("n_dims")),
-            8,
-        ).alias("mean_abs_err"),
+        F.expr(
+            f"(2 * max_err_scaled * 100000000 + 127 * {QUANT}) "
+            f"div (2 * 127 * {QUANT})"
+        ).alias("max_abs_err_e8"),
+        F.expr(
+            f"(2 * sum_err_scaled * 100000000 + 127 * {QUANT} * n_dims) "
+            f"div (2 * 127 * {QUANT} * n_dims)"
+        ).alias("mean_abs_err_e8"),
     )
