@@ -859,3 +859,92 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logp"),
         )
     )
+
+
+@query(
+    "text_url_canonicalize",
+    oracle="""
+    -- URL canonicalization (the dedup key for web corpora): lowercase
+    -- scheme+host, strip the default port, drop utm_* tracking params,
+    -- sort surviving params. The fixture URL is synthesized
+    -- deterministically per document.
+    WITH u AS (
+        SELECT doc_id,
+               'HTTP://Example.COM:80/docs/' || doc_id ||
+               '?utm_source=feed&ref=' || source || '&id=' || doc_id
+                   AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1)),
+                   ':80$', '') AS host,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query
+        FROM u
+    ),
+    q AS (
+        SELECT doc_id, url, scheme, host, path,
+               array_to_string(
+                   list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p NOT LIKE 'utm_%')), '&') AS params
+        FROM parts
+    )
+    SELECT doc_id, url,
+           scheme || '://' || host || path ||
+           CASE WHEN params = '' THEN '' ELSE '?' || params END
+               AS canonical_url
+    FROM q
+    """,
+)
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization in front of URL-level
+    dedup for any web-scraped corpus: case-fold scheme and host, strip
+    the protocol-default port, drop ``utm_*`` tracking parameters, and
+    sort the surviving query params so equivalent URLs collide on one
+    canonical key.
+
+    Plan: pure narrow string/regex/array-HOF arithmetic — scan-speed,
+    no shuffle, no UDF; downstream ``groupBy(canonical_url)`` is the
+    exact-dedup pattern of dedup_exact_hash with this as the key."""
+    docs = read_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("source"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?]+)", 1)),
+        ":80$",
+        "",
+    )
+    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
+    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
+        ).alias("canonical_url"),
+    )

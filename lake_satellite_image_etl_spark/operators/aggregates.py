@@ -700,3 +700,32 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_price",
         )
     )
+
+
+@query("agg_percentile_approx")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT mergeable approximate percentiles (Greenwald-Khanna via
+    ``percentile_approx``) — the sketch twin of agg_percentiles for
+    when the exact per-group sort is too expensive: the summary is a
+    bounded-size mergeable state, so partial aggregation collapses
+    map-side and shuffle volume is constant per group regardless of
+    input size (same scale argument as sketch_count_min / HLL).
+
+    Rows-only gate by design: GK summaries are engine-specific, so no
+    DuckDB oracle can hash-match; the accuracy contract is pinned in
+    tests/test_properties.py::test_percentile_approx_bounds instead
+    (each approx value must land within the rank-error window of the
+    exact percentile, mirroring agg_approx_distinct's ≤5% pytest)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [p for p in PCTL_PS], 1000
+            ).alias("qs")
+        )
+        .select(
+            "flag",
+            F.posexplode("qs").alias("p_idx", "approx_price"),
+        )
+    )

@@ -315,3 +315,46 @@ def window_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_events"),
         F.round(F.sum(F.col("value") * weight), 6).alias("ema"),
     )
+
+
+@query(
+    "window_rolling_range",
+    oracle="""
+    -- TIME-RANGE rolling window (not row-count): at each event, the
+    -- count and value-sum of the SAME user's events in the trailing
+    -- 7 days — frame membership is defined by timestamps, so ties and
+    -- gaps behave correctly where a ROWS frame would not.
+    SELECT event_id, user_id, ts,
+           count(*) OVER w AS n_7d,
+           round(sum(value) OVER w, 4) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregates per user — the RANGE-frame
+    window (frame bounded by event-time distance, not row count):
+    the feature-engineering primitive behind "activity in the last N
+    days" model features and rate-limit counters.
+
+    Plan: one shuffle + sort on (user_id, ts); the range frame is
+    evaluated with a sliding two-pointer over each sorted partition —
+    no self-join (the naive e1⋈e2 ON ts BETWEEN formulation is a
+    range join that explodes quadratically on active keys). Spark
+    needs the ORDER BY key numeric for rangeBetween, so the frame is
+    expressed in epoch MICROseconds — exactly the 7-day interval the
+    oracle states in timestamp terms."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 4).alias("sum_7d"),
+    )

@@ -173,6 +173,9 @@ _PRIORITY = (
     "window_ema",
     "vector_quantize_int8",
     "multimodal_audio_vad",
+    "agg_percentile_approx",
+    "window_rolling_range",
+    "text_url_canonicalize",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

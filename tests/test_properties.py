@@ -160,3 +160,33 @@ def test_simhash_numpy_matches_naive(lists):
             if s >= 0:
                 expected += 1 << b
         assert int(got[i]) == expected, i
+
+
+def test_percentile_approx_bounds(spark):
+    """agg_percentile_approx is rows-only at the gate (GK summaries
+    are engine-specific); its accuracy contract: every approx value
+    must land between the exact percentiles at p ± 0.01 (accuracy
+    parameter 1000 → rank error ≤ 1/1000, tested at 10× slack)."""
+    import numpy as np
+
+    from tests.conftest import SF_ORACLE
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.aggregates import (
+        PCTL_PS,
+        agg_percentile_approx,
+    )
+
+    got = agg_percentile_approx(spark, SF_ORACLE).collect()
+    li = (
+        read_table(spark, SF_ORACLE, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .toPandas()
+    )
+    for r in got:
+        xs = np.sort(
+            li[li["l_returnflag"] == r["flag"]]["l_extendedprice"].values
+        )
+        p = PCTL_PS[r["p_idx"]]
+        lo = xs[max(0, int(np.floor((p - 0.01) * (len(xs) - 1))))]
+        hi = xs[min(len(xs) - 1, int(np.ceil((p + 0.01) * (len(xs) - 1))))]
+        assert lo <= r["approx_price"] <= hi, (r, lo, hi)
