@@ -393,3 +393,101 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ent_a", "ent_b", hamming.cast("long").alias("hamming"))
         .dropDuplicates(["ent_a", "ent_b"])
     )
+
+
+TILE = 4  # patch edge: a 12×12 FIMG → 3×3 grid of 4×4 patches
+
+TILE_SCHEMA = (
+    "entity_id long, tile_row int, tile_col int, "
+    "mean_0 double, mean_1 double, mean_2 double"
+)
+
+
+def image_tiles(images: DataFrame) -> DataFrame:
+    """ViT-style patch extraction: split each image into a grid of
+    {TILE}×{TILE} patches and emit one row per patch with per-channel
+    means — the 1→N patchify step in front of any vision-transformer
+    featurizer, with the codec swapped for FIMG. Per-channel sums are
+    exact integers; the single divide makes the means
+    engine-independent."""
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for eid, blob in zip(pdf["entity_id"], pdf["image"]):
+                arr = decode_fimg(blob).astype(np.int64)
+                c, h, w = arr.shape
+                gh, gw = h // TILE, w // TILE
+                # (c, gh, TILE, gw, TILE) → integer sums per (c, gh, gw)
+                sums = (
+                    arr[:, : gh * TILE, : gw * TILE]
+                    .reshape(c, gh, TILE, gw, TILE)
+                    .sum(axis=(2, 4))
+                )
+                denom = TILE * TILE
+                for tr in range(gh):
+                    for tc in range(gw):
+                        rows.append(
+                            (
+                                int(eid),
+                                tr,
+                                tc,
+                                round(float(sums[0, tr, tc]) / denom, 6),
+                                round(float(sums[1, tr, tc]) / denom, 6),
+                                round(float(sums[2, tr, tc]) / denom, 6),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "entity_id", "tile_row", "tile_col",
+                    "mean_0", "mean_1", "mean_2",
+                ],
+            )
+
+    return images.mapInPandas(tiles, schema=TILE_SCHEMA)
+
+
+@query(
+    "multimodal_image_tiles",
+    oracle=f"""
+    -- patchify verified end-to-end: regenerate every pixel
+    -- relationally, bucket into {TILE}×{TILE} tiles, compare the
+    -- integer-exact per-channel means.
+    WITH ids AS (
+        SELECT p_partkey::BIGINT AS entity_id FROM part
+        WHERE p_partkey <= 50
+    ),
+    px AS (
+        SELECT entity_id, c, y // {TILE} AS tile_row, x // {TILE} AS tile_col,
+               (entity_id * 11 + c * 29 + y * 5 + x * 3) % 256 AS v
+        FROM ids,
+             unnest(generate_series(0, 2)) AS uc(c),
+             unnest(generate_series(0, 11)) AS uy(y),
+             unnest(generate_series(0, 11)) AS ux(x)
+    ),
+    t AS (
+        SELECT entity_id, c, tile_row, tile_col, sum(v)::BIGINT AS s
+        FROM px GROUP BY 1, 2, 3, 4
+    )
+    SELECT entity_id, tile_row::INT AS tile_row, tile_col::INT AS tile_col,
+           round(max(CASE WHEN c = 0 THEN s END) / {TILE * TILE}.0, 6)
+               AS mean_0,
+           round(max(CASE WHEN c = 1 THEN s END) / {TILE * TILE}.0, 6)
+               AS mean_1,
+           round(max(CASE WHEN c = 2 THEN s END) / {TILE * TILE}.0, 6)
+               AS mean_2
+    FROM t GROUP BY entity_id, tile_row, tile_col
+    """,
+)
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch extraction over synthesized FIMG images (one per part
+    row, bounded to 50): BinaryType → Arrow ``mapInPandas`` → one row
+    per {TILE}×{TILE} patch with exact per-channel means; the oracle
+    regenerates the pixels relationally and replays the tiling.
+
+    Scale: pure 1→N narrow fan-out, vectorized reshape-sum per image
+    inside the Arrow batch; output is |images|·(h/{TILE})·(w/{TILE})
+    rows that stream straight into whatever embedding/statistics
+    stage follows — no shuffle introduced here."""
+    return image_tiles(with_images(spark, sf_dir))

@@ -729,3 +729,45 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("qs").alias("p_idx", "approx_price"),
         )
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    -- deterministic MODE per group: most frequent event_type per
+    -- user, ties broken toward the lexicographically smallest type.
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type ASC) = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT deterministic MODE aggregate (most frequent value per key)
+    — ``F.mode`` breaks ties arbitrarily, so this composes it from
+    count + ``min(struct(-n, value))``: two ordinary aggregates, both
+    partial-aggregation-friendly, no window sort (same argument as
+    cdc_apply_changelog's struct-max). At 100 TB the first aggregate
+    collapses to |user × type| rows and the second to |user| — the
+    shuffle never carries raw events twice."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.t").alias("mode_type"),
+        (-F.col("m.neg_n")).alias("mode_n"),
+    )

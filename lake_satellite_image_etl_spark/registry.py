@@ -40,6 +40,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.profiling",
     "lake_satellite_image_etl_spark.operators.layout",
     "lake_satellite_image_etl_spark.operators.sketches",
+    "lake_satellite_image_etl_spark.operators.graph",
     "lake_satellite_image_etl_spark.functions.scalars",
     "lake_satellite_image_etl_spark.functions.text",
     "lake_satellite_image_etl_spark.functions.vectors",
@@ -176,6 +177,9 @@ _PRIORITY = (
     "agg_percentile_approx",
     "window_rolling_range",
     "text_url_canonicalize",
+    "multimodal_image_tiles",
+    "agg_mode",
+    "graph_pagerank",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
