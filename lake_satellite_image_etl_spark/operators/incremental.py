@@ -271,3 +271,96 @@ def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(wc).alias("valid_to"),
         F.lead("ts").over(wc).isNull().alias("is_current"),
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    -- point-in-time join: each purchase event picks the SCD2
+    -- dimension version (from scd2_event_state's interval build)
+    -- valid AT its event time — the feature-store correctness join
+    -- that prevents label leakage.
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type FROM o
+        WHERE event_type IS DISTINCT FROM prev_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS version,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM changes
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           d.state AS state_at_event, d.version AS dim_version
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — enrich each purchase event with the
+    dimension version that was valid AT the event's timestamp, against
+    the SCD2 dimension scd2_event_state builds. This is the
+    feature-store primitive: joining "current" state instead would
+    leak future information into training labels.
+
+    Plan: NOT the naive interval join the oracle states (a range join
+    that degenerates quadratically per user) — the scalable form is
+    the as-of composition: union dimension-version starts (side 0)
+    with events (side 1), ONE shuffle+sort on (user_id → ts, side),
+    and ``last(version) ignorenulls`` hands every event the version
+    open at its timestamp in a single pass. [valid_from, valid_to)
+    intervals tile each user's timeline, so as-of-on-starts is exactly
+    interval membership. Same single-shuffle argument as join_asof;
+    at 100 TB this is a sort-merge pass, never a per-row range
+    probe."""
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_event_state(spark, sf_dir)
+
+    starts = dim.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("state"),
+        F.col("version"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("version"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(purchases)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "side",
+            F.last("state", ignorenulls=True).over(w).alias("state_at_event"),
+            F.last("version", ignorenulls=True)
+            .over(w)
+            .alias("dim_version"),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "state_at_event", "dim_version")
+    )

@@ -118,3 +118,104 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_str"
         ),
     )
+
+
+@query(
+    "dq_check_rules",
+    oracle="""
+    -- declarative data-quality suite in long form: three row-level
+    -- rules evaluated in ONE scan (conditional counts) plus one
+    -- referential-integrity rule (anti-join count), each reported as
+    -- (rule, n_checked, n_violations, passed).
+    WITH rowrules AS (
+        SELECT 'totalprice_positive' AS rule, count(*) AS n_checked,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_in_range', count(*),
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                          OR o_orderdate >= TIMESTAMP '1999-01-01'
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'status_in_domain', count(*),
+               sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                        THEN 1 ELSE 0 END)::BIGINT
+        FROM orders
+    ),
+    fk AS (
+        SELECT 'custkey_fk_exists' AS rule,
+               (SELECT count(*) FROM orders) AS n_checked,
+               count(*)::BIGINT AS n_violations
+        FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM (SELECT * FROM rowrules UNION ALL SELECT * FROM fk)
+    """,
+)
+def dq_check_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule suite (the Deequ/Great-Expectations check
+    stage): three row-level constraints — positivity, date range,
+    categorical domain — evaluated as conditional sums in ONE scan of
+    the fact table, plus a referential-integrity rule as a left-anti
+    join against the dimension's key column. Long-form output, one
+    row per rule, so a 100 TB nightly gate is |rules| rows.
+
+    Scale: the row rules cost one pass regardless of rule count
+    (they're columns of the same aggregate); the FK rule broadcasts
+    the dimension's pruned key column. This composes with
+    profile_table_stats (metrics) the way production DQ stacks pair
+    profiles with checks."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def rule(name: str, viol) -> DataFrame:
+        return o.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+        )
+
+    rowrules = (
+        rule("totalprice_positive", F.col("o_totalprice") <= 0)
+        .unionByName(
+            rule(
+                "orderdate_in_range",
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01").cast("timestamp")
+                ),
+            )
+        )
+        .unionByName(
+            rule(
+                "status_in_domain",
+                ~F.col("o_orderstatus").isin("O", "F", "P"),
+            )
+        )
+    )
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_checked"))
+    fk = (
+        o.join(
+            F.broadcast(cust.select("c_custkey").distinct()),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.lit("custkey_fk_exists").alias("rule"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return rowrules.unionByName(fk).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -180,6 +180,8 @@ _PRIORITY = (
     "multimodal_image_tiles",
     "agg_mode",
     "graph_pagerank",
+    "join_point_in_time",
+    "dq_check_rules",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

@@ -304,3 +304,32 @@ def test_profiler_melt_avoids_expand(spark):
     plan = _plan(profile_table_stats(spark, SF_SMOKE))
     assert "Expand" not in plan, plan
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_pit_join_is_asof_composition_not_range_join(spark):
+    """join_point_in_time must plan as the union+window as-of
+    composition: no nested-loop/cartesian range join, and only the
+    two user-keyed exchanges (dimension build + post-union window)."""
+    import re
+
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        join_point_in_time,
+    )
+
+    plan = _plan(join_point_in_time(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, f"PIT join shuffled {n}x:\n{plan}"
+
+
+def test_dq_row_rules_share_one_scan_shape(spark):
+    """Each dq row-rule is a conditional sum — none of the three may
+    introduce a join; only the FK rule joins, and as a broadcast."""
+    from lake_satellite_image_etl_spark.operators.profiling import (
+        dq_check_rules,
+    )
+
+    plan = _plan(dq_check_rules(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
