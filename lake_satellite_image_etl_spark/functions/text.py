@@ -817,14 +817,15 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of as a binary model file.
 
     Plan: bigrams come from a narrow HOF transform+explode (no
-    self-join on position); the two count tables are VOCABULARY-sized
-    — both join back broadcast, so the only corpus-sized shuffles are
-    the two count aggregations and the final per-doc mean. At 100 TB:
-    counts are partial-aggregated map-side (Zipf makes the hot keys
-    combine early), the model stays broadcastable because vocab ≪
-    corpus, and scoring is embarrassingly parallel. Swapping in a
-    real KenLM binary turns the broadcast join into a mapInPandas
-    with the same surrounding plan."""
+    self-join on position); the count tables join back WITHOUT a
+    broadcast hint — on natural Zipf corpora AQE broadcasts them
+    (vocab ≪ corpus), while a pathological vocabulary (the 10× smoke
+    fixture's synthetic ids) degrades gracefully to a shuffle join
+    instead of choking an executor on a forced multi-million-row
+    broadcast. Counts partial-aggregate map-side; scoring is
+    embarrassingly parallel. Swapping in a real KenLM binary turns
+    the model join into a mapInPandas with the same surrounding
+    plan."""
     docs = read_table(spark, sf_dir, "documents")
     toks = tokens_of(F.col("text"))
     t = docs.select("doc_id", toks.alias("toks"))
@@ -846,9 +847,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    # no broadcast HINTS on the count tables: their size is
+    # data-dependent (vocab² worst case on synthetic corpora), so the
+    # decision belongs to AQE — it broadcasts when the built side is
+    # actually small and falls back to a shuffle join when not
     return (
-        bg.join(F.broadcast(cb), "bigram")
-        .join(F.broadcast(c1), "w1")
+        bg.join(cb, "bigram")
+        .join(c1, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")
         .agg(

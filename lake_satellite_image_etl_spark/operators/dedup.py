@@ -1453,3 +1453,95 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
+
+
+#: incremental dedup: this stride selects the "newly arrived batch";
+#: the rest of the corpus plays the already-ingested side.
+INCR_NEW_STRIDE = 10
+INCR_NEW_RESIDUE = 3
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    -- INCREMENTAL near-dup: probe the new batch's LSH bands against
+    -- the existing corpus's bands — a bipartite band join, never a
+    -- self-join of the full corpus.
+    WITH {{ctes}}
+    , newb AS (SELECT * FROM bands
+               WHERE doc_id % {INCR_NEW_STRIDE} = {INCR_NEW_RESIDUE}),
+    corpb AS (SELECT * FROM bands
+              WHERE doc_id % {INCR_NEW_STRIDE} != {INCR_NEW_RESIDUE}),
+    icand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM newb n JOIN corpb c
+          ON n.band = c.band AND n.band_key = c.band_key
+    )
+    SELECT i.new_id, i.corpus_id,
+           round(len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                 / len(list_distinct(sa.hsh || sb.hsh)), 6) AS jaccard
+    FROM icand i
+    JOIN sh sa ON sa.doc_id = i.new_id
+    JOIN sh sb ON sb.doc_id = i.corpus_id
+    WHERE len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+          / len(list_distinct(sa.hsh || sb.hsh)) >= {JACCARD_THRESHOLD}
+    """.format(ctes=sql_minhash_pair_ctes("documents")),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the DAILY form of near-dup removal:
+    match the newly-arrived batch against the already-ingested corpus
+    (bipartite), instead of re-deduping everything against everything.
+    A new document near-duplicating an existing one is reported with
+    its match and exact Jaccard; the caller drops or links it.
+
+    Scale shape: the corpus side's band keys are a PERSISTED signature
+    index in production (built once, appended per batch) — here both
+    sides derive from the fixture split ({INCR_NEW_STRIDE}ths stride).
+    The probe is an equi-join of |new|·bands keys against the index,
+    so daily cost scales with the BATCH, not the corpus; the full
+    self-join (dedup_minhash_lsh) is the backfill form. Verify stays
+    candidate-only. No quadratic stage anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    sig = sh.select(
+        "doc_id", "hsh", minhash_sig_from_hashes(F.col("hsh")).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "hsh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda band: F.element_at("sig", band * LSH_ROWS + 1)
+                * F.lit(MINHASH_P).cast("long")
+                + F.element_at("sig", band * LSH_ROWS + 2),
+            )
+        ).alias("band", "band_key"),
+    )
+    is_new = F.col("doc_id") % INCR_NEW_STRIDE == INCR_NEW_RESIDUE
+    newb = bands.filter(is_new).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("hsh").alias("sh_a"),
+        "band",
+        "band_key",
+    )
+    corpb = bands.filter(~is_new).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("hsh").alias("sh_b"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        newb.join(corpb, ["band", "band_key"])
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("new_id", "corpus_id", F.round("jac", 6).alias("jaccard"))
+    )

@@ -364,3 +364,97 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", "ts", "state_at_event", "dim_version")
     )
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+    -- snapshot diff (the table-format time-travel DIFF): compare the
+    -- per-(user, event_type) aggregate state of version 1 (events
+    -- before the cutoff) against version 2 (all events) and emit
+    -- added / changed keys with both versions' values. (No key is
+    -- ever 'removed' here since v1 ⊆ v2 — the full outer join still
+    -- states the general contract.)
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+    v1 AS (
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM events, cutoff WHERE ts < c GROUP BY 1, 2
+    ),
+    v2 AS (
+        SELECT user_id, event_type, count(*) AS n,
+               round(sum(value), 4) AS total
+        FROM events GROUP BY 1, 2
+    )
+    SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+           coalesce(v1.event_type, v2.event_type) AS event_type,
+           CASE WHEN v1.user_id IS NULL THEN 'added'
+                WHEN v2.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           v1.n AS n_v1, v2.n AS n_v2,
+           v1.total AS total_v1, v2.total AS total_v2
+    FROM v1 FULL OUTER JOIN v2
+      ON v1.user_id = v2.user_id AND v1.event_type = v2.event_type
+    WHERE v1.user_id IS NULL OR v2.user_id IS NULL
+       OR v1.n != v2.n OR v1.total != v2.total
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit query every versioned-table stack
+    (Delta/Iceberg time travel, dbt snapshots) runs to answer "what
+    changed between v1 and v2": full outer join of the two versions'
+    aggregate states on the key, classifying added / removed /
+    changed and suppressing unchanged keys.
+
+    Plan: both sides aggregate FIRST (map-side combine to |keys|
+    rows), then one co-partitioned full outer join — at 100 TB the
+    diff never joins raw rows, and with both versions written
+    bucket-by-key the join is shuffle-free (tests/test_bucketing.py
+    shows the layout). Unchanged keys — the overwhelming majority in
+    a real diff — are dropped before any downstream work."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("c"))
+    ev_c = ev.crossJoin(F.broadcast(cutoff))
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+
+    v1 = state(ev_c.filter(F.col("ts") < F.col("c"))).select(
+        F.col("user_id").alias("u1"),
+        F.col("event_type").alias("t1"),
+        F.col("n").alias("n_v1"),
+        F.col("total").alias("total_v1"),
+    )
+    v2 = state(ev).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("t2"),
+        F.col("n").alias("n_v2"),
+        F.col("total").alias("total_v2"),
+    )
+    j = v1.join(
+        v2,
+        (F.col("u1") == F.col("u2")) & (F.col("t1") == F.col("t2")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .otherwise("changed")
+    )
+    return j.select(
+        F.coalesce("u1", "u2").alias("user_id"),
+        F.coalesce("t1", "t2").alias("event_type"),
+        status.alias("status"),
+        "n_v1",
+        "n_v2",
+        "total_v1",
+        "total_v2",
+    ).filter(
+        F.col("u1").isNull()
+        | F.col("u2").isNull()
+        | (F.col("n_v1") != F.col("n_v2"))
+        | (F.col("total_v1") != F.col("total_v2"))
+    )

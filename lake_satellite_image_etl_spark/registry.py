@@ -182,6 +182,8 @@ _PRIORITY = (
     "graph_pagerank",
     "join_point_in_time",
     "dq_check_rules",
+    "dedup_incremental_minhash",
+    "snapshot_diff",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
