@@ -953,3 +953,102 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
         ).alias("canonical_url"),
     )
+
+
+#: Gopher-style document-filter rule bounds (Rae et al. 2021 table A1
+#: shape, constants adapted to the short fixture docs)
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 200
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 1
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    -- the Gopher rule battery: every rule is a named boolean so the
+    -- report shows WHICH rule killed a document, plus the composite
+    -- keep flag — the standard pre-training doc filter.
+    WITH t AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), m AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, t -> len(t)))::DOUBLE
+                   / len(toks) AS mean_word_len,
+               len(regexp_split_to_array(text, '[#@]')) - 1 AS n_symbols,
+               len(text) AS n_chars_txt,
+               len(list_filter(toks,
+                   t -> regexp_matches(t, '^[a-z]+$')))::DOUBLE
+                   / len(toks) AS alpha_word_ratio,
+               len(list_filter(toks,
+                   t -> list_contains({_SQL_STOPS}, t))) AS stop_hits
+        FROM t
+    ), r AS (
+        SELECT doc_id,
+               n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                   AS ok_word_count,
+               mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                   AND {GOPHER_MAX_MEAN_WORD_LEN} AS ok_mean_word_len,
+               n_symbols::DOUBLE / n_chars_txt
+                   <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+               alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO}
+                   AS ok_alpha_words,
+               stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords
+        FROM m
+    )
+    SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_alpha_words, ok_stopwords,
+           ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+               AND ok_alpha_words AND ok_stopwords AS keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021) — the heuristic
+    document filter most pre-training pipelines run before any model
+    scoring: word-count bounds, mean-word-length bounds, symbol
+    ratio, alphabetic-word ratio, and a stopword-presence floor.
+    Each rule is a named boolean column so filter-loss accounting
+    (which rule kills how many docs) is one groupBy away; ``keep``
+    is the conjunction.
+
+    Plan: one narrow scan — token stats by array HOFs, symbol counts
+    by regexp split — zero shuffles, zero Python; composes with
+    text_quality_classifier and corpus_quality_filter as successive
+    stages of the same filter funnel."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_words = F.size(toks)
+    mean_wl = _arr_sum_long(
+        F.transform(toks, lambda t: F.length(t).cast("long"))
+    ).cast("double") / n_words
+    n_symbols = F.size(F.split(F.col("text"), "[#@]")) - 1
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+        / n_words
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    ok_wc = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = mean_wl.between(
+        GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+    )
+    ok_sym = (
+        n_symbols.cast("double") / F.length("text")
+        <= GOPHER_MAX_SYMBOL_RATIO
+    )
+    ok_alpha = alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO
+    ok_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -184,6 +184,7 @@ _PRIORITY = (
     "dq_check_rules",
     "dedup_incremental_minhash",
     "snapshot_diff",
+    "text_gopher_rules",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
