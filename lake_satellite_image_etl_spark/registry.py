@@ -185,6 +185,7 @@ _PRIORITY = (
     "dedup_incremental_minhash",
     "snapshot_diff",
     "text_gopher_rules",
+    "multimodal_video_shots",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
