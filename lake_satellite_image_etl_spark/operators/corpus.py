@@ -618,3 +618,60 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: training-order shuffle geometry
+SHUFFLE_SHARDS = 16
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    -- deterministic global training-order shuffle: documents ordered
+    -- by hash(doc_id) (a reproducible "random" permutation), dealt
+    -- into {SHUFFLE_SHARDS} shards with a position inside each —
+    -- the (shard, position) pair IS the epoch read order.
+    WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS hkey
+        FROM documents
+    )
+    SELECT doc_id, source,
+           hkey % {SHUFFLE_SHARDS} AS shard,
+           row_number() OVER (
+               PARTITION BY hkey % {SHUFFLE_SHARDS}
+               ORDER BY hkey, doc_id) AS pos
+    FROM h
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order — the step that
+    de-correlates batches before an epoch: order = hash(doc_id), a
+    reproducible permutation (re-runs, engines, and cluster sizes all
+    agree, unlike ``orderBy(rand())``), dealt into {SHUFFLE_SHARDS}
+    shards each with an internal position. A reader streaming shard
+    files in position order sees the same "random" order every time —
+    and a different hash salt gives epoch 2 a fresh permutation.
+
+    Plan: ONE shuffle on the shard key with a per-shard sort —
+    embarrassingly parallel across shards, no global sort (the global
+    order is only ever consumed shard-locally, which is exactly how
+    training readers consume it). At 100 TB this is the
+    write-side of ``write_partitioned_parquet`` with shard as the
+    partition column."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        tok_hash60(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    w = Window.partitionBy(F.col("hkey") % SHUFFLE_SHARDS).orderBy(
+        "hkey", "doc_id"
+    )
+    return h.select(
+        "doc_id",
+        "source",
+        (F.col("hkey") % SHUFFLE_SHARDS).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -186,6 +186,7 @@ _PRIORITY = (
     "snapshot_diff",
     "text_gopher_rules",
     "multimodal_video_shots",
+    "corpus_global_shuffle",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
