@@ -771,3 +771,92 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.t").alias("mode_type"),
         (-F.col("m.neg_n")).alias("mode_n"),
     )
+
+
+#: equi-depth histogram geometry: EQD_BINS quantile bins; the global
+#: rank is decomposed over EQD_BAND-wide coarse value bands (the
+#: count-table trick corpus_quality_filter / SNM use), so no
+#: single-partition sort of the data ever runs.
+EQD_BINS = 8
+EQD_BAND = 25_000.0
+
+
+@query(
+    "stats_equidepth_histogram",
+    oracle=f"""
+    -- equi-depth (quantile) histogram of order totals: global rank r
+    -- (0-based, ties broken by key) -> bin = (r * B) // N, so bin
+    -- populations differ by at most 1 row. Explicit integer bin rule,
+    -- NOT ntile() — ntile's "first n%b buckets get the extra row"
+    -- convention is engine-trivia this pins down instead.
+    WITH r AS (
+        SELECT o_totalprice AS p,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                   AS rnk,
+               count(*) OVER () AS n
+        FROM orders
+    )
+    SELECT (rnk * {EQD_BINS}) // n AS bin,
+           count(*) AS n_rows,
+           min(p) AS lo,
+           max(p) AS hi,
+           round(sum(p::DECIMAL(18,4)), 2)::DOUBLE AS total
+    FROM r GROUP BY 1
+    """,
+)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of ``o_totalprice`` — the quantile-bucket
+    summary planners and drift monitors want (equal POPULATION per
+    bin, data-driven edges), complementing the fixed-edge
+    `stats_histogram`.
+
+    Scale shape: the naive form is ntile() over a GLOBAL sort — one
+    task at 100 TB. Here the global rank is decomposed: coarse
+    {EQD_BAND:.0f}-wide value bands give a bounded count table, its
+    cumulative offsets broadcast back, and row_number runs WITHIN each
+    band in parallel (bands are value-contiguous, so band-offset +
+    intra-band rank IS the global rank — same decomposition as
+    corpus_quality_filter / dedup_sorted_neighborhood). Bin assignment
+    (r*B)//N is exact integer arithmetic. Production note: for a
+    rough histogram approx_percentile edges are one pass cheaper; this
+    operator is the EXACT form with a scale-safe plan."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    banded = o.withColumn("band", F.floor(F.col("p") / EQD_BAND))
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "band",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            Window.orderBy("band").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ranked = banded.join(F.broadcast(offs), "band").select(
+        "p",
+        "n",
+        (
+            F.row_number().over(
+                Window.partitionBy("band").orderBy("p", "k")
+            )
+            - 1
+            + F.col("off")
+        ).alias("rnk"),
+    )
+    return (
+        ranked.select(
+            "p", F.expr(f"(rnk * {EQD_BINS}) div n").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+            F.round(F.sum(F.col("p").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -675,3 +675,95 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hkey") % SHUFFLE_SHARDS).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+#: containment contamination: benchmark = the doc_id < CONT_BENCH_MAX
+#: block (the planted near-dup pairs straddle this split, unlike the
+#: %-stride split, so genuine leaks exist in the fixture); a benchmark
+#: item is "leaked" into a training doc when the training doc contains
+#: >= CONT_LEAK_FRAC of the item's shingles.
+CONT_BENCH_MAX = 100
+CONT_PAIR_MIN_SHARED = 3
+CONT_LEAK_FRAC = 0.8
+
+
+@query(
+    "corpus_contamination_pairs",
+    oracle=f"""
+    -- per-PAIR benchmark containment: for each (benchmark item,
+    -- training doc) sharing >= {CONT_PAIR_MIN_SHARED} shingles, the
+    -- CONTAINMENT |A ∩ B| / |A| of the benchmark item's shingle set A
+    -- — the asymmetric measure that catches a benchmark item embedded
+    -- in a larger training document where symmetric Jaccard stays
+    -- low. leaked = containment >= {CONT_LEAK_FRAC}.
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([
+                   ('0x' || substring(md5(
+                        array_to_string(list_slice(toks, j, j + 2), ' ')),
+                        1, 15))::BIGINT
+                   FOR j IN range(1, greatest(len(toks) - 2, 1) + 1)
+               ]) AS hsh
+        FROM t
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id, len(hsh) AS n_bench, unnest(hsh) AS s
+        FROM sh WHERE doc_id < {CONT_BENCH_MAX}
+    ),
+    train AS (
+        SELECT doc_id AS train_id, unnest(hsh) AS s
+        FROM sh WHERE doc_id >= {CONT_BENCH_MAX}
+    )
+    SELECT bench_id, train_id, n_bench,
+           count(*) AS n_shared,
+           round(count(*)::DOUBLE / n_bench, 6) AS containment,
+           count(*)::DOUBLE / n_bench >= {CONT_LEAK_FRAC} AS leaked
+    FROM bench JOIN train USING (s)
+    GROUP BY bench_id, train_id, n_bench
+    HAVING count(*) >= {CONT_PAIR_MIN_SHARED}
+    """,
+)
+def corpus_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair benchmark containment — the second decontamination
+    report a pre-training pipeline ships: not just "this training doc
+    overlaps the eval pool" (`corpus_contamination_flag`) but WHICH
+    benchmark item leaked WHERE, scored by containment |A∩B|/|A| of
+    the benchmark item's shingle set. Containment is the right measure
+    for leak detection: a 20-shingle eval question pasted into a
+    2000-shingle web page has Jaccard ≈ 0.01 but containment 1.0.
+
+    Scale shape: identical to the flag form — the benchmark side is
+    tiny (eval suites), so the shingle-hash join broadcasts it; the
+    per-pair group-by keys on (bench, train) pairs that actually share
+    shingles, so output is the leak worklist, never |bench| × |corpus|."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    bench = sh.filter(F.col("doc_id") < CONT_BENCH_MAX).select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("hsh").alias("n_bench"),
+        F.explode("hsh").alias("s"),
+    )
+    train = sh.filter(F.col("doc_id") >= CONT_BENCH_MAX).select(
+        F.col("doc_id").alias("train_id"), F.explode("hsh").alias("s")
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_bench")
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("bench_id", "train_id", "n_bench")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONT_PAIR_MIN_SHARED)
+        .select(
+            "bench_id",
+            "train_id",
+            "n_bench",
+            "n_shared",
+            F.round(cont, 6).alias("containment"),
+            (cont >= CONT_LEAK_FRAC).alias("leaked"),
+        )
+    )

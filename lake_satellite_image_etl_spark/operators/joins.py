@@ -314,3 +314,94 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+#: interval-overlap join geometry: decompose time into fixed buckets
+#: so overlap becomes an equi-join on bucket id. Bucket width must be
+#: >= the typical interval span for O(1) buckets per interval; 1 hour
+#: covers the fixture's 2-hour campaign windows with <=3 buckets each.
+OVERLAP_BUCKET_US = 3_600_000_000
+#: campaign window length: 2 hours from the first event of a type-day.
+CAMPAIGN_SPAN_US = 7_200_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    -- interval overlap join: per-user daily activity spans x per-type
+    -- daily "campaign windows" (2h from the day's first event of that
+    -- type); emit every (session, window) pair whose closed intervals
+    -- overlap, with the exact intersection in epoch microseconds.
+    WITH sess AS (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+               min(epoch_us(ts)) AS s_lo, max(epoch_us(ts)) AS s_hi
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS wday,
+               min(epoch_us(ts)) AS w_lo,
+               min(epoch_us(ts)) + {CAMPAIGN_SPAN_US} AS w_hi
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day, w.event_type,
+           greatest(s.s_lo, w.w_lo) AS ov_lo,
+           least(s.s_hi, w.w_hi) AS ov_hi,
+           least(s.s_hi, w.w_hi) - greatest(s.s_lo, w.w_lo) AS ov_us
+    FROM sess s JOIN win w
+      ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT interval-overlap join — the general two-sided range join
+    (sessions x campaigns, readings x maintenance windows) that a naive
+    ``ON a.lo <= b.hi AND b.lo <= a.hi`` plans as a nested-loop
+    cartesian product.
+
+    Scale shape: decompose the time axis into fixed-width buckets;
+    each interval explodes to the O(span/width) buckets it touches
+    ({OVERLAP_BUCKET_US} us = 1 h here), overlap candidates become an
+    EQUI-join on bucket id (shuffle-partitionable, AQE-skew-splittable,
+    no cartesian), and the exact predicate filters within buckets. A
+    pair sharing k buckets appears k times, so the final distinct
+    collapses candidates — total work is O(candidates), not O(n*m).
+    Same decomposition as join_range_bucket, generalized to BOTH sides
+    being intervals."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    sess = ev.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.min(us).alias("s_lo"), F.max(us).alias("s_hi"))
+    win = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("wday")
+    ).agg(F.min(us).alias("w_lo"))
+    win = win.withColumn("w_hi", F.col("w_lo") + CAMPAIGN_SPAN_US)
+    W = OVERLAP_BUCKET_US
+    sess_b = sess.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(F.expr(f"s_lo div {W}"), F.expr(f"s_hi div {W}"))
+        ),
+    )
+    win_b = win.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(F.expr(f"w_lo div {W}"), F.expr(f"w_hi div {W}"))
+        ),
+    )
+    return (
+        sess_b.join(win_b, "bkt")
+        .filter(
+            (F.col("s_lo") <= F.col("w_hi")) & (F.col("w_lo") <= F.col("s_hi"))
+        )
+        .select(
+            "user_id",
+            "day",
+            "event_type",
+            F.greatest("s_lo", "w_lo").alias("ov_lo"),
+            F.least("s_hi", "w_hi").alias("ov_hi"),
+            (F.least("s_hi", "w_hi") - F.greatest("s_lo", "w_lo")).alias(
+                "ov_us"
+            ),
+        )
+        .distinct()
+    )

@@ -106,3 +106,139 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+#: LogLog/HLL geometry: m = 2^LL_P buckets addressed by the low hash
+#: bits; the register is the trailing-zero rank of the remaining bits,
+#: clamped to LL_RMAX so 2^(LL_RMAX - R) stays an exact BIGINT and the
+#: harmonic sum is integer arithmetic end to end.
+LL_P = 5
+LL_M = 1 << LL_P
+LL_RMAX = 30
+#: HLL bias constant for m = 32
+LL_ALPHA = 0.697
+
+
+@query(
+    "sketch_distinct_loglog",
+    oracle=f"""
+    -- mergeable distinct-count sketch (HLL shape) with a DETERMINISTIC
+    -- cross-engine construction: bucket j = low {LL_P} hash bits,
+    -- register R_j = max trailing-zero rank of the remaining bits.
+    -- The harmonic denominator sum(2^-R_j) is kept EXACT by scaling:
+    -- S = sum(2^({LL_RMAX}-R_j)) is a BIGINT, so the only fp ops are
+    -- one correctly-rounded division and the final round — identical
+    -- IEEE results on any engine. (agg_approx_distinct covers the
+    -- engine-native HLL; this is the reproducible, oracle-checkable
+    -- twin.)
+    WITH h AS (
+        SELECT DISTINCT event_type, user_id,
+               ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+    ),
+    rho AS (
+        SELECT event_type, hv % {LL_M} AS j,
+               CASE WHEN hv >= {LL_M}
+                    THEN least(bit_count(
+                             ((hv // {LL_M}) & -(hv // {LL_M})) - 1) + 1,
+                         {LL_RMAX})
+                    ELSE 0 END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, j, max(rho) AS r
+        FROM rho GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.j, coalesce(regs.r, 0) AS r
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN range({LL_M}) g(j)
+        LEFT JOIN regs ON regs.event_type = t.event_type AND regs.j = g.j
+    ),
+    sums AS (
+        SELECT event_type,
+               sum((1::BIGINT << ({LL_RMAX} - r)))::BIGINT AS s,
+               max(r) AS max_r
+        FROM grid GROUP BY 1
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT user_id) AS n_exact
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.n_exact, s.s AS harmonic_scaled, s.max_r,
+           round({LL_ALPHA} * {LL_M * LL_M}
+                 * {1 << LL_RMAX} / s.s, 4) AS estimate
+    FROM exact e JOIN sums s USING (event_type)
+    """,
+)
+def sketch_distinct_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user sketch per event type, HLL-shaped but exactly
+    reproducible: md5-derived 60-bit hash, {LL_M} registers of max
+    trailing-zero rank, harmonic-mean estimate. The exact distinct
+    count rides along so the (bounded) error is visible.
+
+    Why next to ``agg_approx_distinct``: Spark's native HLL sketch is
+    engine-internal (rows-only checkable). This one is a SPECIFIED
+    sketch — any engine reproduces the identical registers, so shipped
+    sketches can be merged across systems and audited. Determinism
+    trick: the harmonic sum is computed as the INTEGER
+    sum(2^({LL_RMAX}-R_j)), so the only floating-point steps are one
+    correctly-rounded IEEE division and the final round.
+
+    Scale shape: the shuffle after partial aggregation is ≤ types × m
+    register rows — CONSTANT in input size; merging days/shards is
+    max() per register (a commutative monoid), which is the entire
+    point of sketching a 100 TB stream. The exact count (computed here
+    only to exhibit the error) is the expensive |keys|-shuffle the
+    sketch replaces."""
+    ev = read_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select(
+        "event_type", "user_id", hv.alias("hv")
+    ).distinct()
+    w = F.expr(f"hv div {LL_M}")
+    rho = (
+        F.when(
+            F.col("hv") >= LL_M,
+            F.least(
+                F.bit_count((w.bitwiseAND(-w)) - 1) + 1, F.lit(LL_RMAX)
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    regs = (
+        h.select("event_type", (F.col("hv") % LL_M).alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spark.range(LL_M).select(F.col("id").alias("j"))))
+        .join(regs, ["event_type", "j"], "left")
+        .select("event_type", "j", F.coalesce("r", F.lit(0)).alias("r"))
+    )
+    sums = grid.groupBy("event_type").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {LL_RMAX} - r)"))
+        .cast("long")
+        .alias("harmonic_scaled"),
+        F.max("r").alias("max_r"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(sums, "event_type").select(
+        "event_type",
+        "n_exact",
+        "harmonic_scaled",
+        "max_r",
+        F.round(
+            F.lit(LL_ALPHA * LL_M * LL_M)
+            * (1 << LL_RMAX)
+            / F.col("harmonic_scaled"),
+            4,
+        ).alias("estimate"),
+    )

@@ -187,6 +187,10 @@ _PRIORITY = (
     "text_gopher_rules",
     "multimodal_video_shots",
     "corpus_global_shuffle",
+    "join_interval_overlap",
+    "sketch_distinct_loglog",
+    "corpus_contamination_pairs",
+    "stats_equidepth_histogram",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

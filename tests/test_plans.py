@@ -5,7 +5,7 @@
 
 from __future__ import annotations
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def _plan(df) -> str:
@@ -333,3 +333,33 @@ def test_dq_row_rules_share_one_scan_shape(spark):
     plan = _plan(dq_check_rules(spark, SF_SMOKE))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_interval_overlap_join_is_equi_not_cartesian(spark):
+    """The interval-overlap join must plan as an equi-join on the time
+    bucket (shuffle-partitionable), never a BroadcastNestedLoopJoin /
+    CartesianProduct over the raw range predicate — that's the entire
+    point of the bucket decomposition."""
+    from lake_satellite_image_etl_spark.operators.joins import (
+        join_interval_overlap,
+    )
+
+    plan = _plan(join_interval_overlap(spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_equidepth_histogram_bins_are_balanced_without_global_sort(spark):
+    """Bin populations must differ by at most 1 (the (r*B)//N rule) and
+    the plan must not globally Sort the order rows into one partition —
+    the only Sort allowed over the full data is the per-band
+    (hash-partitioned) window sort."""
+    from lake_satellite_image_etl_spark.operators.aggregates import (
+        stats_equidepth_histogram,
+    )
+
+    df = stats_equidepth_histogram(spark, SF_ORACLE)
+    rows = df.collect()
+    sizes = [r["n_rows"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert len(rows) > 1
