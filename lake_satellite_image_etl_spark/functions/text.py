@@ -1052,3 +1052,146 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+#: wordpiece vocabulary: multi-char subword pieces by length (single
+#: characters are the implicit fallback, so segmentation never fails).
+#: Greedy LONGEST-match ("sc" AND "scan" both present; "scan" must
+#: win) — the WordPiece/left-to-right-BPE inference rule.
+WP_PIECES: dict[int, tuple[str, ...]] = {
+    4: ("cust", "omer", "wind", "scan", "sort", "part", "slow", "data"),
+    3: (
+        "col", "umn", "val", "vec", "tor", "str", "eam", "tab", "que",
+        "fil", "ter", "gro", "row", "ord", "key", "agg", "the", "mer",
+        "all", "ark", "big", "tch",
+    ),
+    2: (
+        "ue", "ow", "le", "ry", "up", "ba", "li", "ne", "ge", "er",
+        "ha", "sh", "jo", "in", "fa", "st", "sm", "sp",
+    ),
+}
+#: fold-iteration cap = max word length the segmenter supports; the
+#: fixture maxes at 8, production sets this to the tokenizer's max
+#: word length (longer words fall back to per-char pieces anyway).
+WP_MAX_WORD = 12
+
+
+def _wp_len_case(pos_expr: str) -> str:
+    """The greedy longest-match piece length at position ``pos_expr``
+    of ``word`` — one CASE, identical text on both engines (substr is
+    1-based with the same out-of-range clamping in Spark and DuckDB)."""
+    arms = []
+    for ln in sorted(WP_PIECES, reverse=True):
+        lits = ", ".join(f"'{p}'" for p in WP_PIECES[ln])
+        arms.append(
+            f"WHEN substr(word, {pos_expr}, {ln}) IN ({lits}) THEN {ln}"
+        )
+    return "CASE " + " ".join(arms) + " ELSE 1 END"
+
+
+#: Spark-side greedy segmentation as a pure HOF fold — ZERO Python
+#: UDFs: the accumulator walks (position, pieces) across at most
+#: WP_MAX_WORD steps; steps past the word end are identity.
+_WP_FOLD = f"""
+aggregate(
+  sequence(1, {WP_MAX_WORD}),
+  named_struct('p', 1, 'pc', cast(array() as array<string>)),
+  (acc, i) -> IF(acc.p > length(word), acc,
+    named_struct(
+      'p', acc.p + {_wp_len_case("acc.p")},
+      'pc', array_append(acc.pc,
+                         substr(word, acc.p, {_wp_len_case("acc.p")})))),
+  acc -> acc.pc
+)
+"""
+
+
+@query(
+    "text_wordpiece_tokenize",
+    oracle=f"""
+    -- subword (WordPiece-style) tokenization: greedy longest-match
+    -- against a fixed piece vocabulary with single-char fallback,
+    -- applied per DISTINCT word (the dictionary trick), then mapped
+    -- back through the token stream in order. The recursion mirrors
+    -- the Spark HOF fold step for step.
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    ws AS (SELECT DISTINCT unnest(toks) AS word FROM t),
+    seg AS (
+        SELECT word, 1 AS p, CAST([] AS VARCHAR[]) AS pc FROM ws
+        UNION ALL
+        SELECT word, p + l, list_append(pc, substr(word, p, l))
+        FROM (
+            SELECT word, p, pc, {_wp_len_case("p")} AS l
+            FROM seg WHERE p <= len(word)
+        )
+    ),
+    done AS (SELECT word, pc FROM seg WHERE p > len(word)),
+    tok AS (
+        SELECT doc_id, j AS pos, toks[j] AS word, len(toks) AS n_words
+        FROM t, unnest(generate_series(1, len(toks))) AS u(j)
+    ),
+    flat AS (
+        SELECT tok.doc_id, tok.n_words,
+               string_agg(array_to_string(d.pc, ' '), ' '
+                          ORDER BY tok.pos) AS piece_stream,
+               sum(len(d.pc)) AS n_pieces
+        FROM tok JOIN done d USING (word)
+        GROUP BY tok.doc_id, tok.n_words
+    )
+    SELECT doc_id, n_words, n_pieces::BIGINT AS n_pieces,
+           round(n_pieces::DOUBLE / n_words, 6) AS fertility,
+           md5(piece_stream) AS pieces_fp
+    FROM flat
+    """,
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization at corpus scale — the step between raw
+    text and token counts in every training pipeline. Greedy
+    longest-match WordPiece inference against a fixed piece
+    vocabulary, single-char fallback, emitting per-document piece
+    counts, fertility (pieces per word — THE tokenizer-quality
+    metric), and an md5 fingerprint of the exact piece stream so the
+    oracle verifies the segmentation itself, not just counts.
+
+    Scale shape (the dictionary trick): segmentation runs once per
+    DISTINCT word — a vocabulary-sized table (millions of rows at
+    100 TB, ≪ corpus) — as a pure JVM higher-order fold (NO Python
+    UDF); the corpus-sized work is one broadcast join of the token
+    stream against the segmented dictionary plus one per-doc
+    aggregation. The fold caps at {WP_MAX_WORD} steps/word; real
+    tokenizers cap word length the same way."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_of(F.col("text")).alias("toks"))
+    words = toks.select(F.explode("toks").alias("word")).distinct()
+    seg = words.select("word", F.expr(_WP_FOLD).alias("pc"))
+    tok = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.posexplode("toks").alias("pos", "word"),
+    )
+    flat = (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id", "n_words")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pc"))
+                    ),
+                    lambda s: s["pc"],
+                )
+            ).alias("pieces")
+        )
+    )
+    return flat.select(
+        "doc_id",
+        "n_words",
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.round(
+            F.size("pieces").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.md5(F.concat_ws(" ", "pieces")).alias("pieces_fp"),
+    )

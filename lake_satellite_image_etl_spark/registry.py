@@ -191,6 +191,7 @@ _PRIORITY = (
     "sketch_distinct_loglog",
     "corpus_contamination_pairs",
     "stats_equidepth_histogram",
+    "text_wordpiece_tokenize",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

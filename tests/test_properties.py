@@ -190,3 +190,22 @@ def test_percentile_approx_bounds(spark):
         lo = xs[max(0, int(np.floor((p - 0.01) * (len(xs) - 1))))]
         hi = xs[min(len(xs) - 1, int(np.ceil((p + 0.01) * (len(xs) - 1))))]
         assert lo <= r["approx_price"] <= hi, (r, lo, hi)
+
+
+def test_wordpiece_greedy_longest_match_and_fallback(spark):
+    """Pin the segmentation rule itself: 'scan' must take the 4-char
+    piece even though 'sc' is also in the vocab (longest match wins),
+    and 'dup' must fall back to a single char + 'up' (no piece covers
+    its head). Fertility/piece counts derive from these."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.text import _WP_FOLD
+
+    df = spark.createDataFrame(
+        [("scan",), ("dup",), ("customer",), ("a",)], "word string"
+    ).select("word", F.expr(_WP_FOLD).alias("pc"))
+    got = {r["word"]: r["pc"] for r in df.collect()}
+    assert got["scan"] == ["scan"]
+    assert got["dup"] == ["d", "up"]
+    assert got["customer"] == ["cust", "omer"]
+    assert got["a"] == ["a"]
