@@ -605,3 +605,329 @@ def semantic_dedup_cells(
             F.col("keeper").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: DIM is split into PQ_M subspaces of PQ_SUB dims; each
+#: subspace gets a 2^PQ_BITS-entry codebook, so a vector compresses to
+#: PQ_M * PQ_BITS bits (64 d × 4 B floats → 8 codes = 32× smaller).
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_BITS = 8
+PQ_K = 1 << PQ_BITS
+#: centroid components are stored as fixed-point integers at
+#: QUANT*PQ_SCALE — the quantized-codebook trick that keeps every ADC
+#: dot product exact integer arithmetic (truncating div toward zero,
+#: identical in Spark `div` and DuckDB `//`).
+PQ_SCALE = 256
+#: ADC shortlist size fed to the exact re-rank stage.
+PQ_RERANK = 40
+
+
+def _pq_seed_cell_spark(qv, m: int):
+    """Seed cell of subspace ``m``: PQ_BITS sign-LSH bits from the
+    subspace slice of the shared PLANES matrix (m is a compile-time
+    literal, so the weights inline into codegen)."""
+    cell = F.lit(0)
+    for b in range(PQ_BITS):
+        w = PLANES[b][m * PQ_SUB : (m + 1) * PQ_SUB]
+        dot = None
+        for d in range(PQ_SUB):
+            term = qv[m * PQ_SUB + d] * F.lit(w[d])
+            dot = term if dot is None else dot + term
+        cell = cell + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return cell
+
+
+def _pq_seed_cell_sql() -> str:
+    """Same seed cell with ``m`` as a SQL column: plane weights inlined
+    as literal arrays indexed by m*PQ_SUB+d (1-based)."""
+    bits = []
+    for b in range(PQ_BITS):
+        wlit = "[" + ", ".join(str(w) for w in PLANES[b]) + "]"
+        dot = " + ".join(
+            f"qv[m * {PQ_SUB} + {d + 1}] * ({wlit})[m * {PQ_SUB} + {d + 1}]"
+            for d in range(PQ_SUB)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "similarity_pq_adc",
+    oracle=f"""
+    -- product quantization + ADC: train {PQ_M} sub-codebooks of
+    -- {PQ_K} fixed-point centroids (sign-LSH seed cells -> truncated
+    -- integer mean), encode every vector as {PQ_M} codes, then score
+    -- query-vs-corpus entirely in the compressed domain: per-query
+    -- lookup table T[m][cell] = <q_m, centroid>, candidate score =
+    -- sum of table hits, normalized by the reconstruction norm.
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    sub AS (
+        SELECT vec_id, m, qv,
+               list_slice(qv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB})
+                   AS sv,
+               {_pq_seed_cell_sql()} AS cell
+        FROM q, range({PQ_M}) r(m)
+    ),
+    cnt AS (SELECT m, cell, count(*) AS n FROM sub GROUP BY 1, 2),
+    comp AS (
+        SELECT m, cell, pos, sum(sv[pos])::BIGINT AS s
+        FROM sub, range(1, {PQ_SUB} + 1) p(pos)
+        GROUP BY 1, 2, 3
+    ),
+    cent AS (
+        SELECT comp.m, comp.cell,
+               list((comp.s * {PQ_SCALE}) // cnt.n ORDER BY comp.pos)
+                   AS cq
+        FROM comp JOIN cnt USING (m, cell)
+        GROUP BY comp.m, comp.cell, cnt.n
+    ),
+    centn AS (SELECT m, cell, cq, {sql_dot("cq", "cq")} AS cn2 FROM cent),
+    aff AS (
+        SELECT s.vec_id, s.m, c.cell, c.cn2,
+               {sql_dot("s.sv", "c.cq")}::DOUBLE
+                   / (sqrt({sql_dot("s.sv", "s.sv")}::DOUBLE)
+                      * sqrt(c.cn2::DOUBLE)) AS a,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {sql_dot("s.sv", "c.cq")}::DOUBLE
+                       / (sqrt({sql_dot("s.sv", "s.sv")}::DOUBLE)
+                          * sqrt(c.cn2::DOUBLE)) DESC, c.cell) AS rk
+        FROM sub s JOIN centn c USING (m)
+    ),
+    codes AS (SELECT vec_id, m, cell, cn2 FROM aff WHERE rk = 1),
+    rn AS (SELECT vec_id, sum(cn2)::BIGINT AS rnorm2 FROM codes GROUP BY 1),
+    qn AS (SELECT vec_id, sqrt({sql_dot("qv", "qv")}::DOUBLE) AS qnrm
+           FROM q WHERE vec_id % {QUERY_STRIDE} = 0),
+    lut AS (
+        SELECT q.vec_id AS query_id, c.m, c.cell,
+               {sql_dot(f"list_slice(q.qv, c.m * {PQ_SUB} + 1, c.m * {PQ_SUB} + {PQ_SUB})", "c.cq")}
+                   AS t
+        FROM q JOIN centn c ON q.vec_id % {QUERY_STRIDE} = 0
+    ),
+    score AS (
+        SELECT l.query_id, k.vec_id AS candidate_id,
+               sum(l.t)::BIGINT AS ip
+        FROM codes k JOIN lut l USING (m, cell)
+        WHERE k.vec_id != l.query_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT s.query_id, s.candidate_id,
+               s.ip::DOUBLE / (qn.qnrm * sqrt(rn.rnorm2::DOUBLE))
+                   AS adc_cos,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY s.ip::DOUBLE
+                         / (qn.qnrm * sqrt(rn.rnorm2::DOUBLE)) DESC,
+                       s.candidate_id) AS adc_rank
+        FROM score s
+        JOIN qn ON qn.vec_id = s.query_id
+        JOIN rn ON rn.vec_id = s.candidate_id
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.candidate_id, sl.adc_cos,
+               {sql_dot("cq2.qv", "qq.qv")}::DOUBLE
+                   / (sqrt({sql_dot("cq2.qv", "cq2.qv")}::DOUBLE)
+                      * sqrt({sql_dot("qq.qv", "qq.qv")}::DOUBLE))
+                   AS cos_exact,
+               row_number() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY {sql_dot("cq2.qv", "qq.qv")}::DOUBLE
+                         / (sqrt({sql_dot("cq2.qv", "cq2.qv")}::DOUBLE)
+                            * sqrt({sql_dot("qq.qv", "qq.qv")}::DOUBLE)) DESC,
+                       sl.candidate_id) AS rank
+        FROM shortlist sl
+        JOIN q cq2 ON cq2.vec_id = sl.candidate_id
+        JOIN q qq ON qq.vec_id = sl.query_id
+        WHERE sl.adc_rank <= {PQ_RERANK}
+    )
+    SELECT query_id, candidate_id, round(adc_cos, 6) AS adc_cos,
+           round(cos_exact, 6) AS cos_exact, rank
+    FROM rerank WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN in the COMPRESSED domain — product quantization with
+    asymmetric distance computation, the memory-side half of every
+    large-scale vector index (FAISS IVF-PQ shape): {PQ_M} sub-codebooks
+    × {PQ_K} centroids compress a {DIM}-d vector to {PQ_M} codes
+    ({PQ_M * PQ_BITS} bits, 32× smaller than float32), and queries
+    score candidates WITHOUT decompressing — one {PQ_M}×{PQ_K} integer
+    lookup table per query, candidate score = {PQ_M} table hits.
+
+    Determinism: codebooks are truncated-integer means of sign-LSH
+    seed cells (same PLANES matrix as the LSH/IVF paths), stored as
+    fixed-point ints, so codes, lookup tables, and scores are exact
+    integer arithmetic; doubles appear only in the final
+    norm-divide.
+
+    Scale shape: training = one groupBy over n×{PQ_M} subvector rows;
+    encoding = broadcast-codebook map; scoring = a per-candidate HOF
+    fold over its code array against the BROADCAST per-query tables —
+    no shuffle at all until the top-k window. At 100 TB you compose
+    this with the IVF router (`ivf_topk`): probe selects lists, ADC
+    scans them compressed — this entry is that scan kernel, full-corpus
+    so the oracle covers every candidate."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", qvec_of(F.col("embedding")).alias("qv")
+    ).filter(F.col("qv").isNotNull())
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                        _pq_seed_cell_spark(F.col("qv"), m).alias("cell"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv", "s.cell")
+    cnt = subs.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("n"))
+    comp = (
+        subs.select("m", "cell", F.posexplode("sv").alias("pos", "c"))
+        .groupBy("m", "cell", "pos")
+        .agg(F.sum("c").alias("s"))
+    )
+    cent = (
+        comp.join(cnt, ["m", "cell"])
+        .select(
+            "m",
+            "cell",
+            "pos",
+            F.expr(f"(s * {PQ_SCALE}) div n").alias("cq_c"),
+        )
+        .groupBy("m", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq_c"))),
+                lambda s: s["cq_c"],
+            ).alias("cq")
+        )
+        .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
+    )
+    centr = cent.select(
+        "m", F.col("cell").alias("c_cell"), "cq", "cn2"
+    )
+    aff = (
+        subs.join(F.broadcast(centr), "m")
+        .withColumn(
+            "a",
+            dot_long(F.col("sv"), F.col("cq")).cast("double")
+            / (norm(F.col("sv")) * F.sqrt(F.col("cn2").cast("double"))),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id", "m").orderBy(
+                    F.desc("a"), F.asc("c_cell")
+                )
+            ),
+        )
+    )
+    codes = aff.filter(F.col("rk") == 1).select(
+        "vec_id", "m", F.col("c_cell").alias("cell"), "cn2"
+    )
+    # candidate-side compressed record: code array (by m) + recon norm
+    packed = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cell"))),
+            lambda s: s["cell"],
+        ).alias("code_arr"),
+        F.sum("cn2").cast("long").alias("rnorm2"),
+    )
+    # per-query lookup tables, keyed m*PQ_K+cell, broadcast to the scan
+    qside = q.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    lut = (
+        qside.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_qv",
+            (F.col("m") * PQ_K + F.col("cell")).alias("tk"),
+            dot_long(
+                F.expr(f"slice(q_qv, m * {PQ_SUB} + 1, {PQ_SUB})"),
+                F.col("cq"),
+            ).alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("tk", "t"))
+            ).alias("lut"),
+            F.first(norm(F.col("q_qv"))).alias("qnrm"),
+        )
+    )
+    ip = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.col("lut"), (m * PQ_K + F.element_at(F.col("code_arr"), m + 1))
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_raw"), F.asc("candidate_id")
+    )
+    shortlist = (
+        packed.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("candidate_id"),
+            (
+                ip.cast("double")
+                / (F.col("qnrm") * F.sqrt(F.col("rnorm2").cast("double")))
+            ).alias("adc_raw"),
+        )
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_RERANK)
+    )
+    # exact re-rank of the PQ_RERANK-deep shortlist — the standard
+    # refine stage: only queries x PQ_RERANK full vectors are touched,
+    # the corpus scan above stayed compressed.
+    cand_full = q.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("qv").alias("c_qv"),
+        norm(F.col("qv")).alias("c_nrm"),
+    )
+    query_full = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qq_qv"),
+        norm(F.col("qv")).alias("qq_nrm"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact_raw"), F.asc("candidate_id")
+    )
+    return (
+        shortlist.join(cand_full, "candidate_id")
+        .join(F.broadcast(query_full), "query_id")
+        .select(
+            "query_id",
+            "candidate_id",
+            "adc_raw",
+            (
+                dot_long(F.col("c_qv"), F.col("qq_qv")).cast("double")
+                / (F.col("c_nrm") * F.col("qq_nrm"))
+            ).alias("cos_exact_raw"),
+        )
+        .withColumn("rank", F.row_number().over(w_ex))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "candidate_id",
+            F.round("adc_raw", 6).alias("adc_cos"),
+            F.round("cos_exact_raw", 6).alias("cos_exact"),
+            "rank",
+        )
+    )

@@ -192,6 +192,7 @@ _PRIORITY = (
     "corpus_contamination_pairs",
     "stats_equidepth_histogram",
     "text_wordpiece_tokenize",
+    "similarity_pq_adc",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
