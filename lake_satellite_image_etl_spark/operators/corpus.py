@@ -767,3 +767,78 @@ def corpus_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cont >= CONT_LEAK_FRAC).alias("leaked"),
         )
     )
+
+
+@query(
+    "corpus_token_entropy",
+    oracle="""
+    -- per-source unigram diagnostics: Shannon entropy of the source's
+    -- token distribution and KL(source || corpus) — the mixture
+    -- report every multi-source pre-training run reads before setting
+    -- sampling weights. Counts are exact integers; ln/sums are
+    -- IEEE doubles rounded to 6 dp (vocab-bounded term count keeps
+    -- accumulation error ~1e-15, far inside the rounding).
+    WITH tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    st AS (SELECT source, term, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    s AS (SELECT source, sum(c)::BIGINT AS ns, count(*)::BIGINT AS vocab
+          FROM st GROUP BY 1),
+    t AS (SELECT term, sum(c)::BIGINT AS ct FROM st GROUP BY 1),
+    n AS (SELECT sum(c)::BIGINT AS n FROM st)
+    SELECT st.source,
+           max(s.ns) AS n_tokens,
+           max(s.vocab) AS vocab_size,
+           round(-sum((st.c::DOUBLE / s.ns)
+                      * ln(st.c::DOUBLE / s.ns)), 6) AS entropy,
+           round(sum((st.c::DOUBLE / s.ns)
+                     * ln((st.c::DOUBLE / s.ns)
+                          / (t.ct::DOUBLE / n.n))), 6) AS kl_vs_corpus
+    FROM st
+    JOIN s USING (source)
+    JOIN t USING (term)
+    CROSS JOIN n
+    GROUP BY st.source
+    """,
+)
+def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution diagnostics: unigram Shannon
+    entropy and KL(source‖corpus) — how diverse each source is and how
+    far it sits from the corpus mixture. These two numbers drive
+    sampling-weight decisions (`corpus_mix_weighted` consumes them in
+    a real pipeline).
+
+    Scale shape: the corpus-sized work is ONE explode + (source, term)
+    count — partial aggregation collapses it map-side to vocab×sources
+    rows; everything after (per-source totals, corpus term totals, the
+    entropy/KL sums) runs on that bounded table with the term totals
+    broadcast. No second pass over the text."""
+    docs = read_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(tokens_of(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    s = st.groupBy("source").agg(
+        F.sum("c").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    t = st.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    n = st.agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("ct").cast("double") / F.col("n")
+    return (
+        st.join(s, "source")
+        .join(F.broadcast(t), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.max("vocab").alias("vocab_size"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+    )

@@ -219,3 +219,100 @@ def dq_check_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+#: KS drift split: days 1-15 of the event month vs the rest.
+KS_SPLIT_DAY = 16
+
+
+@query(
+    "stats_ks_drift",
+    oracle=f"""
+    -- two-sample Kolmogorov-Smirnov drift statistic per event type:
+    -- value distribution of days < {KS_SPLIT_DAY} vs the rest.
+    -- EXACT-INTEGER form: the ECDF gap at value v is
+    -- |cum_a*n_b - cum_b*n_a| / (n_a*n_b); the numerator is a BIGINT,
+    -- so max() runs over integers and the ONLY floating-point step is
+    -- the final correctly-rounded divide — no fp-comparison drift
+    -- between engines.
+    WITH tagged AS (
+        SELECT event_type, value,
+               CASE WHEN extract(day FROM ts) < {KS_SPLIT_DAY}
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events
+    ),
+    vc AS (
+        SELECT event_type, value,
+               sum(in_a)::BIGINT AS ca, sum(1 - in_a)::BIGINT AS cb
+        FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, value,
+               sum(ca) OVER (PARTITION BY event_type ORDER BY value)
+                   AS cum_a,
+               sum(cb) OVER (PARTITION BY event_type ORDER BY value)
+                   AS cum_b,
+               sum(ca) OVER (PARTITION BY event_type) AS n_a,
+               sum(cb) OVER (PARTITION BY event_type) AS n_b
+        FROM vc
+    )
+    SELECT event_type,
+           max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+           max(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_scaled,
+           round(max(abs(cum_a * n_b - cum_b * n_a))::DOUBLE
+                 / (max(n_a) * max(n_b)), 6) AS ks_d
+    FROM cum GROUP BY event_type
+    """,
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic — the distribution-shift monitor a
+    production feature/data pipeline runs between time slices (here:
+    first half of the month vs the rest, per event type). KS needs the
+    max ECDF gap over the merged support; computed in EXACT integers
+    (|cum_a·n_b − cum_b·n_a|, divided once at the end) so engines
+    agree bit-for-bit.
+
+    Scale shape: one shuffle to the per-(type, value) count table
+    (collapses duplicate values), one type-partitioned window over
+    that table (sorted within each type partition in parallel; at
+    100 TB you pre-bin values to bound the table — the same plan with
+    a floor() on the key), one final max per type. No global sort, no
+    fp accumulation-order hazards."""
+    from pyspark.sql import Window as _W
+
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") < KS_SPLIT_DAY, 1)
+        .otherwise(0)
+        .alias("in_a"),
+    )
+    vc = tagged.groupBy("event_type", "value").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    w_cum = (
+        _W.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    w_all = _W.partitionBy("event_type").rowsBetween(
+        _W.unboundedPreceding, _W.unboundedFollowing
+    )
+    cum = vc.select(
+        "event_type",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.groupBy("event_type").agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(gap).cast("long").alias("d_scaled"),
+        F.round(
+            F.max(gap).cast("double") / (F.max("n_a") * F.max("n_b")), 6
+        ).alias("ks_d"),
+    )

@@ -193,6 +193,8 @@ _PRIORITY = (
     "stats_equidepth_histogram",
     "text_wordpiece_tokenize",
     "similarity_pq_adc",
+    "stats_ks_drift",
+    "corpus_token_entropy",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
