@@ -842,3 +842,144 @@ def corpus_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
         )
     )
+
+
+#: BPE vocabulary learning: number of merge rounds.
+N_BPE_MERGES = 8
+
+
+def _bpe_oracle() -> str:
+    """Chained per-round CTEs: pair counts -> argmax (tie-break
+    lexicographic) -> recursive left-to-right non-overlapping merge
+    application — the exact BPE training loop, one CTE block per
+    round, generated to mirror the Spark loop step for step."""
+    blocks = [
+        """w0 AS MATERIALIZED (
+        SELECT word, count(*)::BIGINT AS freq,
+               [word[i] FOR i IN generate_series(1, len(word))] AS syms
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+              FROM documents)
+        GROUP BY word
+    )"""
+    ]
+    for r in range(N_BPE_MERGES):
+        blocks.append(f"""p{r} AS MATERIALIZED (
+        SELECT syms[i] AS l_sym, syms[i + 1] AS r_sym,
+               sum(freq)::BIGINT AS cnt
+        FROM w{r}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (SELECT l_sym, r_sym, cnt FROM p{r}
+             ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+    s{r} AS (
+        SELECT word, freq, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out
+        FROM w{r}
+        UNION ALL
+        SELECT word, freq, syms,
+               CASE WHEN pos < len(syms)
+                         AND syms[pos] = (SELECT l_sym FROM b{r})
+                         AND syms[pos + 1] = (SELECT r_sym FROM b{r})
+                    THEN pos + 2 ELSE pos + 1 END,
+               list_append(out,
+                   CASE WHEN pos < len(syms)
+                             AND syms[pos] = (SELECT l_sym FROM b{r})
+                             AND syms[pos + 1] = (SELECT r_sym FROM b{r})
+                        THEN syms[pos] || syms[pos + 1]
+                        ELSE syms[pos] END)
+        FROM s{r} WHERE pos <= len(syms)
+    ),
+    w{r + 1} AS MATERIALIZED (SELECT word, freq, out AS syms FROM s{r}
+                 WHERE pos > len(syms))""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {r + 1} AS rank, l_sym, r_sym, cnt AS pair_count FROM b{r}"
+        for r in range(N_BPE_MERGES)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(blocks)
+        + "\n    "
+        + union
+    )
+
+
+#: left-to-right non-overlapping merge of the (l_sym, r_sym) pair
+#: carried on the row, as a pure fold: a merged output symbol is
+#: l_sym||r_sym which can never equal l_sym again, so the fold merges
+#: exactly where a positional scan would.
+_BPE_MERGE_FOLD = """
+aggregate(syms, cast(array() as array<string>),
+  (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = l_sym
+                     AND x = r_sym,
+                 concat(slice(acc, 1, size(acc) - 1),
+                        array(concat(l_sym, r_sym))),
+                 concat(acc, array(x))))
+"""
+
+
+@query("corpus_bpe_learn", oracle=_bpe_oracle())
+def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING — learn the first {N_BPE_MERGES} merge
+    rules from corpus word frequencies (the other half of
+    `text_wordpiece_tokenize`, which APPLIES a vocabulary). Each
+    round: count adjacent symbol pairs weighted by word frequency,
+    take the argmax (ties broken lexicographically), merge it
+    left-to-right non-overlapping everywhere, repeat. Output is the
+    merge table itself — rank, pair, count — the artifact a tokenizer
+    ships.
+
+    Scale shape: the classic BPE bottleneck is that training is
+    GLOBAL-argmax-iterative. Here each round is (a) one pair-count
+    aggregation over the DISTINCT-word table (vocabulary-sized, not
+    corpus-sized — frequencies were collected once), (b) the 1-row
+    argmax crossJoined back as a broadcast so the merge application is
+    a pure fold expression — NO driver collect() inside the loop, and
+    per-round localCheckpoint cuts the 8-deep lineage. Corpus-sized
+    work is exactly one tokenize+count pass."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select("word", "freq", F.split("word", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for r in range(N_BPE_MERGES):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i - 1] AS l_sym, syms[i] AS r_sym))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l_sym", "pr.r_sym")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(
+            F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym")
+        ).limit(1)
+        merges.append(
+            best.select(
+                F.lit(r + 1).cast("long").alias("rank"),
+                "l_sym",
+                "r_sym",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best.select("l_sym", "r_sym")))
+            .select(
+                "word",
+                "freq",
+                F.expr(_BPE_MERGE_FOLD).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

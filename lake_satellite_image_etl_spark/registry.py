@@ -195,6 +195,7 @@ _PRIORITY = (
     "similarity_pq_adc",
     "stats_ks_drift",
     "corpus_token_entropy",
+    "corpus_bpe_learn",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

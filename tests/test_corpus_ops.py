@@ -152,3 +152,43 @@ def test_bloom_prefilter_is_superset_of_exact_hits(spark):
             f"doc {doc_id}: bloom candidates {bloom[doc_id]} < exact "
             f"shared {n_shared}"
         )
+
+
+def test_bpe_merges_are_distinct_and_counts_monotone_sane(spark):
+    """Learned merge rules must be distinct pairs; the first merge's
+    count must be the global max over all initial adjacent char pairs
+    (independently recounted); counts stay positive."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.text import tokens_of
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.corpus import (
+        corpus_bpe_learn,
+    )
+
+    rows = sorted(
+        corpus_bpe_learn(spark, SF_ORACLE).collect(), key=lambda r: r["rank"]
+    )
+    assert len(rows) == 8
+    pairs = [(r["l_sym"], r["r_sym"]) for r in rows]
+    assert len(set(pairs)) == len(pairs)
+    assert all(r["pair_count"] > 0 for r in rows)
+
+    words = (
+        read_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(tokens_of(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    c = Counter()
+    for r in words:
+        w, f = r["w"], r["count"]
+        for a, b in zip(w, w[1:]):
+            c[(a, b)] += f
+    best = max(c.items(), key=lambda kv: (kv[1], tuple(map(lambda x: [-ord(ch) for ch in x], kv[0]))))
+    # recount: first learned pair must have the max count
+    assert rows[0]["pair_count"] == max(c.values())
+    assert c[pairs[0]] == max(c.values())
