@@ -276,3 +276,77 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div (2 * 127 * {QUANT} * n_dims)"
         ).alias("mean_abs_err_e8"),
     )
+
+
+@query(
+    "vector_standardize",
+    oracle=f"""
+    -- per-dimension feature standardization (z-scoring) of the
+    -- embedding matrix — the preprocessing step before PCA/clustering
+    -- /linear probes. Exactness: component sums and sum-of-squares
+    -- are INTEGER (quantized vectors), so mean and variance are
+    -- rationals realized in a fixed op order; z and the output
+    -- round(…, 6) follow identically on any engine.
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    e AS (
+        SELECT vec_id, unnest(qv) AS c,
+               unnest(generate_series(1, len(qv))) AS pos
+        FROM q
+    ),
+    stats AS (
+        SELECT pos, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+               sum(c * c)::BIGINT AS s2
+        FROM e GROUP BY pos
+    ),
+    z AS (
+        SELECT e.vec_id, e.pos,
+               (e.c - stats.s::DOUBLE / stats.n)
+               / sqrt((stats.s2::DOUBLE - stats.s::DOUBLE * stats.s
+                                          / stats.n) / stats.n) AS zc
+        FROM e JOIN stats USING (pos)
+    )
+    SELECT vec_id,
+           round(sum(zc * zc), 6) AS z_norm2,
+           round(min(zc), 6) AS z_min,
+           round(max(zc), 6) AS z_max
+    FROM z GROUP BY vec_id
+    """,
+)
+def vector_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-scoring of the embedding matrix (population
+    mean/std per component), returning per-vector summaries of the
+    standardized matrix (squared norm, extremes) — the scaling step every downstream PCA / k-means /
+    linear-probe run assumes.
+
+    Scale shape: ONE posexplode + aggregation produces a
+    DIM-row stats table (integer sums — partial aggregation collapses
+    map-side), broadcast back onto the same exploded stream; the
+    per-vector regroup is one shuffle keyed by vec_id. At 100 TB the
+    stats table is still {DIM} rows."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    e = q.select("vec_id", F.posexplode("qv").alias("pos0", "c")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "c"
+    )
+    stats = e.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    z = e.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        ((F.col("c") - mean) / F.sqrt(var)).alias("zc"),
+    )
+    # scalar per-vector outputs (double ARRAYS are unhashable in the
+    # driver's value gate); the z-matrix itself is the `z` projection.
+    return z.groupBy("vec_id").agg(
+        F.round(F.sum(F.col("zc") * F.col("zc")), 6).alias("z_norm2"),
+        F.round(F.min("zc"), 6).alias("z_min"),
+        F.round(F.max("zc"), 6).alias("z_max"),
+    )

@@ -358,3 +358,69 @@ def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_7d"),
         F.round(F.sum("value").over(w), 4).alias("sum_7d"),
     )
+
+
+#: trailing window length (days) for the sliding distinct-user count.
+SLIDE_DISTINCT_DAYS = 7
+
+
+@query(
+    "window_sliding_distinct",
+    oracle=f"""
+    -- trailing-{SLIDE_DISTINCT_DAYS}-day DISTINCT active users per
+    -- day — the DAU/WAU-style metric COUNT(DISTINCT) OVER RANGE that
+    -- SQL engines refuse (distinct is not frame-mergeable). Exact
+    -- decomposition: collapse to distinct (user, day) rows, explode
+    -- each into the {SLIDE_DISTINCT_DAYS} trailing report days it
+    -- covers, then count DISTINCT users per report day.
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (SELECT min(d) AS d_lo, max(d) AS d_hi FROM ud),
+    cover AS (
+        SELECT ud.user_id, ud.d + off::INT AS rep_day
+        FROM ud, unnest(generate_series(0, {SLIDE_DISTINCT_DAYS - 1}))
+                     AS u(off), span
+        WHERE ud.d + off::INT <= span.d_hi
+    )
+    SELECT strftime(rep_day, '%Y-%m-%d') AS day,
+           count(DISTINCT user_id) AS active_{SLIDE_DISTINCT_DAYS}d
+    FROM cover GROUP BY 1
+    """,
+)
+def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{SLIDE_DISTINCT_DAYS}-day distinct active users per
+    day (the WAU curve). COUNT(DISTINCT) over a sliding RANGE frame is
+    unsupported in every SQL engine because distinct doesn't merge
+    across frames; the scale-correct decomposition: dedupe to
+    (user, day) rows first (the big shuffle, heavily collapsed
+    map-side), explode each into the ≤{SLIDE_DISTINCT_DAYS} report
+    days it covers, count distinct per day. Work is
+    |user-days| × {SLIDE_DISTINCT_DAYS}, independent of raw event
+    volume — events collapse before the fan-out."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    hi = ud.agg(F.max("d").alias("d_hi"))
+    cover = (
+        ud.crossJoin(F.broadcast(hi))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(SLIDE_DISTINCT_DAYS - 1))
+            ).alias("off"),
+            "d",
+            "d_hi",
+        )
+        .select(
+            "user_id", F.date_add(F.col("d"), F.col("off")).alias("rep_day"),
+            "d_hi",
+        )
+        .filter(F.col("rep_day") <= F.col("d_hi"))
+    )
+    return cover.groupBy(
+        F.date_format("rep_day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_distinct("user_id").alias(
+            f"active_{SLIDE_DISTINCT_DAYS}d"
+        )
+    )

@@ -196,6 +196,8 @@ _PRIORITY = (
     "stats_ks_drift",
     "corpus_token_entropy",
     "corpus_bpe_learn",
+    "vector_standardize",
+    "window_sliding_distinct",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

