@@ -491,3 +491,92 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows that stream straight into whatever embedding/statistics
     stage follows — no shuffle introduced here."""
     return image_tiles(with_images(spark, sf_dir))
+
+
+#: the synthetic pixel formula, parameterized by (c, y, x) SQL exprs —
+#: shared by the augmentation oracle's three index remaps.
+def _sql_px(c: str, y: str, x: str) -> str:
+    return f"(entity_id * 11 + ({c}) * 29 + ({y}) * 5 + ({x}) * 3) % 256"
+
+
+@query(
+    "multimodal_image_augment",
+    oracle=f"""
+    -- deterministic augmentation: identity / horizontal flip / 90°
+    -- rotation of each FIMG blob, verified by EXACT integer pixel
+    -- moments (sum, x-moment, y-moment) that distinguish the three
+    -- transforms. The oracle regenerates each variant relationally by
+    -- index remap of the synthetic pixel formula:
+    --   hflip(y, x)  = p(c, y, W-1-x)
+    --   rot90(y', x') = p(c, x', W-1-y')   (numpy rot90, result W×H)
+    WITH ids AS (
+        SELECT p_partkey::BIGINT AS entity_id FROM part WHERE p_partkey <= 50
+    ),
+    px AS (
+        SELECT entity_id, c, x, y FROM ids,
+             unnest(generate_series(0, 2)) AS uc(c),
+             unnest(generate_series(0, 11)) AS ux(x),
+             unnest(generate_series(0, 11)) AS uy(y)
+    ),
+    v AS (
+        SELECT entity_id, 'identity' AS variant, 12 AS out_w, 12 AS out_h,
+               {_sql_px("c", "y", "x")} AS p, x, y FROM px
+        UNION ALL
+        SELECT entity_id, 'hflip', 12, 12,
+               {_sql_px("c", "y", "11 - x")} AS p, x, y FROM px
+        UNION ALL
+        SELECT entity_id, 'rot90', 12, 12,
+               {_sql_px("c", "x", "11 - y")} AS p, x, y FROM px
+    )
+    SELECT entity_id, variant, out_w, out_h,
+           sum(p)::BIGINT AS s,
+           sum(p * x)::BIGINT AS sx,
+           sum(p * y)::BIGINT AS sy
+    FROM v GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set image augmentation over opaque binary blobs:
+    decode → {{identity, hflip, rot90}} → re-encode-able arrays, each
+    variant summarized by exact integer moments (total mass, x/y
+    first moments — quantities the transforms permute distinctively,
+    so a wrong axis or off-by-one flip cannot pass).
+
+    Scale shape: 1→3 fan-out inside ONE Arrow ``mapInPandas`` pass —
+    batch-amortized numpy per partition, no shuffle at all (the
+    output is per-(image, variant) rows); augmentation at 100 TB is
+    embarrassingly parallel and this plan keeps it that way."""
+    imgs = with_images(spark, sf_dir)
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "entity_id": [], "variant": [], "out_w": [], "out_h": [],
+                "s": [], "sx": [], "sy": [],
+            }
+            for _, r in pdf.iterrows():
+                arr = decode_fimg(r["image"])
+                variants = (
+                    ("identity", arr),
+                    ("hflip", arr[:, :, ::-1]),
+                    ("rot90", np.rot90(arr, axes=(1, 2))),
+                )
+                for name, a in variants:
+                    h, w = a.shape[1], a.shape[2]
+                    al = a.astype(np.int64)
+                    xs = np.arange(w, dtype=np.int64)
+                    ys = np.arange(h, dtype=np.int64)
+                    out["entity_id"].append(int(r["entity_id"]))
+                    out["variant"].append(name)
+                    out["out_w"].append(w)
+                    out["out_h"].append(h)
+                    out["s"].append(int(al.sum()))
+                    out["sx"].append(int((al.sum(axis=(0, 1)) * xs).sum()))
+                    out["sy"].append(int((al.sum(axis=(0, 2)) * ys).sum()))
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(
+        augment,
+        "entity_id long, variant string, out_w int, out_h int, "
+        "s long, sx long, sy long",
+    )
