@@ -205,6 +205,19 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the single-row source pinned to 0.0, matching both engines'
     window semantics bit-for-bit."""
     docs = read_table(spark, sf_dir, "documents")
+    return (
+        quality_pct_ranked(docs)
+        .filter(F.col("pct") >= QUALITY_PCT_CUT)
+        .select(
+            "doc_id", "source", "quality", F.round("pct", 6).alias("pct_rank")
+        )
+    )
+
+
+def quality_pct_ranked(docs: DataFrame) -> DataFrame:
+    """Exact per-source percent_rank of the quality composite,
+    decomposed scale-safely (see corpus_quality_filter docstring).
+    Returns (doc_id, source, quality, pct)."""
     t = docs.select(
         "doc_id", "source", "n_chars", tokens_of(F.col("text")).alias("toks")
     )
@@ -226,7 +239,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
     # pass 2: intra-quality row_number (parallel by (source, quality))
     w_tie = Window.partitionBy("source", "quality").orderBy("doc_id")
-    ranked = (
+    return (
         q.withColumn("rn", F.row_number().over(w_tie))
         .join(offsets, ["source", "quality"])
         .join(F.broadcast(totals), "source")
@@ -237,12 +250,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n_source") - 1)
             ),
         )
-    )
-    return (
-        ranked.filter(F.col("pct") >= QUALITY_PCT_CUT)
-        .select(
-            "doc_id", "source", "quality", F.round("pct", 6).alias("pct_rank")
-        )
+        .select("doc_id", "source", "quality", "pct")
     )
 
 
@@ -983,3 +991,134 @@ def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@query(
+    "pipeline_training_prep",
+    oracle=f"""
+    -- the COMPOSED pre-training data-prep pipeline in one DAG:
+    --   quality-filter (per-source percent_rank >= {QUALITY_PCT_CUT})
+    --   -> decontaminate (drop eval docs AND train docs sharing
+    --      >= {CONTAM_MIN_SHARED} shingles with them)
+    --   -> pack survivors into {MAX_SEQ_TOKENS}-token sequences
+    --      (sharded greedy layout).
+    -- Each stage mirrors its standalone oracle; packing offsets are
+    -- recomputed over the SURVIVOR set (new layout, same rule).
+    WITH t0 AS (
+        SELECT doc_id, source, n_chars, {_SQL_TOKS} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+               {_SQL_QUALITY} AS quality
+        FROM t0
+    ),
+    r AS (
+        SELECT doc_id, source, n_tokens, quality,
+               percent_rank() OVER (
+                   PARTITION BY source ORDER BY quality, doc_id) AS pct
+        FROM q
+    ),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t0),
+    bench AS (
+        SELECT DISTINCT unnest(hsh) AS s FROM sh
+        WHERE doc_id % {BENCHMARK_STRIDE} = 0
+    ),
+    contam AS (
+        SELECT t.doc_id
+        FROM (SELECT doc_id, unnest(hsh) AS s FROM sh
+              WHERE doc_id % {BENCHMARK_STRIDE} != 0) t
+        JOIN bench b ON t.s = b.s
+        GROUP BY t.doc_id
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
+    ),
+    surv AS (
+        SELECT doc_id, source, n_tokens, quality, round(pct, 6) AS pct_rank
+        FROM r
+        WHERE pct >= {QUALITY_PCT_CUT}
+          AND doc_id % {BENCHMARK_STRIDE} != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    laid AS (
+        SELECT *, {_SQL_DOC_SHARD} AS shard,
+               (sum(n_tokens) OVER (
+                   PARTITION BY source, {_SQL_DOC_SHARD} ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT
+                   AS start_offset
+        FROM surv
+    )
+    SELECT doc_id, source, quality, pct_rank, shard, n_tokens,
+           start_offset // {MAX_SEQ_TOKENS} AS seq_id,
+           start_offset % {MAX_SEQ_TOKENS} AS offset_in_seq
+    FROM laid
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed use-case: raw corpus → training-ready packed
+    sequences in one lazy DAG — per-source quality percentile filter,
+    benchmark decontamination (eval docs excluded, contaminated train
+    docs dropped), then sharded greedy sequence packing of the
+    survivors. Companion to `pipeline_corpus_dedup` (which composes
+    the dedup side); together they are the reference pipeline a
+    pre-training data team actually ships.
+
+    Scale shape is inherited from the parts, all of which are
+    individually plan-audited: the decomposed percent_rank (no
+    per-source sort), the broadcast shingle join (hits-only), and the
+    (source, shard)-parallel packing cumsum. Because it is ONE
+    DataFrame DAG, Catalyst shares the documents scan across the
+    quality and shingle branches instead of re-reading the corpus per
+    stage."""
+    docs = read_table(spark, sf_dir, "documents")
+    ranked = quality_pct_ranked(docs)
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
+    bench = sh.filter(is_bench).select(F.explode("hsh").alias("s")).distinct()
+    contam = (
+        sh.filter(~is_bench)
+        .select("doc_id", F.explode("hsh").alias("s"))
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+        .select("doc_id")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    surv = (
+        ranked.filter(
+            (F.col("pct") >= QUALITY_PCT_CUT)
+            & (F.col("doc_id") % BENCHMARK_STRIDE != 0)
+        )
+        .join(contam, "doc_id", "left_anti")
+        .join(n_tok, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "quality",
+            F.round("pct", 6).alias("pct_rank"),
+        )
+    )
+    laid = surv.withColumn(
+        "shard",
+        tok_hash60(F.col("doc_id").cast("string")) % N_PACK_SHARDS,
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return laid.select(
+        "doc_id",
+        "source",
+        "quality",
+        "pct_rank",
+        "shard",
+        "n_tokens",
+        F.floor(start / MAX_SEQ_TOKENS).alias("seq_id"),
+        (start % MAX_SEQ_TOKENS).alias("offset_in_seq"),
+    )

@@ -199,6 +199,7 @@ _PRIORITY = (
     "vector_standardize",
     "window_sliding_distinct",
     "multimodal_image_augment",
+    "pipeline_training_prep",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
