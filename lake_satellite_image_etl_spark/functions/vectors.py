@@ -17,7 +17,7 @@ stays inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.io import read_table
@@ -349,4 +349,135 @@ def vector_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("zc") * F.col("zc")), 6).alias("z_norm2"),
         F.round(F.min("zc"), 6).alias("z_min"),
         F.round(F.max("zc"), 6).alias("z_max"),
+    )
+
+
+#: number of top-|correlation| dimension pairs reported.
+COV_TOP_K = 20
+
+
+@query(
+    "stats_covariance_topk",
+    oracle=f"""
+    -- top-{COV_TOP_K} most-correlated embedding dimension pairs — the
+    -- covariance-matrix summary that feeds PCA / redundancy pruning.
+    -- All sufficient statistics are INTEGER sums over quantized
+    -- components; covariance and correlation are fixed-op-order
+    -- rationals, so ranking and rounding agree across engines.
+    WITH q AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings),
+    e AS (
+        SELECT vec_id, unnest(qv) AS c,
+               unnest(generate_series(1, len(qv))) AS pos
+        FROM q
+    ),
+    s1 AS (
+        SELECT pos, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+               sum(c * c)::BIGINT AS s2
+        FROM e GROUP BY pos
+    ),
+    s12 AS (
+        SELECT a.pos AS i, b.pos AS j, sum(a.c * b.c)::BIGINT AS sij,
+               count(*)::BIGINT AS n
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        GROUP BY 1, 2
+    ),
+    cv AS (
+        SELECT s12.i, s12.j,
+               (s12.sij::DOUBLE - sa.s::DOUBLE * sb.s / s12.n) / s12.n
+                   AS cov,
+               ((s12.sij::DOUBLE - sa.s::DOUBLE * sb.s / s12.n) / s12.n)
+               / (sqrt((sa.s2::DOUBLE - sa.s::DOUBLE * sa.s / sa.n) / sa.n)
+                  * sqrt((sb.s2::DOUBLE - sb.s::DOUBLE * sb.s / sb.n)
+                         / sb.n)) AS corr
+        FROM s12
+        JOIN s1 sa ON sa.pos = s12.i
+        JOIN s1 sb ON sb.pos = s12.j
+    )
+    SELECT i, j, round(cov, 6) AS cov, round(corr, 6) AS corr,
+           row_number() OVER (ORDER BY abs(corr) DESC, i, j) AS rank
+    FROM cv
+    ORDER BY abs(corr) DESC, i, j
+    LIMIT {COV_TOP_K}
+    """,
+)
+def stats_covariance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{COV_TOP_K} most-correlated embedding dimension pairs —
+    the covariance summary PCA / feature-redundancy pruning starts
+    from, next to `vector_standardize`.
+
+    Scale shape: the d²/2 pair products come from ONE self-join of the
+    exploded components on vec_id (map-side work n·d²/2, collapsed by
+    partial aggregation to a d²/2-row integer table before the
+    shuffle); per-dim stats are the same DIM-row table
+    vector_standardize builds. The final ranking is TakeOrdered over
+    d²/2 rows — never a global sort of data. n·d² is the inherent
+    cost of an exact covariance matrix; for wide d you sample rows
+    (statistics, not plumbing, bounds the error)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
+    e = q.select("vec_id", F.posexplode("qv").alias("pos0", "c")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "c"
+    )
+    s1 = e.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    a = e.select("vec_id", F.col("pos").alias("i"), F.col("c").alias("ca"))
+    b = e.select("vec_id", F.col("pos").alias("j"), F.col("c").alias("cb"))
+    s12 = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sij"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    sa = s1.select(
+        F.col("pos").alias("i"),
+        F.col("s").alias("s_a"),
+        F.col("s2").alias("s2_a"),
+        F.col("n").alias("n_a"),
+    )
+    sb = s1.select(
+        F.col("pos").alias("j"),
+        F.col("s").alias("s_b"),
+        F.col("s2").alias("s2_b"),
+        F.col("n").alias("n_b"),
+    )
+    cov = (
+        F.col("sij").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_b") / F.col("n")
+    ) / F.col("n")
+    std_a = F.sqrt(
+        (
+            F.col("s2_a").cast("double")
+            - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+        )
+        / F.col("n_a")
+    )
+    std_b = F.sqrt(
+        (
+            F.col("s2_b").cast("double")
+            - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+        )
+        / F.col("n_b")
+    )
+    cv = (
+        s12.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select("i", "j", cov.alias("cov"), (cov / (std_a * std_b)).alias("corr"))
+    )
+    w = Window.orderBy(F.abs(F.col("corr")).desc(), "i", "j")
+    return (
+        cv.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= COV_TOP_K)
+        .select(
+            "i",
+            "j",
+            F.round("cov", 6).alias("cov"),
+            F.round("corr", 6).alias("corr"),
+            "rank",
+        )
     )

@@ -405,3 +405,114 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    -- NEAREST as-of: for each click, the purchase (same user)
+    -- minimizing |Δt|, either direction; ties prefer the backward
+    -- (at-or-before) match, then the smaller purchase id. The oracle
+    -- states it as the per-click argmin; the engine computes it
+    -- without the quadratic candidate join.
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    cand AS (
+        SELECT c.event_id AS click_id, c.user_id,
+               p.event_id AS p_id,
+               abs(epoch_us(c.ts) - epoch_us(p.ts)) AS delta_us,
+               CASE WHEN epoch_us(p.ts) <= epoch_us(c.ts)
+                    THEN 0 ELSE 1 END AS fwd
+        FROM c JOIN p USING (user_id)
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY click_id
+                   ORDER BY delta_us, fwd, p_id) AS rn
+        FROM cand
+    )
+    SELECT click_id, user_id, p_id AS nearest_p_id,
+           delta_us, fwd = 1 AS is_forward
+    FROM r WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT nearest-direction as-of join — `join_asof` finds the latest
+    purchase at-or-BEFORE each click; sensor alignment and feature
+    attribution often want the NEAREST event either way. Composition:
+    the same union-window trick run twice over ONE user-keyed shuffle
+    — a backward pass (last purchase at-or-before, window ordered so
+    the tie-preferred smallest purchase id lands last in frame order)
+    and a forward pass (first purchase at-or-after) — then an O(1)
+    per-row chooser. No per-click candidate join: a naive
+    argmin-over-|Δt| plans |clicks|×|purchases| per user (the oracle
+    states exactly that, quadratically)."""
+    ev = read_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    unioned = clicks.select(
+        "user_id",
+        us.alias("tus"),
+        F.lit(None).cast("long").alias("p_id"),
+        F.col("event_id").alias("click_id"),
+    ).unionByName(
+        purch.select(
+            "user_id",
+            us.alias("tus"),
+            F.col("event_id").alias("p_id"),
+            F.lit(None).cast("long").alias("click_id"),
+        )
+    )
+    is_p = F.col("p_id").isNotNull()
+    # backward: purchases sort BEFORE clicks at equal ts (side 0<1) so
+    # a same-instant purchase is visible; within equal (ts, side) the
+    # DESC p_id order makes the tie-preferred SMALLEST id the last row
+    # in frame order (what last() returns).
+    w_b = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "tus",
+            F.when(is_p, 0).otherwise(1),
+            F.desc_nulls_last("p_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: clicks sort before purchases at equal ts; ASC p_id makes
+    # the smallest id the first() in the following frame.
+    w_f = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "tus",
+            F.when(is_p, 1).otherwise(0),
+            F.asc_nulls_last("p_id"),
+        )
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    p_ts = F.when(is_p, F.col("tus"))
+    marked = (
+        unioned.withColumn("b_id", F.last("p_id", ignorenulls=True).over(w_b))
+        .withColumn("b_ts", F.last(p_ts, ignorenulls=True).over(w_b))
+        .withColumn("f_id", F.first("p_id", ignorenulls=True).over(w_f))
+        .withColumn("f_ts", F.first(p_ts, ignorenulls=True).over(w_f))
+        .filter(F.col("click_id").isNotNull())
+    )
+    b_d = F.col("tus") - F.col("b_ts")
+    f_d = F.col("f_ts") - F.col("tus")
+    pick_fwd = F.col("b_id").isNull() | (
+        F.col("f_id").isNotNull() & (f_d < b_d)
+    )
+    return (
+        marked.filter(F.col("b_id").isNotNull() | F.col("f_id").isNotNull())
+        .select(
+            "click_id",
+            "user_id",
+            F.when(pick_fwd, F.col("f_id")).otherwise(F.col("b_id")).alias(
+                "nearest_p_id"
+            ),
+            F.when(pick_fwd, f_d).otherwise(b_d).alias("delta_us"),
+            pick_fwd.alias("is_forward"),
+        )
+    )

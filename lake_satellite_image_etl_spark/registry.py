@@ -200,6 +200,8 @@ _PRIORITY = (
     "window_sliding_distinct",
     "multimodal_image_augment",
     "pipeline_training_prep",
+    "join_asof_nearest",
+    "stats_covariance_topk",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
