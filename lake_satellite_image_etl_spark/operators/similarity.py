@@ -627,21 +627,6 @@ PQ_SCALE = 256
 PQ_RERANK = 40
 
 
-def _pq_seed_cell_spark(qv, m: int):
-    """Seed cell of subspace ``m``: PQ_BITS sign-LSH bits from the
-    subspace slice of the shared PLANES matrix (m is a compile-time
-    literal, so the weights inline into codegen)."""
-    cell = F.lit(0)
-    for b in range(PQ_BITS):
-        w = PLANES[b][m * PQ_SUB : (m + 1) * PQ_SUB]
-        dot = None
-        for d in range(PQ_SUB):
-            term = qv[m * PQ_SUB + d] * F.lit(w[d])
-            dot = term if dot is None else dot + term
-        cell = cell + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return cell
-
-
 def _pq_seed_cell_sql() -> str:
     """Same seed cell with ``m`` as a SQL column: plane weights inlined
     as literal arrays indexed by m*PQ_SUB+d (1-based)."""
