@@ -761,6 +761,20 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed — this entry is that scan kernel, full-corpus so the
     oracle covers every candidate."""
     emb = read_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_stride: int = QUERY_STRIDE,
+    rerank: int = PQ_RERANK,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Parameterized PQ+ADC kernel behind ``similarity_pq_adc``:
+    ``query_stride`` sizes the query set (the smoke drives a sparse
+    stride at 60x vectors — the registered dense stride would mean
+    thousands of full-corpus compressed scans in one job)."""
+    spark = emb.sparkSession
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
@@ -905,7 +919,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cn2").cast("long").alias("rnorm2")
     )
     # per-query lookup tables, keyed m*PQ_K+cell, broadcast to the scan
-    qside = q.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    qside = q.filter(F.col("vec_id") % query_stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
     )
     # the per-query distance tables as ROWS (query, m, cell, <q_m, c>)
@@ -950,7 +964,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_raw"),
         )
         .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= PQ_RERANK)
+        .filter(F.col("adc_rank") <= rerank)
     )
     # exact re-rank of the PQ_RERANK-deep shortlist — the standard
     # refine stage: only queries x PQ_RERANK full vectors are touched,
@@ -981,7 +995,7 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_exact_raw"),
         )
         .withColumn("rank", F.row_number().over(w_ex))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select(
             "query_id",
             "candidate_id",

@@ -105,7 +105,10 @@ def main() -> None:
         embedding_cosine_lsh_pairs,
         simhash_pairs,
     )
-    from lake_satellite_image_etl_spark.operators.similarity import ivf_topk
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        ivf_topk,
+        pq_adc_topk,
+    )
     from lake_satellite_image_etl_spark.session import get_spark
 
     queries, _ = registry.load_all()
@@ -182,15 +185,26 @@ def main() -> None:
             seed_bits=5,
         )
 
+    # PQ at 120 K vectors drives a SPARSE query stride: the registered
+    # stride-53 set would mean ~2 265 full-corpus compressed scans in
+    # one job — the smoke measures per-query cost, ~20 queries suffice.
+    def _pq_scaled(spark, sf_dir):
+        return pq_adc_topk(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            query_stride=5987,
+        )
+
     scaled_fns = {
         "dedup_simhash": _simhash_scaled,
         "similarity_ivf_probe": _ivf_scaled,
         "dedup_semantic_cells": _semantic_scaled,
+        "similarity_pq_adc": _pq_scaled,
     }
     scaled_geometry = {
         "dedup_simhash": "band_bits=20 (3 bands, 2^20 keys)",
         "similarity_ivf_probe": "seed_bits=5 (320 cells)",
         "dedup_semantic_cells": "seed_bits=5 (320 cells)",
+        "similarity_pq_adc": "query_stride=5987 (~20 queries)",
     }
 
     table: dict[str, dict[str, object]] = {}
@@ -212,11 +226,17 @@ def main() -> None:
                 round(scale_rows / base_rows, 1) if base_rows else float("nan")
             )
         else:
-            # normalize by query-vector count (vec_id % 53): 38 at
-            # sf0.1 (2 000 vecs), 2 265 at scale (120 000)
+            # normalize by query-vector count: stride 53 at sf0.1
+            # (2 000 vecs -> 38), stride 53 or the PQ smoke's sparse
+            # 5987 at scale (120 000 vecs)
+            n_scale_q = (
+                120000 // 5987 + 1
+                if name == "similarity_pq_adc"
+                else 120000 // 53 + 1
+            )
             entry["per_query_ms"] = {
                 "sf0.1": round(base / (2000 // 53 + 1) * 1000, 1),
-                "sfscale": round(scale / (120000 // 53 + 1) * 1000, 1),
+                "sfscale": round(scale / n_scale_q * 1000, 1),
             }
         table[name] = entry
         spark.catalog.clearCache()
