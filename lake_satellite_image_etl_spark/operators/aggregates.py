@@ -860,3 +860,96 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+#: ABC thresholds (percent of cumulative revenue) and the coarse
+#: revenue band width for the scale-safe descending global rank.
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+ABC_BAND = 100_000
+
+
+@query(
+    "agg_abc_pareto",
+    oracle=f"""
+    -- ABC / Pareto classification of parts by revenue: rank by
+    -- revenue DESC, class A = parts inside the first {ABC_A_PCT}% of
+    -- cumulative revenue, B to {ABC_B_PCT}%, C the tail. Revenue and
+    -- cumulative sums are EXACT DECIMALs; class boundaries compare
+    -- cum*100 <= total*PCT in decimal — no floating point in any
+    -- decision, so the classification cannot flip between engines.
+    WITH r AS (
+        SELECT l_partkey,
+               sum((l_extendedprice::DECIMAL(18,6))
+                   * (1 - l_discount::DECIMAL(18,6))) AS rev
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(rev) OVER () AS tot
+        FROM r
+    )
+    SELECT l_partkey,
+           round(rev, 2)::DOUBLE AS revenue,
+           round(cum::DOUBLE / tot::DOUBLE, 6) AS cum_share,
+           CASE WHEN cum * 100 <= tot * {ABC_A_PCT} THEN 'A'
+                WHEN cum * 100 <= tot * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) analysis — the inventory/revenue 80-15-5 split
+    every warehouse ships. The oracle states it as one descending
+    cumulative window; the engine computes the same prefix sums
+    WITHOUT a global single-task sort: coarse {ABC_BAND:,}-wide
+    revenue bands give a bounded per-band total table whose
+    descending cumsum (broadcast) offsets the parallel within-band
+    running sums — the banded-rank decomposition again, carrying
+    DECIMAL sums instead of counts. Class decisions compare exact
+    decimals (cum·100 ≤ tot·pct), so no fp boundary flicker."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    r = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "rev"
+        )
+    )
+    banded = r.withColumn("band", F.floor(F.col("rev") / ABC_BAND))
+    band_tot = banded.groupBy("band").agg(F.sum("rev").alias("brev"))
+    w_off = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = band_tot.select(
+        "band",
+        F.coalesce(F.sum("brev").over(w_off), F.lit(0)).alias("off"),
+        F.sum("brev").over(w_all).alias("tot"),
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = banded.join(F.broadcast(offs), "band").select(
+        "l_partkey",
+        "rev",
+        "tot",
+        (F.col("off") + F.sum("rev").over(w_in)).alias("cum"),
+    )
+    return c.select(
+        "l_partkey",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+        ).alias("cum_share"),
+        F.when(F.col("cum") * 100 <= F.col("tot") * ABC_A_PCT, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * ABC_B_PCT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )

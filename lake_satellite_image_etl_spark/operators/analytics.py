@@ -230,3 +230,109 @@ def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(wn), 6
         ).alias("p_transition"),
     )
+
+
+@query(
+    "analytics_ab_ttest",
+    oracle="""
+    -- Welch's two-sample t-test between every pair of event types on
+    -- `value` — the A/B significance readout. Sufficient statistics
+    -- are DECIMAL-exact sums (like agg_exact_corr), so mean/variance
+    -- are fixed-op-order rationals and the t statistic / Welch df are
+    -- engine-identical doubles.
+    WITH s AS (
+        SELECT event_type,
+               count(*)::BIGINT AS n,
+               sum(value::DECIMAL(18,6)) AS s1,
+               sum((value::DECIMAL(18,6)) * (value::DECIMAL(18,6))) AS s2
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT event_type, n,
+               s1::DOUBLE / n AS mean,
+               (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)
+                   AS var
+        FROM s
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+           round(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1)
+                    + pow(b.var / b.n, 2) / (b.n - 1)), 2) AS welch_df
+    FROM st a JOIN st b ON a.event_type < b.event_type
+    """,
+)
+def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test over every event-type pair — the experiment
+    readout (is `purchase` value really different from `click`
+    value?) computed fully inside the engine. Exactness follows
+    `agg_exact_corr`: DECIMAL sufficient statistics make the sums
+    exact regardless of aggregation order; the t statistic and Welch
+    degrees of freedom are then a fixed chain of IEEE ops.
+
+    Scale shape: ONE pass over events collapses to a |types|-row
+    stats table (map-side partial aggregation); the pair join and
+    test arithmetic run on that tiny table. This is how A/B readouts
+    stay O(scan) at any event volume."""
+    ev = read_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("s1"),
+        F.sum(dv * dv).alias("s2"),
+    )
+    st = s.select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_ra"),
+        F.col("var").alias("var_a"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_rb"),
+        F.col("var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round("mean_ra", 6).alias("mean_a"),
+            F.round("mean_rb", 6).alias("mean_b"),
+            F.round(
+                (F.col("mean_ra") - F.col("mean_rb"))
+                / F.sqrt(se_a + se_b),
+                4,
+            ).alias("t_stat"),
+            F.round(
+                F.pow(se_a + se_b, 2)
+                / (
+                    F.pow(se_a, 2) / (F.col("n_a") - 1)
+                    + F.pow(se_b, 2) / (F.col("n_b") - 1)
+                ),
+                2,
+            ).alias("welch_df"),
+        )
+    )

@@ -1122,3 +1122,90 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / MAX_SEQ_TOKENS).alias("seq_id"),
         (start % MAX_SEQ_TOKENS).alias("offset_in_seq"),
     )
+
+
+#: perplexity terciles, CCNet-style: head = most-fluent third.
+PPL_N_BUCKETS = 3
+PPL_BUCKET_NAMES = ("tail", "middle", "head")
+#: coarse bands for the scale-safe global rank over avg_logp.
+PPL_BAND_SCALE = 100
+
+
+def _ppl_oracle() -> str:
+    from lake_satellite_image_etl_spark.registry import ORACLES
+
+    names = ", ".join(f"'{n}'" for n in PPL_BUCKET_NAMES)
+    return f"""
+    -- CCNet-style perplexity bucketing: score every document with the
+    -- corpus-trained bigram LM (the text_bigram_lm_score oracle,
+    -- nested verbatim), then split into {PPL_N_BUCKETS} equal-depth
+    -- buckets by global rank — head = most fluent (highest mean
+    -- log-prob), tail = least. The standard pre-training triage that
+    -- decides what gets upsampled, kept, or dropped.
+    WITH lm AS (SELECT * FROM ({ORACLES["text_bigram_lm_score"]})),
+    r AS (
+        SELECT doc_id, n_bigrams, avg_logp,
+               row_number() OVER (ORDER BY avg_logp, doc_id) - 1 AS rnk,
+               count(*) OVER () AS n
+        FROM lm
+    )
+    SELECT doc_id, n_bigrams, avg_logp,
+           ([{names}])[(rnk * {PPL_N_BUCKETS}) // n + 1] AS bucket
+    FROM r
+    """
+
+
+@query("corpus_perplexity_buckets", oracle=_ppl_oracle())
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based corpus triage (the CCNet head/middle/tail
+    split): score documents with the corpus-trained bigram LM, then
+    assign equal-depth fluency buckets by global rank. Downstream,
+    head gets kept/upsampled and tail inspected or dropped — the
+    second consumer of `text_bigram_lm_score` (the first is plain
+    threshold filtering).
+
+    Scale shape: the LM scoring plan is inherited (audited
+    separately); the global rank over avg_logp reuses the banded
+    decomposition (coarse value bands → bounded count table →
+    broadcast offsets → parallel intra-band row_number) — no
+    single-task sort of the corpus, same as stats_equidepth_histogram."""
+    from lake_satellite_image_etl_spark.functions.text import (
+        text_bigram_lm_score,
+    )
+
+    lm = text_bigram_lm_score(spark, sf_dir)
+    banded = lm.withColumn(
+        "band", F.floor(F.col("avg_logp") * PPL_BAND_SCALE)
+    )
+    counts = banded.groupBy("band").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "band",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    ranked = banded.join(F.broadcast(offs), "band").select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        "n",
+        (
+            F.row_number().over(
+                Window.partitionBy("band").orderBy("avg_logp", "doc_id")
+            )
+            - 1
+            + F.col("off")
+        ).alias("rnk"),
+    )
+    labels = F.array(*[F.lit(n) for n in PPL_BUCKET_NAMES])
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        F.element_at(
+            labels, (F.expr(f"(rnk * {PPL_N_BUCKETS}) div n") + 1).cast("int")
+        ).alias("bucket"),
+    )

@@ -202,6 +202,9 @@ _PRIORITY = (
     "pipeline_training_prep",
     "join_asof_nearest",
     "stats_covariance_topk",
+    "corpus_perplexity_buckets",
+    "analytics_ab_ttest",
+    "agg_abc_pareto",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
