@@ -925,14 +925,23 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
     )
     u = docs.select("doc_id", url.alias("url"))
-    scheme = F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1))
+    return u.select(
+        "doc_id", "url", canonical_url_expr(F.col("url")).alias("canonical_url")
+    )
+
+
+def canonical_url_expr(urlc: "F.Column") -> "F.Column":
+    """The canonicalization rule as one reusable column expression
+    (case-fold scheme/host, strip :80, drop utm_*, sort params) —
+    shared by text_url_canonicalize and dedup_url_canonical."""
+    scheme = F.lower(F.regexp_extract(urlc, r"^([a-zA-Z]+)://", 1))
     host = F.regexp_replace(
-        F.lower(F.regexp_extract("url", r"^[a-zA-Z]+://([^/?]+)", 1)),
+        F.lower(F.regexp_extract(urlc, r"^[a-zA-Z]+://([^/?]+)", 1)),
         ":80$",
         "",
     )
-    path = F.regexp_extract("url", r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
-    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    path = F.regexp_extract(urlc, r"^[a-zA-Z]+://[^/?]+([^?]*)", 1)
+    query = F.regexp_extract(urlc, r"\?(.*)$", 1)
     params = F.array_join(
         F.array_sort(
             F.filter(
@@ -942,16 +951,12 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "&",
     )
-    return u.select(
-        "doc_id",
-        "url",
-        F.concat(
-            scheme,
-            F.lit("://"),
-            host,
-            path,
-            F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
-        ).alias("canonical_url"),
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params == "", "").otherwise(F.concat(F.lit("?"), params)),
     )
 
 

@@ -336,3 +336,89 @@ def analytics_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("welch_df"),
         )
     )
+
+
+@query(
+    "stats_linear_regression",
+    oracle="""
+    -- per-group OLS: extendedprice ~ quantity within each return
+    -- flag. Values quantized to integer cents (the agg_exact_corr
+    -- recipe) so every sufficient statistic is an exact integer sum;
+    -- slope and R² are scale-invariant, the intercept is de-scaled
+    -- once at the end. The estimator arithmetic is then a fixed IEEE
+    -- chain identical on both engines.
+    WITH q AS (
+        SELECT l_returnflag,
+               round(l_quantity * 100)::BIGINT AS x,
+               round(l_extendedprice * 100)::BIGINT AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2
+        FROM q GROUP BY 1
+    ),
+    st AS (
+        SELECT l_returnflag, n, sx::DOUBLE AS sx, sy::DOUBLE AS sy,
+               sxy::DOUBLE AS sxy, sx2::DOUBLE AS sx2, sy2::DOUBLE AS sy2
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+                 / n / 100, 4) AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r2
+    FROM st
+    """,
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity by return
+    flag): slope, intercept, R² from one aggregation pass — the
+    regression readout next to `agg_exact_corr`, same exactness
+    recipe: integer-cent sufficient statistics are aggregation-order-
+    proof,
+    the closed-form estimators are then a fixed IEEE chain.
+
+    Scale shape: one scan collapsing map-side to |groups| rows of six
+    statistics; the estimator arithmetic is driver-free column math
+    on that tiny table. This is why closed-form stats beat iterative
+    fits at 100 TB whenever the model allows it."""
+    li = read_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    # sums in DECIMAL(38,0): cents-squared sums pass int64 around
+    # ~100 K rows (the agg_exact_corr sizing note) — decimal128 keeps
+    # them exact at any scale factor
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sx2"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("sy2"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sx2 - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / 100, 4).alias("intercept"),
+        F.round(
+            F.pow(cov_n, 2) / (var_n * (n * sy2 - sy * sy)), 6
+        ).alias("r2"),
+    )

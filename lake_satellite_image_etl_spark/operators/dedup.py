@@ -1545,3 +1545,107 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("new_id", "corpus_id", F.round("jac", 6).alias("jaccard"))
     )
+
+
+#: URL-level dedup: pages per canonical URL (fixture synthesizes raw
+#: URLs whose page id is doc_id % URL_PAGE_MOD wrapped in per-doc
+#: case/port/tracking-param noise the canonicalizer must strip).
+URL_PAGE_MOD = 150
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    -- URL-level exact dedup — the FIRST dedup pass of any web corpus
+    -- (cheaper than any content hash: no text read at all). Raw URLs
+    -- differ in scheme case, default port, utm_* noise, and param
+    -- ORDER; only canonicalization makes re-crawls of the same page
+    -- collide. One keeper (min doc_id) per canonical URL.
+    WITH u AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'HTTP://Site.COM:80/p/' || (doc_id % {URL_PAGE_MOD})
+                         || '?y=2&utm_campaign=' || doc_id || '&x=1'
+                    ELSE 'http://site.com/p/' || (doc_id % {URL_PAGE_MOD})
+                         || '?x=1&utm_source=' || doc_id || '&y=2'
+               END AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(url, '^[a-zA-Z]+://([^/?]+)', 1)),
+                   ':80$', '') AS host,
+               regexp_extract(url, '^[a-zA-Z]+://[^/?]+([^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path || '?' ||
+               array_to_string(
+                   list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p NOT LIKE 'utm_%')), '&') AS canonical_url
+        FROM parts
+    )
+    SELECT canonical_url,
+           count(*)::BIGINT AS n_dups,
+           min(doc_id) AS canonical_doc,
+           array_to_string(list_sort(list(doc_id)), ',') AS members
+    FROM canon
+    GROUP BY canonical_url
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup — the cheapest dedup pass in the web
+    pipeline, run BEFORE any content hashing: canonicalize the crawl
+    URL (`canonical_url_expr` — case-fold, strip :80, drop utm_*,
+    sort params) and collapse re-crawls of the same page to one
+    keeper. The fixture wraps page ids in exactly the noise
+    canonicalization exists to remove, so the groups are non-vacuous
+    only if every rule fires.
+
+    Scale shape: a narrow regex/HOF projection then ONE groupBy on
+    the canonical key — identical shuffle shape to dedup_exact_hash
+    but with zero bytes of document text read (column pruning keeps
+    the scan to doc_id)."""
+    from lake_satellite_image_etl_spark.functions.text import (
+        canonical_url_expr,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % URL_PAGE_MOD).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("HTTP://Site.COM:80/p/"), page,
+            F.lit("?y=2&utm_campaign="), did, F.lit("&x=1"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://site.com/p/"), page,
+            F.lit("?x=1&utm_source="), did, F.lit("&y=2"),
+        )
+    )
+    canon = docs.select(
+        "doc_id", canonical_url_expr(url).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )

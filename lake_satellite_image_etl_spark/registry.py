@@ -205,6 +205,8 @@ _PRIORITY = (
     "corpus_perplexity_buckets",
     "analytics_ab_ttest",
     "agg_abc_pareto",
+    "dedup_url_canonical",
+    "stats_linear_regression",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
