@@ -320,3 +320,104 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clips = ids.mapInPandas(gen, schema="entity_id long, audio binary")
     return audio_vad_segments(clips)
+
+
+#: augmentation gain — sized so the bounded ±1000 synthetic waveform
+#: SATURATES int16 (±32767) and the clipping path is exercised.
+AUG_GAIN = 40
+
+
+@query(
+    "multimodal_audio_augment",
+    oracle=f"""
+    -- deterministic audio augmentation: identity / time-reverse /
+    -- 2x-downsample / gain×{AUG_GAIN}-with-int16-clip over each FWAV
+    -- clip, verified by exact integer moments (sum, time-weighted
+    -- sum, energy) that distinguish the four transforms — reversal
+    -- flips the time moment, downsampling halves the support, the
+    -- gain saturates so energy is NOT just {AUG_GAIN}² × identity.
+    WITH ids AS (
+        SELECT s_suppkey::BIGINT AS entity_id FROM supplier
+        WHERE s_suppkey <= 40
+    ),
+    base AS (
+        SELECT entity_id, t, {_sql_wave("t")} AS x
+        FROM ids, unnest(generate_series(0, 2047)) AS ut(t)
+    ),
+    v AS (
+        SELECT entity_id, 'identity' AS variant, t, x AS v FROM base
+        UNION ALL
+        SELECT entity_id, 'reverse', 2047 - t AS t, x FROM base
+        UNION ALL
+        SELECT entity_id, 'downsample2', t // 2 AS t, x FROM base
+        WHERE t % 2 = 0
+        UNION ALL
+        SELECT entity_id, 'gain_clip', t,
+               greatest(least(x * {AUG_GAIN}, 32767), -32768) AS v
+        FROM base
+    )
+    SELECT entity_id, variant,
+           count(*)::BIGINT AS n_samples,
+           sum(v)::BIGINT AS s,
+           sum(v * t)::BIGINT AS st,
+           sum(v * v)::BIGINT AS e2
+    FROM v GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set audio augmentation over opaque FWAV blobs —
+    decode → {{identity, time-reverse, 2× downsample, clipped gain}}
+    in ONE Arrow ``mapInPandas`` pass, each variant summarized by
+    exact integer moments so a wrong stride, an un-flipped time axis,
+    or missing saturation cannot pass the oracle. The audio twin of
+    `multimodal_image_augment`.
+
+    Scale shape: 1→4 fan-out inside the partition, batch-amortized
+    numpy, no shuffle before the tiny per-(clip, variant) output."""
+    ids = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").cast("long").alias("entity_id"))
+        .filter(F.col("entity_id") <= 40)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"].astype("int64"),
+                    "audio": [synth_fwav(int(e)) for e in pdf["entity_id"]],
+                }
+            )
+
+    clips = ids.mapInPandas(gen, schema="entity_id long, audio binary")
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "entity_id": [], "variant": [], "n_samples": [],
+                "s": [], "st": [], "e2": [],
+            }
+            for _, r in pdf.iterrows():
+                wave, _sr = decode_fwav(r["audio"])
+                x = wave.astype(np.int64)
+                variants = (
+                    ("identity", x),
+                    ("reverse", x[::-1]),
+                    ("downsample2", x[::2]),
+                    ("gain_clip", np.clip(x * AUG_GAIN, -32768, 32767)),
+                )
+                for name, v in variants:
+                    t = np.arange(v.shape[0], dtype=np.int64)
+                    out["entity_id"].append(int(r["entity_id"]))
+                    out["variant"].append(name)
+                    out["n_samples"].append(int(v.shape[0]))
+                    out["s"].append(int(v.sum()))
+                    out["st"].append(int((v * t).sum()))
+                    out["e2"].append(int((v * v).sum()))
+            yield pd.DataFrame(out)
+
+    return clips.mapInPandas(
+        augment,
+        "entity_id long, variant string, n_samples long, "
+        "s long, st long, e2 long",
+    )

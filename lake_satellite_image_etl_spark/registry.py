@@ -207,6 +207,7 @@ _PRIORITY = (
     "agg_abc_pareto",
     "dedup_url_canonical",
     "stats_linear_regression",
+    "multimodal_audio_augment",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
