@@ -65,6 +65,15 @@ ALLOWED_BNLJ = {
     #   anchor (incremental.py:417)
     "dq_check_rules",
     "snapshot_diff",
+    # - window_sliding_distinct: crossJoin vs the 1-row broadcast
+    #   max-report-day anchor
+    # - corpus_perplexity_buckets: inherits text_bigram_lm_score's
+    #   1-row vocabulary-size anchor
+    # - analytics_ab_ttest: inequality self-join of the |event-types|-
+    #   row broadcast stats table (constant-size at any event volume)
+    "window_sliding_distinct",
+    "corpus_perplexity_buckets",
+    "analytics_ab_ttest",
 }
 
 
