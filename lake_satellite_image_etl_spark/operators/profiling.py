@@ -316,3 +316,144 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).cast("double") / (F.max("n_a") * F.max("n_b")), 6
         ).alias("ks_d"),
     )
+
+
+#: robust z-score geometry: |0.6745·(x − med)/MAD| > MAD_Z flags an
+#: outlier; folded into one literal bound factor so both engines run
+#: the identical op chain (MAD_Z / 0.6745 pre-rounded).
+MAD_Z_BOUND = 5.189
+#: coarse value bands for the scale-safe exact per-type median ranks.
+MAD_BAND = 10.0
+
+
+@query(
+    "stats_robust_anomaly",
+    oracle=f"""
+    -- robust anomaly detection per event type: exact MEDIAN (avg of
+    -- the middle one/two order statistics — no engine-specific
+    -- quantile interpolation), MAD (median absolute deviation, same
+    -- construction over |x − med|), and the count of robust-z
+    -- outliers (|x − med| > {MAD_Z_BOUND} * MAD). The
+    -- median-of-medians chain is all rank arithmetic + one two-term
+    -- average, so both engines agree bit-for-bit.
+    WITH r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) - 1 AS rnk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n, avg(value) AS med
+        FROM r WHERE rnk IN ((n - 1) // 2, n // 2)
+        GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, abs(e.value - m.med) AS adev, e.event_id,
+               m.med, m.n
+        FROM events e JOIN med m USING (event_type)
+    ),
+    r2 AS (
+        SELECT event_type, adev, med, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY adev, event_id) - 1 AS rnk
+        FROM d
+    ),
+    mad AS (
+        SELECT event_type, max(n) AS n, max(med) AS med,
+               avg(adev) AS mad
+        FROM r2 WHERE rnk IN ((n - 1) // 2, n // 2)
+        GROUP BY event_type
+    )
+    SELECT d.event_type, max(mad.n) AS n,
+           round(max(mad.med), 6) AS median,
+           round(max(mad.mad), 6) AS mad,
+           sum(CASE WHEN d.adev > {MAD_Z_BOUND} * mad.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def stats_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection (median/MAD, the outlier monitor that
+    doesn't blow up on its own outliers like mean/std does): per event
+    type, the exact median, the median absolute deviation, and the
+    robust-z outlier count at |x − med| > {MAD_Z_BOUND}·MAD.
+
+    Scale shape: the oracle's per-type rank windows sort a whole type
+    in one task; the engine computes the SAME order statistics with
+    the banded decomposition — coarse {MAD_BAND}-wide value bands give
+    a bounded (type, band) count table, its per-type cumulative
+    offsets broadcast back, row_number runs within (type, band) in
+    parallel — run twice (values, then deviations). Medians come from
+    selecting the two middle ranks, never from sorting a partition."""
+    from pyspark.sql import Window as _W
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def banded_middle(df, valcol: str, keep_cols: list[str]):
+        """avg of the middle one/two order statistics of `valcol` per
+        event_type, via the banded global-rank decomposition."""
+        banded = df.withColumn(
+            "band", F.floor(F.col(valcol) / MAD_BAND)
+        )
+        counts = banded.groupBy("event_type", "band").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w_off = (
+            _W.partitionBy("event_type")
+            .orderBy("band")
+            .rowsBetween(_W.unboundedPreceding, -1)
+        )
+        w_all = _W.partitionBy("event_type").rowsBetween(
+            _W.unboundedPreceding, _W.unboundedFollowing
+        )
+        offs = counts.select(
+            "event_type",
+            "band",
+            F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        w_tie = _W.partitionBy("event_type", "band").orderBy(
+            valcol, "event_id"
+        )
+        ranked = banded.join(F.broadcast(offs), ["event_type", "band"]).select(
+            "event_type",
+            valcol,
+            "n",
+            *keep_cols,
+            (F.row_number().over(w_tie) - 1 + F.col("off")).alias("rnk"),
+        )
+        mid = ranked.filter(
+            (F.col("rnk") == F.expr("(n - 1) div 2"))
+            | (F.col("rnk") == F.expr("n div 2"))
+        )
+        return mid.groupBy("event_type").agg(
+            F.max("n").alias("n"), F.avg(valcol).alias("mid")
+        )
+
+    med = banded_middle(ev.select("event_type", "event_id", "value"), "value", [])
+    d = (
+        ev.select("event_type", "event_id", "value")
+        .join(F.broadcast(med.select("event_type", F.col("mid").alias("med"))), "event_type")
+        .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = banded_middle(
+        d.select("event_type", "event_id", "adev"), "adev", []
+    ).select("event_type", "n", F.col("mid").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("med"), 6).alias("median"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > MAD_Z_BOUND * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
