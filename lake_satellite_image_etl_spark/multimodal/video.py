@@ -326,3 +326,87 @@ def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque binary column, vectorized Arrow kernel, no shuffle, full
     oracle; real codecs stay import-gated (decode_standard_video)."""
     return video_shot_segments(with_videos(spark, sf_dir))
+
+
+@query(
+    "multimodal_video_augment",
+    oracle=f"""
+    -- deterministic video augmentation: identity / temporal reverse /
+    -- frame-stride-2 subsample / per-frame horizontal flip, verified
+    -- by exact integer moments over (frame, x) — the time moment
+    -- flips under reversal, the x moment under the mirror, the
+    -- support halves under striding.
+    WITH ids AS (
+        SELECT s_suppkey::BIGINT AS entity_id FROM supplier
+        WHERE s_suppkey <= 30
+    ),
+    px AS (
+        SELECT entity_id, f, y, x,
+               (entity_id * 31 + f * 17 + y * 5 + x * 3) % {PIX_MOD} AS p
+        FROM ids,
+             unnest(generate_series(0, {N_FRAMES - 1})) AS uf(f),
+             unnest(generate_series(0, {HEIGHT - 1})) AS uy(y),
+             unnest(generate_series(0, {WIDTH - 1})) AS ux(x)
+    ),
+    v AS (
+        SELECT entity_id, 'identity' AS variant, f, x, p FROM px
+        UNION ALL
+        SELECT entity_id, 'time_reverse', {N_FRAMES - 1} - f AS f, x, p
+        FROM px
+        UNION ALL
+        SELECT entity_id, 'stride2', f // 2 AS f, x, p FROM px
+        WHERE f % 2 = 0
+        UNION ALL
+        SELECT entity_id, 'hflip', f, {WIDTH - 1} - x AS x, p FROM px
+    )
+    SELECT entity_id, variant,
+           count(*)::BIGINT AS n_px,
+           sum(p)::BIGINT AS s,
+           sum(p * f)::BIGINT AS sf,
+           sum(p * x)::BIGINT AS sx
+    FROM v GROUP BY 1, 2
+    """,
+)
+def multimodal_video_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video augmentation over opaque FVID blobs — the temporal
+    member of the augmentation trio (images: spatial transforms,
+    audio: signal transforms, video: BOTH axes): identity, temporal
+    reverse, frame-stride-2 subsample, per-frame horizontal mirror,
+    all in one Arrow ``mapInPandas`` pass with exact integer
+    time/space moments pinning each transform's axis.
+
+    Scale shape: 1→4 fan-out inside the partition, no shuffle before
+    the per-(clip, variant) summary rows."""
+    vids = with_videos(spark, sf_dir)
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "entity_id": [], "variant": [], "n_px": [],
+                "s": [], "sf": [], "sx": [],
+            }
+            for _, r in pdf.iterrows():
+                frames, _fps = decode_fvid(r["video"])
+                a = frames.astype(np.int64)
+                variants = (
+                    ("identity", a),
+                    ("time_reverse", a[::-1]),
+                    ("stride2", a[::2]),
+                    ("hflip", a[:, :, ::-1]),
+                )
+                for name, v in variants:
+                    nf = v.shape[0]
+                    fs = np.arange(nf, dtype=np.int64)
+                    xs = np.arange(v.shape[2], dtype=np.int64)
+                    out["entity_id"].append(int(r["entity_id"]))
+                    out["variant"].append(name)
+                    out["n_px"].append(int(v.size))
+                    out["s"].append(int(v.sum()))
+                    out["sf"].append(int((v.sum(axis=(1, 2)) * fs).sum()))
+                    out["sx"].append(int((v.sum(axis=(0, 1)) * xs).sum()))
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(
+        augment,
+        "entity_id long, variant string, n_px long, s long, sf long, sx long",
+    )

@@ -209,6 +209,7 @@ _PRIORITY = (
     "stats_linear_regression",
     "multimodal_audio_augment",
     "stats_robust_anomaly",
+    "multimodal_video_augment",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
