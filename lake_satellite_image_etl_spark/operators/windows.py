@@ -424,3 +424,80 @@ def window_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"active_{SLIDE_DISTINCT_DAYS}d"
         )
     )
+
+
+@query(
+    "window_ohlc_bars",
+    oracle="""
+    -- hourly OHLC bars per event type — the time-bar compaction every
+    -- time-series store ships (open/close = value at the min/max
+    -- (ts, event_id) in the bucket, ties broken by event_id, so the
+    -- bar is deterministic even with colliding timestamps).
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar,
+               epoch_us(ts) AS tus, event_id, value
+        FROM events
+    ),
+    o AS (
+        SELECT event_type, bar, value AS open FROM b
+        QUALIFY row_number() OVER (PARTITION BY event_type, bar
+                                   ORDER BY tus, event_id) = 1
+    ),
+    c AS (
+        SELECT event_type, bar, value AS close FROM b
+        QUALIFY row_number() OVER (PARTITION BY event_type, bar
+                                   ORDER BY tus DESC, event_id DESC) = 1
+    ),
+    agg AS (
+        SELECT event_type, bar,
+               count(*)::BIGINT AS n,
+               min(value) AS low, max(value) AS high,
+               round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS volume
+        FROM b GROUP BY 1, 2
+    )
+    SELECT agg.event_type, strftime(agg.bar, '%Y-%m-%d %H:00') AS bar,
+           n, open, high, low, close, volume
+    FROM agg JOIN o USING (event_type, bar) JOIN c USING (event_type, bar)
+    """,
+)
+def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open-high-low-close) bars per event type — the
+    standard time-series downsampling for dashboards and backtests.
+    Open/close are the values at the earliest/latest (ts, event_id)
+    in the bucket — min_by/max_by over an ordering STRUCT, which
+    partial-aggregates map-side, instead of a row_number window that
+    would sort every bucket. Volume sums in DECIMAL so bar totals are
+    aggregation-order-exact.
+
+    Scale shape: ONE groupBy on (type, hour) with full map-side
+    combine — no window, no sort; exactly how a 100 TB tick stream
+    compacts to bars."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+        "value",
+    )
+    okey = F.struct("tus", "event_id")
+    agg = b.groupBy("event_type", "bar").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("volume"),
+        F.expr("min_by(value, struct(tus, event_id))").alias("open"),
+        F.expr("max_by(value, struct(tus, event_id))").alias("close"),
+    )
+    return agg.select(
+        "event_type",
+        F.date_format("bar", "yyyy-MM-dd HH:00").alias("bar"),
+        "n",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
