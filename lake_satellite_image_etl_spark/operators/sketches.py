@@ -242,3 +242,183 @@ def sketch_distinct_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("estimate"),
     )
+
+
+@query(
+    "sketch_loglog_set_ops",
+    oracle=f"""
+    -- SET OPERATIONS on sketches: for every event-type pair, estimate
+    -- |A ∪ B| by MERGING the two LogLog register sets (max per
+    -- register — the sketch monoid), and |A ∩ B| by inclusion-
+    -- exclusion — all without revisiting the raw stream. Registers
+    -- are the same deterministic construction as
+    -- sketch_distinct_loglog, so every engine reproduces identical
+    -- estimates; exact counts ride along to exhibit the error.
+    WITH h AS (
+        SELECT DISTINCT event_type, user_id,
+               ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                   AS hv
+        FROM events
+    ),
+    rho AS (
+        SELECT event_type, user_id, hv % {LL_M} AS j,
+               CASE WHEN hv >= {LL_M}
+                    THEN least(bit_count(
+                             ((hv // {LL_M}) & -(hv // {LL_M})) - 1) + 1,
+                         {LL_RMAX})
+                    ELSE 0 END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, j, max(rho) AS r FROM rho GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM events) a
+        JOIN (SELECT DISTINCT event_type FROM events) b
+          ON a.event_type < b.event_type
+    ),
+    grid AS (
+        SELECT p.type_a, p.type_b, g.j,
+               coalesce(ra.r, 0) AS r_a, coalesce(rb.r, 0) AS r_b
+        FROM pairs p
+        CROSS JOIN range({LL_M}) g(j)
+        LEFT JOIN regs ra ON ra.event_type = p.type_a AND ra.j = g.j
+        LEFT JOIN regs rb ON rb.event_type = p.type_b AND rb.j = g.j
+    ),
+    sums AS (
+        SELECT type_a, type_b,
+               sum((1::BIGINT << ({LL_RMAX} - r_a)))::BIGINT AS s_a,
+               sum((1::BIGINT << ({LL_RMAX} - r_b)))::BIGINT AS s_b,
+               sum((1::BIGINT << ({LL_RMAX} - greatest(r_a, r_b))))::BIGINT
+                   AS s_u
+        FROM grid GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT p.type_a, p.type_b,
+               count(DISTINCT i.user_id) AS x
+        FROM pairs p
+        LEFT JOIN (
+            SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
+            FROM (SELECT DISTINCT event_type, user_id FROM events) a
+            JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+              USING (user_id)
+        ) i ON i.ta = p.type_a AND i.tb = p.type_b
+        GROUP BY 1, 2
+    )
+    SELECT s.type_a, s.type_b,
+           round({LL_ALPHA} * {LL_M * LL_M} * {1 << LL_RMAX}
+                 / s.s_u, 4) AS est_union,
+           round({LL_ALPHA} * {LL_M * LL_M} * {1 << LL_RMAX} / s.s_a
+                 + {LL_ALPHA} * {LL_M * LL_M} * {1 << LL_RMAX} / s.s_b
+                 - {LL_ALPHA} * {LL_M * LL_M} * {1 << LL_RMAX} / s.s_u,
+                 4) AS est_intersect,
+           e.x AS exact_intersect
+    FROM sums s JOIN exact e USING (type_a, type_b)
+    """,
+)
+def sketch_loglog_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra ON SKETCHES — the reason mergeable sketches matter:
+    per event-type pair, |A ∪ B| from the register-wise max of two
+    LogLog sketches and |A ∩ B| by inclusion-exclusion, touching only
+    |types| × {LL_M} register rows. The raw stream is read once to
+    BUILD the registers; every pairwise question after that is
+    constant-time sketch algebra (this is how overlap matrices across
+    thousands of segments stay feasible at 100 TB).
+
+    Same deterministic construction as `sketch_distinct_loglog`, so
+    the estimates are engine-exact; the exact intersection rides
+    along to exhibit the (inclusion-exclusion-amplified) error."""
+    ev = read_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", "user_id", hv.alias("hv")).distinct()
+    w = F.expr(f"hv div {LL_M}")
+    rho = (
+        F.when(
+            F.col("hv") >= LL_M,
+            F.least(F.bit_count((w.bitwiseAND(-w)) - 1) + 1, F.lit(LL_RMAX)),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    regs = (
+        h.select("event_type", (F.col("hv") % LL_M).alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    grid = (
+        pairs.crossJoin(
+            F.broadcast(spark.range(LL_M).select(F.col("id").alias("j")))
+        )
+        .join(
+            F.broadcast(
+                regs.select(
+                    F.col("event_type").alias("type_a"), "j",
+                    F.col("r").alias("r_a"),
+                )
+            ),
+            ["type_a", "j"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                regs.select(
+                    F.col("event_type").alias("type_b"), "j",
+                    F.col("r").alias("r_b"),
+                )
+            ),
+            ["type_b", "j"],
+            "left",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("r_a", F.lit(0)).alias("r_a"),
+            F.coalesce("r_b", F.lit(0)).alias("r_b"),
+        )
+    )
+    pw = lambda c: F.expr(f"shiftleft(cast(1 as bigint), {LL_RMAX} - {c})")  # noqa: E731
+    sums = grid.groupBy("type_a", "type_b").agg(
+        F.sum(pw("r_a")).cast("long").alias("s_a"),
+        F.sum(pw("r_b")).cast("long").alias("s_b"),
+        F.sum(pw("greatest(r_a, r_b)")).cast("long").alias("s_u"),
+    )
+    ut = h.select("event_type", "user_id").distinct()
+    inter = (
+        ut.select(F.col("event_type").alias("ta"), "user_id")
+        .join(
+            ut.select(F.col("event_type").alias("tb"), "user_id"),
+            "user_id",
+        )
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    exact = (
+        pairs.join(
+            inter,
+            (F.col("ta") == F.col("type_a")) & (F.col("tb") == F.col("type_b")),
+            "left",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").alias("exact_intersect"))
+    )
+    c = LL_ALPHA * LL_M * LL_M
+    est = lambda s: F.lit(c) * (1 << LL_RMAX) / F.col(s)  # noqa: E731
+    return sums.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.round(est("s_u"), 4).alias("est_union"),
+        F.round(est("s_a") + est("s_b") - est("s_u"), 4).alias(
+            "est_intersect"
+        ),
+        "exact_intersect",
+    )

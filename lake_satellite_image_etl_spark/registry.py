@@ -211,6 +211,7 @@ _PRIORITY = (
     "stats_robust_anomaly",
     "multimodal_video_augment",
     "window_ohlc_bars",
+    "sketch_loglog_set_ops",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
