@@ -74,6 +74,10 @@ ALLOWED_BNLJ = {
     "window_sliding_distinct",
     "corpus_perplexity_buckets",
     "analytics_ab_ttest",
+    # - sketch_loglog_set_ops: inequality self-join of the |types|-row
+    #   broadcast type list (pair generation) + the m-row register
+    #   grid densifier — both constant-size at any event volume
+    "sketch_loglog_set_ops",
 }
 
 
