@@ -8,7 +8,7 @@ on the user key, fully oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.io import read_table
@@ -421,4 +421,106 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.pow(cov_n, 2) / (var_n * (n * sy2 - sy * sy)), 6
         ).alias("r2"),
+    )
+
+
+#: Markov steady-state geometry: scaled-integer mass (bit-exact
+#: supersteps, same rule as graph_pagerank) and the iteration count.
+MKV_SCALE = 10**12
+MKV_ITERS = 8
+
+
+def _mkv_oracle() -> str:
+    rounds = []
+    for k in range(MKV_ITERS):
+        rounds.append(
+            f"""r{k + 1} AS (
+        SELECT e.dst AS node, sum((r{k}.r * e.c) // o.co)::BIGINT AS r
+        FROM r{k} JOIN e ON e.src = r{k}.node JOIN o USING (src)
+        GROUP BY 1
+    )"""
+        )
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    -- steady-state distribution of the per-user event-type Markov
+    -- chain: {MKV_ITERS} power-iteration supersteps over the
+    -- row-normalized transition counts, in SCALED INTEGERS (floor
+    -- division, the graph_pagerank rule) so every superstep is
+    -- bit-exact across engines. Start uniform; the truncated mass
+    -- per round is deterministic and identical on both sides.
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    e AS (
+        SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    o AS (SELECT src, sum(c)::BIGINT AS co FROM e GROUP BY 1),
+    t AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (
+        SELECT node,
+               ({MKV_SCALE} // (SELECT count(*) FROM t))::BIGINT AS r
+        FROM t
+    ),
+    {rounds_sql}
+    SELECT node AS event_type, r AS pi_scaled,
+           round(r::DOUBLE / {MKV_SCALE}, 6) AS pi
+    FROM r{MKV_ITERS}
+    """
+
+
+@query("analytics_markov_steady_state", oracle=_mkv_oracle())
+def analytics_markov_steady_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Steady-state distribution of the user-behavior Markov chain —
+    where the event stream settles in the long run (the
+    `analytics_event_transitions` matrix taken to its fixed point by
+    {MKV_ITERS} power-iteration rounds). Mass is a SCALED INTEGER and
+    every superstep uses floor division, so the iteration is bit-exact
+    across engines — the graph_pagerank exactness rule applied to a
+    row-stochastic chain.
+
+    Plan: the transition table is built once ({MKV_ITERS} joins never
+    re-read events) and each superstep is one |types|-keyed join +
+    aggregate over |edges| ≤ |types|² rows with a per-round
+    localCheckpoint — iterative linear algebra at constant per-round
+    cost once the chain is aggregated."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    e = (
+        seq.groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    o = e.groupBy("src").agg(F.sum("c").cast("long").alias("co"))
+    eo = e.join(o, "src").localCheckpoint(eager=True)
+    t = ev.select(F.col("event_type").alias("node")).distinct()
+    n_types = t.count()
+    ranks = t.select(
+        "node", F.lit(MKV_SCALE // n_types).cast("long").alias("r")
+    )
+    for _ in range(MKV_ITERS):
+        ranks = (
+            ranks.join(eo, ranks["node"] == eo["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * c) div co").alias("m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("m").cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("event_type"),
+        F.col("r").alias("pi_scaled"),
+        F.round(F.col("r").cast("double") / MKV_SCALE, 6).alias("pi"),
     )
