@@ -457,3 +457,52 @@ def stats_robust_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "profile_dedup_summary",
+    oracle="""
+    -- per-source duplication report — the dashboard number a corpus
+    -- team watches per ingest: how many docs, how many distinct
+    -- contents (md5), the duplicate rate, and the largest duplicate
+    -- cluster per source.
+    WITH h AS (
+        SELECT source, md5(text) AS ch FROM documents
+    ),
+    g AS (
+        SELECT source, ch, count(*)::BIGINT AS n FROM h GROUP BY 1, 2
+    )
+    SELECT source,
+           sum(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_distinct,
+           (sum(n) - count(*))::BIGINT AS n_dup_docs,
+           round((sum(n) - count(*))::DOUBLE / sum(n), 6) AS dup_rate,
+           max(n)::BIGINT AS max_cluster
+    FROM g GROUP BY source
+    """,
+)
+def profile_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the summary view over
+    `dedup_exact_hash`'s groups that an ingest dashboard actually
+    shows: document count, distinct contents, duplicate rate, and the
+    largest duplicate cluster, per source.
+
+    Scale shape: one groupBy on (source, content-hash) — the shuffle
+    carries (hash, count) pairs, never text — then a |sources|-row
+    rollup. Same plan skeleton as dedup_exact_hash with the reporting
+    aggregation on top."""
+    docs = read_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.md5("text").alias("ch"))
+        .groupBy("source", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
+        ).alias("dup_rate"),
+        F.max("n").cast("long").alias("max_cluster"),
+    )

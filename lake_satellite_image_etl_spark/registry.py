@@ -213,6 +213,7 @@ _PRIORITY = (
     "window_ohlc_bars",
     "sketch_loglog_set_ops",
     "analytics_markov_steady_state",
+    "profile_dedup_summary",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
