@@ -953,3 +953,63 @@ def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@query(
+    "agg_monthly_growth",
+    oracle="""
+    -- monthly revenue report: per-month DECIMAL-exact totals, running
+    -- cumulative, and month-over-month growth — the standard finance
+    -- rollup. Window functions run over the POST-AGGREGATION month
+    -- table (bounded by the calendar), never over raw orders.
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               sum(o_totalprice::DECIMAL(18,6)) AS rev,
+               count(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders,
+           round(rev, 2)::DOUBLE AS revenue,
+           round(sum(rev) OVER (ORDER BY month
+                                ROWS UNBOUNDED PRECEDING), 2)::DOUBLE
+               AS cum_revenue,
+           round((rev::DOUBLE - lag(rev::DOUBLE) OVER (ORDER BY month))
+                 / lag(rev::DOUBLE) OVER (ORDER BY month), 6)
+               AS mom_growth
+    FROM m
+    """,
+)
+def agg_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue rollup with running total and month-over-month
+    growth — the report every finance dashboard opens with. DECIMAL
+    sums make the monthly totals aggregation-order-exact; cumulative
+    and lag windows run over the month table (bounded by the
+    calendar — dozens of rows at ANY order volume), so the
+    single-partition window is a non-issue by construction.
+
+    Scale shape: one groupBy collapsing orders to months map-side;
+    everything after is constant-size."""
+    o = read_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w_cum = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("month")
+    prev = F.lag(F.col("rev").cast("double")).over(w_lag)
+    return m.select(
+        "month",
+        "n_orders",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("rev").over(w_cum), 2).cast("double").alias(
+            "cum_revenue"
+        ),
+        F.round(
+            (F.col("rev").cast("double") - prev) / prev, 6
+        ).alias("mom_growth"),
+    )

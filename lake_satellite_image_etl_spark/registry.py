@@ -214,6 +214,7 @@ _PRIORITY = (
     "sketch_loglog_set_ops",
     "analytics_markov_steady_state",
     "profile_dedup_summary",
+    "agg_monthly_growth",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
