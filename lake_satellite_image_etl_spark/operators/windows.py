@@ -501,3 +501,62 @@ def window_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "volume",
     )
+
+
+@query(
+    "window_activity_streaks",
+    oracle="""
+    -- longest consecutive-day activity streak per user — the classic
+    -- gaps-and-islands readout (retention teams live on this).
+    -- Island id = day - row_number(): constant within a consecutive
+    -- run, integer-exact.
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY d) AS INT) AS grp
+        FROM ud
+    ),
+    runs AS (
+        SELECT user_id, grp, count(*)::BIGINT AS len,
+               min(d) AS run_start
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           max(len) AS longest_streak,
+           count(*)::BIGINT AS n_streaks,
+           strftime(min(run_start), '%Y-%m-%d') AS first_active_day
+    FROM runs GROUP BY user_id
+    """,
+)
+def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day streak per user (plus streak count and
+    first active day) — the gaps-and-islands pattern: within a user's
+    sorted distinct days, ``day − row_number()`` is constant exactly
+    across a consecutive run, so runs fall out of one groupBy. Same
+    trick `multimodal_audio_vad`'s segmenter uses on frames, here on
+    the calendar.
+
+    Scale shape: events collapse to distinct (user, day) rows first
+    (the big map-side-combined shuffle); the island window partitions
+    by user — bounded per-partition work, fully parallel across
+    users."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = ud.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("run_start"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.date_format(F.min("run_start"), "yyyy-MM-dd").alias(
+            "first_active_day"
+        ),
+    )
