@@ -372,3 +372,57 @@ def scalar_nested_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_points",
         )
     )
+
+
+@query(
+    "scalar_stable_ids",
+    oracle="""
+    -- deterministic surrogate-key minting for a dimension load: a
+    -- UUID-formatted stable id from the namespaced md5 of the natural
+    -- key, a 16-bucket partition assignment from the hash tail, and
+    -- an IBAN-style mod-97 check digit — all pure hash/string ops any
+    -- engine reproduces, so re-runs and backfills mint IDENTICAL keys
+    -- (the property sequence-based surrogate keys lack).
+    WITH h AS (
+        SELECT c_custkey, c_name,
+               md5('customer:' || c_custkey::VARCHAR) AS hx
+        FROM customer
+    )
+    SELECT c_custkey, c_name,
+           substring(hx, 1, 8) || '-' || substring(hx, 9, 4) || '-'
+             || substring(hx, 13, 4) || '-' || substring(hx, 17, 4)
+             || '-' || substring(hx, 21, 12) AS stable_uuid,
+           (('0x' || substring(hx, 1, 15))::BIGINT % 16)::INT AS bucket,
+           (97 - (('0x' || substring(hx, 1, 15))::BIGINT % 97))::INT
+               AS check_digits
+    FROM h
+    """,
+)
+def scalar_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting — the idempotent
+    alternative to sequence/identity columns for dimension loads at
+    scale: UUID-formatted id from the namespaced content hash (re-runs
+    and parallel backfills mint the same key, no coordination), a
+    hash-tail partition bucket, and an IBAN-style mod-97 check so
+    downstream systems can validate keys without a lookup.
+
+    Plan: pure narrow hash/string expressions — scan speed, no
+    shuffle, whole-stage codegen."""
+    c = read_table(spark, sf_dir, "customer")
+    hx = F.md5(F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")))
+    h60 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    uuid_fmt = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.substring(hx, 13, 4),
+        F.substring(hx, 17, 4),
+        F.substring(hx, 21, 12),
+    )
+    return c.select(
+        "c_custkey",
+        "c_name",
+        uuid_fmt.alias("stable_uuid"),
+        (h60 % 16).cast("int").alias("bucket"),
+        (97 - (h60 % 97)).cast("int").alias("check_digits"),
+    )

@@ -216,6 +216,7 @@ _PRIORITY = (
     "profile_dedup_summary",
     "agg_monthly_growth",
     "window_activity_streaks",
+    "scalar_stable_ids",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
