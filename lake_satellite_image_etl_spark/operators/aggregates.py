@@ -1013,3 +1013,94 @@ def agg_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev").cast("double") - prev) / prev, 6
         ).alias("mom_growth"),
     )
+
+
+#: coarse value bands for the Gini rank decomposition.
+GINI_BAND = 25_000.0
+
+
+@query(
+    "agg_gini_inequality",
+    oracle="""
+    -- Gini coefficient of order value per priority class — the
+    -- inequality measure (0 = equal, ->1 = concentrated) for spend /
+    -- usage concentration monitoring. Exact rank form:
+    -- G = (2*sum(r_i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) with r_i
+    -- the ascending rank (ties by key); rank-weighted sums in exact
+    -- DECIMAL, one fixed IEEE chain at the end.
+    WITH r AS (
+        SELECT o_orderpriority AS pri,
+               o_totalprice::DECIMAL(18,6) AS x,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey)
+                   AS rnk,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    s AS (
+        SELECT pri, max(n) AS n,
+               sum(x) AS sx,
+               sum(rnk * x) AS srx
+        FROM r GROUP BY pri
+    )
+    SELECT pri, n,
+           round(sx, 2)::DOUBLE AS total_value,
+           round((2 * srx::DOUBLE - (n + 1) * sx::DOUBLE)
+                 / (n * sx::DOUBLE), 6) AS gini
+    FROM s
+    """,
+)
+def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    concentration metric behind "top 1% of customers drive X%"
+    monitoring. The oracle's per-group rank window sorts each group in
+    one task; the engine computes the SAME ascending ranks with the
+    banded decomposition (coarse value bands → bounded count table →
+    broadcast per-group cumulative offsets → parallel intra-band
+    row_number — the stats_equidepth_histogram machinery with a group
+    key). Rank-weighted sums stay DECIMAL-exact; the Gini formula is
+    one fixed IEEE chain."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("x"),
+        F.col("o_orderkey").alias("k"),
+    )
+    banded = o.withColumn("band", F.floor(F.col("x") / GINI_BAND))
+    counts = banded.groupBy("pri", "band").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("pri")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("pri").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "pri",
+        "band",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_tie = Window.partitionBy("pri", "band").orderBy("x", "k")
+    ranked = banded.join(F.broadcast(offs), ["pri", "band"]).select(
+        "pri",
+        "x",
+        "n",
+        (F.row_number().over(w_tie) + F.col("off")).alias("rnk"),
+    )
+    s = ranked.groupBy("pri").agg(
+        F.max("n").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("rnk") * F.col("x")).alias("srx"),
+    )
+    sx = F.col("sx").cast("double")
+    srx = F.col("srx").cast("double")
+    n = F.col("n")
+    return s.select(
+        "pri",
+        "n",
+        F.round(F.col("sx"), 2).cast("double").alias("total_value"),
+        F.round((2 * srx - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+    )

@@ -1649,3 +1649,63 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dups") >= 2)
     )
+
+
+#: boilerplate-prefix dedup: documents sharing their first
+#: PREFIX_TOKENS tokens (the shared navigation/header C4-style
+#: boilerplate signal).
+PREFIX_TOKENS = 8
+
+
+@query(
+    "dedup_prefix_boilerplate",
+    oracle=f"""
+    -- prefix-boilerplate detection: documents whose FIRST
+    -- {PREFIX_TOKENS} tokens coincide — the cheap catcher for shared
+    -- headers/templates that full-content hashing misses (bodies
+    -- differ) and near-dup misses when the shared part is small.
+    -- Groups of >= 2 with one keeper.
+    WITH t AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   list_slice(string_split(lower(text), ' '),
+                              1, {PREFIX_TOKENS}), ' ')) AS prefix_hash
+        FROM documents
+    )
+    SELECT prefix_hash,
+           count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           min(doc_id) AS keeper
+    FROM t
+    GROUP BY prefix_hash
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-boilerplate dedup — group documents by the hash of
+    their first {PREFIX_TOKENS} tokens: the C4-style catcher for
+    shared page templates/navigation headers that exact-content
+    hashing misses (bodies differ) and MinHash underweights (the
+    shared span is a small fraction of each doc). ``n_sources`` > 1
+    flags template reuse ACROSS sources — usually scraper boilerplate
+    rather than real duplication.
+
+    Scale shape: slice + hash is narrow scan work; one groupBy on the
+    prefix hash carrying (hash, count) — the dedup_exact_hash shuffle
+    shape, output only the ≥2 groups."""
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.concat_ws(
+            " ", F.slice(tokens_of(F.col("text")), 1, PREFIX_TOKENS)
+        )
+    )
+    return (
+        docs.select("doc_id", "source", prefix.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -217,6 +217,8 @@ _PRIORITY = (
     "agg_monthly_growth",
     "window_activity_streaks",
     "scalar_stable_ids",
+    "dedup_prefix_boilerplate",
+    "agg_gini_inequality",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
