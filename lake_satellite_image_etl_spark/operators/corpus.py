@@ -1209,3 +1209,61 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels, (F.expr(f"(rnk * {PPL_N_BUCKETS}) div n") + 1).cast("int")
         ).alias("bucket"),
     )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    -- writer manifest for the packed corpus: per (source, shard) —
+    -- documents, token totals, byte sizes, and how many
+    -- {MAX_SEQ_TOKENS}-token sequences the shard will emit (the
+    -- planning table a distributed writer uses to size output files
+    -- and verify completeness after the job).
+    WITH t AS (
+        SELECT doc_id, source, {_SQL_DOC_SHARD} AS shard,
+               len({_SQL_TOKS})::BIGINT AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT source, shard,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           ((sum(n_tokens) + {MAX_SEQ_TOKENS} - 1)
+            // {MAX_SEQ_TOKENS})::BIGINT AS n_sequences,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM t GROUP BY 1, 2
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the corpus writer — the planning/verification
+    table of the 100 TB write path: per (source, shard) the document
+    and token totals, byte volume, expected sequence count (ceil of
+    tokens / {MAX_SEQ_TOKENS}), and the doc-id range. A writer sizes
+    its output files from this; an auditor diffs it against what
+    landed (`sink_artifact_manifest` is the landed side).
+
+    Plan: one narrow token-count scan + one groupBy on the
+    (source, shard) key — |sources × shards| output rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        (tok_hash60(F.col("doc_id").cast("string")) % N_PACK_SHARDS).alias(
+            "shard"
+        ),
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    return t.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            f"(sum(n_tokens) + {MAX_SEQ_TOKENS} - 1) div {MAX_SEQ_TOKENS}"
+        )
+        .cast("long")
+        .alias("n_sequences"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

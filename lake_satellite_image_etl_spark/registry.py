@@ -219,6 +219,7 @@ _PRIORITY = (
     "scalar_stable_ids",
     "dedup_prefix_boilerplate",
     "agg_gini_inequality",
+    "corpus_shard_manifest",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
