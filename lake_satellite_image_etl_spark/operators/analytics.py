@@ -524,3 +524,53 @@ def analytics_markov_steady_state(
         F.col("r").alias("pi_scaled"),
         F.round(F.col("r").cast("double") / MKV_SCALE, 6).alias("pi"),
     )
+
+
+@query(
+    "analytics_new_vs_returning",
+    oracle="""
+    -- daily new vs returning actives — the growth-accounting split
+    -- every product dashboard opens with: a user is NEW on their
+    -- first-ever active day, RETURNING on later active days.
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, min(d) AS d0 FROM ud GROUP BY 1
+    )
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           sum(CASE WHEN ud.d = f.d0 THEN 1 ELSE 0 END)::BIGINT
+               AS new_users,
+           sum(CASE WHEN ud.d > f.d0 THEN 1 ELSE 0 END)::BIGINT
+               AS returning_users,
+           count(*)::BIGINT AS active_users
+    FROM ud JOIN first_seen f USING (user_id)
+    GROUP BY ud.d
+    """,
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split — growth accounting's first chart.
+    First-seen day per user is one aggregation; tagging each user-day
+    against it is a broadcast join (the first-seen table is |users|
+    rows of two columns — broadcastable far beyond any fixture, and at
+    true 100 TB user counts the SAME plan degrades gracefully to a
+    shuffle join on user_id).
+
+    Scale shape: events collapse to distinct user-days map-side; two
+    aggregations and one join, all keyed small."""
+    ev = read_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ud.join(F.broadcast(first_seen), "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("d") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+        )
+    )

@@ -1267,3 +1267,100 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+#: train/validation token budget: validation gets the tail
+#: VAL_PERMILLE/1000 of the hash-ordered token stream.
+VAL_PERMILLE = 100
+
+
+@query(
+    "corpus_token_budget_split",
+    oracle=f"""
+    -- token-budget train/validation split: walk documents in
+    -- hash(doc_id) order (a reproducible shuffle), accumulate tokens,
+    -- and send the last {VAL_PERMILLE}/1000 of the TOKEN stream to
+    -- validation — budgets in tokens, not documents, so long docs
+    -- can't skew the split. Pure integer threshold arithmetic.
+    WITH t AS (
+        SELECT doc_id, source,
+               len({_SQL_TOKS})::BIGINT AS n_tokens,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   AS hkey
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY hkey, doc_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS cum_tokens,
+               (sum(n_tokens) OVER ())::BIGINT AS total_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           CASE WHEN cum_tokens * 1000 > total_tokens
+                                         * (1000 - {VAL_PERMILLE})
+                THEN 'validation' ELSE 'train' END AS split
+    FROM c
+    """,
+)
+def corpus_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget train/validation split — budgeted in TOKENS (the
+    unit training cares about), not documents: walk the corpus in
+    deterministic hash order and cut when the cumulative token count
+    crosses (1 − {VAL_PERMILLE}/1000) of the total. Reproducible
+    (hash order, integer-threshold decision — cum·1000 > total·900 is
+    exact), and a long document can't tip the budget silently the way
+    a doc-count split lets it.
+
+    Scale shape: the oracle's global cumulative window is stated over
+    one ordering; the engine computes the same prefix sums with the
+    banded decomposition on the UNIFORM hash key — the top hash bits
+    are balanced range buckets (the dedup_sorted_neighborhood
+    observation), so per-band token totals offset parallel intra-band
+    cumsums. The only all-rows structure is the bounded band table."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
+        tok_hash60(F.col("doc_id").cast("string")).alias("hkey"),
+    )
+    banded = t.withColumn("band", F.shiftright("hkey", 52))
+    btot = banded.groupBy("band").agg(F.sum("n_tokens").alias("btok"))
+    w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = btot.select(
+        "band",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("off"),
+        F.sum("btok").over(w_all).alias("total_tokens"),
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = banded.join(F.broadcast(offs), "band").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "total_tokens",
+        (F.col("off") + F.sum("n_tokens").over(w_in))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        F.when(
+            F.col("cum_tokens") * 1000
+            > F.col("total_tokens") * (1000 - VAL_PERMILLE),
+            "validation",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )

@@ -220,6 +220,8 @@ _PRIORITY = (
     "dedup_prefix_boilerplate",
     "agg_gini_inequality",
     "corpus_shard_manifest",
+    "analytics_new_vs_returning",
+    "corpus_token_budget_split",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):
