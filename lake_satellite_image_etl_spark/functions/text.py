@@ -1078,7 +1078,10 @@ WP_PIECES: dict[int, tuple[str, ...]] = {
 #: fold-iteration cap = max word length the segmenter supports; the
 #: fixture maxes at 8, production sets this to the tokenizer's max
 #: word length (longer words fall back to per-char pieces anyway).
-WP_MAX_WORD = 12
+#: Words longer than the cap fail LOUDLY (raise_error below) instead
+#: of silently emitting a truncated piece stream that diverges from
+#: the oracle's unbounded recursion.
+WP_MAX_WORD = 24
 
 
 def _wp_len_case(pos_expr: str) -> str:
@@ -1106,7 +1109,9 @@ aggregate(
       'p', acc.p + {_wp_len_case("acc.p")},
       'pc', array_append(acc.pc,
                          substr(word, acc.p, {_wp_len_case("acc.p")})))),
-  acc -> acc.pc
+  acc -> IF(acc.p > length(word), acc.pc,
+            raise_error(concat('wordpiece: word longer than ',
+                               '{WP_MAX_WORD}', ' fold steps: ', word)))
 )
 """
 

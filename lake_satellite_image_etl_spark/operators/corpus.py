@@ -596,9 +596,19 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_words = BLOOM_BITS // 32
-    assert len(word_rows) <= n_words  # structural bound, not data-dependent
+    # Structural bound, not data-dependent — but enforce it with an
+    # explicit raise (a bare assert is stripped under ``python -O``
+    # and a violation would then silently corrupt the mask array).
+    if len(word_rows) > n_words:
+        raise ValueError(
+            f"bloom prefilter: {len(word_rows)} mask words exceed the "
+            f"{n_words}-word filter — BLOOM_BITS geometry was edited "
+            "without updating _bloom_positions"
+        )
     masks = [0] * n_words
     for r in word_rows:
+        if not 0 <= r["w"] < n_words:
+            raise ValueError(f"bloom prefilter: word index {r['w']} out of range")
         masks[r["w"]] = r["mask"]
     arr_sql = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
 

@@ -344,9 +344,15 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("state"),
         F.lit(None).cast("long").alias("version"),
     )
+    # Tie-break on version: if two SCD2 versions share one valid_from
+    # (two changes at the same timestamp), the oracle's range join
+    # excludes the older, empty [from, to) interval — so among tied
+    # side-0 rows the HIGHEST version must be the one last() sees.
+    # Side-1 rows carry NULL version; asc_nulls_first keeps them
+    # stable after the side ordering already placed them last.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.asc_nulls_first("version"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -393,6 +393,12 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("s_lo") <= F.col("w_hi")) & (F.col("w_lo") <= F.col("s_hi"))
         )
+        # Dedupe bucket fan-out on the FULL pair key (including the
+        # window's day): the oracle emits one row per (session,
+        # window) pair, and a distinct() on the wday-less projection
+        # would collapse two same-type windows on different days that
+        # happen to produce identical overlap values.
+        .dropDuplicates(["user_id", "day", "event_type", "wday"])
         .select(
             "user_id",
             "day",
@@ -403,7 +409,6 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ov_us"
             ),
         )
-        .distinct()
     )
 
 

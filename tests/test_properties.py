@@ -211,6 +211,37 @@ def test_wordpiece_greedy_longest_match_and_fallback(spark):
     assert got["a"] == ["a"]
 
 
+def test_wordpiece_overlong_word_fails_loudly(spark):
+    """A word longer than WP_MAX_WORD fold steps must raise, not emit
+    a silently-truncated piece stream that diverges from the oracle's
+    unbounded recursion (ADVICE r7)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.text import (
+        _WP_FOLD,
+        WP_MAX_WORD,
+    )
+
+    # every char is a 1-step fallback piece, so this needs
+    # WP_MAX_WORD+1 steps — one past the fold cap.
+    long_word = "z" * (WP_MAX_WORD + 1)
+    df = spark.createDataFrame([(long_word,)], "word string").select(
+        F.expr(_WP_FOLD).alias("pc")
+    )
+    with pytest.raises(Exception, match="wordpiece: word longer than"):
+        df.collect()
+
+    # exactly at the cap still segments fully
+    at_cap = "z" * WP_MAX_WORD
+    ok = (
+        spark.createDataFrame([(at_cap,)], "word string")
+        .select(F.expr(_WP_FOLD).alias("pc"))
+        .collect()
+    )
+    assert ok[0]["pc"] == list(at_cap)
+
+
 def test_standardized_dimensions_have_zero_mean_unit_variance(spark):
     """Column-wise invariant of vector_standardize: each dimension of
     the standardized matrix must have mean ~0 and variance ~1 (checked
