@@ -83,8 +83,13 @@ def audio_features(clips: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                wave, sr = decode_fwav(r["audio"])
+            # zip over .values, not iterrows(): each step hands numpy a
+            # whole blob, so the per-row Series construction iterrows
+            # does is pure overhead (VERDICT r7 wrong-item 2).
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["audio"].values
+            ):
+                wave, sr = decode_fwav(blob)
                 n = len(wave)
                 n_frames = n // FRAME
                 used = wave[: n_frames * FRAME].astype(np.int64)
@@ -97,7 +102,7 @@ def audio_features(clips: DataFrame) -> DataFrame:
                 zcr = n_cross / (n_frames * (FRAME - 1))
                 rows.append(
                     (
-                        int(r["entity_id"]),
+                        int(eid),
                         n,
                         sr,
                         n_frames,
@@ -397,8 +402,10 @@ def multimodal_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "entity_id": [], "variant": [], "n_samples": [],
                 "s": [], "st": [], "e2": [],
             }
-            for _, r in pdf.iterrows():
-                wave, _sr = decode_fwav(r["audio"])
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["audio"].values
+            ):
+                wave, _sr = decode_fwav(blob)
                 x = wave.astype(np.int64)
                 variants = (
                     ("identity", x),
@@ -408,7 +415,7 @@ def multimodal_audio_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for name, v in variants:
                     t = np.arange(v.shape[0], dtype=np.int64)
-                    out["entity_id"].append(int(r["entity_id"]))
+                    out["entity_id"].append(int(eid))
                     out["variant"].append(name)
                     out["n_samples"].append(int(v.shape[0]))
                     out["s"].append(int(v.sum()))

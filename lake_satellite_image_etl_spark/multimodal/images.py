@@ -110,12 +110,20 @@ def image_features(images: DataFrame) -> DataFrame:
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
+            # zip over .values — each step hands numpy a whole blob;
+            # iterrows()'s per-row Series build is pure overhead.
+            for eid, w, h, c, blob in zip(
+                pdf["entity_id"].values,
+                pdf["width"].values,
+                pdf["height"].values,
+                pdf["channels"].values,
+                pdf["image"].values,
+            ):
                 # integer-sum statistics: sums of uint8 pixels are exact
                 # int64, so mean and std are single IEEE divisions/sqrt —
                 # bit-identical to any engine computing the same formula
                 # (an incremental/pairwise float std would not be).
-                arr = decode_fimg(r["image"]).astype(np.int64)
+                arr = decode_fimg(blob).astype(np.int64)
                 n = arr.shape[1] * arr.shape[2]
                 s = arr.sum(axis=(1, 2))
                 sq = (arr * arr).sum(axis=(1, 2))
@@ -126,10 +134,10 @@ def image_features(images: DataFrame) -> DataFrame:
                 ]
                 rows.append(
                     (
-                        int(r["entity_id"]),
-                        int(r["width"]),
-                        int(r["height"]),
-                        int(r["channels"]),
+                        int(eid),
+                        int(w),
+                        int(h),
+                        int(c),
                         *(round(m, 6) for m in mean[:3]),
                         *(round(v, 6) for v in std[:3]),
                     )
@@ -153,10 +161,12 @@ def sample_frames(images: DataFrame, every: int = 3) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                arr = decode_fimg(r["image"])
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["image"].values
+            ):
+                arr = decode_fimg(blob)
                 kept = arr[::every]
-                rows.append((int(r["entity_id"]), kept.shape[0], encode_fimg(kept)))
+                rows.append((int(eid), kept.shape[0], encode_fimg(kept)))
             yield pd.DataFrame(rows, columns=["entity_id", "n_frames", "frames"])
 
     return images.mapInPandas(sample, schema="entity_id long, n_frames int, frames binary")
@@ -554,8 +564,10 @@ def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "entity_id": [], "variant": [], "out_w": [], "out_h": [],
                 "s": [], "sx": [], "sy": [],
             }
-            for _, r in pdf.iterrows():
-                arr = decode_fimg(r["image"])
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["image"].values
+            ):
+                arr = decode_fimg(blob)
                 variants = (
                     ("identity", arr),
                     ("hflip", arr[:, :, ::-1]),
@@ -566,7 +578,7 @@ def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     al = a.astype(np.int64)
                     xs = np.arange(w, dtype=np.int64)
                     ys = np.arange(h, dtype=np.int64)
-                    out["entity_id"].append(int(r["entity_id"]))
+                    out["entity_id"].append(int(eid))
                     out["variant"].append(name)
                     out["out_w"].append(w)
                     out["out_h"].append(h)

@@ -417,14 +417,19 @@ def fetch_remote_bands(
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = []
-            for _, row in pdf.iterrows():
-                with urllib.request.urlopen(row[url_col]) as resp:
+            members = (
+                pdf[member_col].values
+                if member_col
+                else [None] * len(pdf)
+            )
+            for url, row_member in zip(pdf[url_col].values, members):
+                with urllib.request.urlopen(url) as resp:
                     payload = resp.read()
                 if payload[:4] == b"PK\x03\x04":
                     with zipfile.ZipFile(BytesIO(payload)) as zf:
                         names = zf.namelist()
                         member = (
-                            row[member_col]
+                            row_member
                             if member_col
                             else names[0] if len(names) == 1 else None
                         )

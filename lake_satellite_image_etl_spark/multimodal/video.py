@@ -102,8 +102,10 @@ def video_frame_features(videos: DataFrame, every: int = SAMPLE_EVERY) -> DataFr
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                frames, _fps = decode_fvid(r["video"])
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["video"].values
+            ):
+                frames, _fps = decode_fvid(blob)
                 n = frames.shape[0]
                 sampled = frames[::every].astype(np.int64)
                 idxs = np.arange(0, n, every)
@@ -112,7 +114,7 @@ def video_frame_features(videos: DataFrame, every: int = SAMPLE_EVERY) -> DataFr
                 for k, fi in enumerate(idxs):
                     rows.append(
                         (
-                            int(r["entity_id"]),
+                            int(eid),
                             n,
                             int(fi),
                             round(float(means[k]), 6),
@@ -385,8 +387,10 @@ def multimodal_video_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "entity_id": [], "variant": [], "n_px": [],
                 "s": [], "sf": [], "sx": [],
             }
-            for _, r in pdf.iterrows():
-                frames, _fps = decode_fvid(r["video"])
+            for eid, blob in zip(
+                pdf["entity_id"].values, pdf["video"].values
+            ):
+                frames, _fps = decode_fvid(blob)
                 a = frames.astype(np.int64)
                 variants = (
                     ("identity", a),
@@ -398,7 +402,7 @@ def multimodal_video_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nf = v.shape[0]
                     fs = np.arange(nf, dtype=np.int64)
                     xs = np.arange(v.shape[2], dtype=np.int64)
-                    out["entity_id"].append(int(r["entity_id"]))
+                    out["entity_id"].append(int(eid))
                     out["variant"].append(name)
                     out["n_px"].append(int(v.size))
                     out["s"].append(int(v.sum()))
