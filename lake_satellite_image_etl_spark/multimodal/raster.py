@@ -23,8 +23,10 @@ Kernel ↔ reference parity:
                         oob = max(2)==0, white = min(2)>=153 &
                         max(2)-min(2)<=25, ratio vs in-bounds count)
 - U6 thumbnail        → thumbnail (main.py:288-308: w//7, h//7;
-                        BICUBIC+PNG stubbed as deterministic
-                        nearest-neighbor decimation, divergence noted)
+                        Keys a=-0.5 bicubic convolution resample in
+                        pure numpy + stdlib-zlib PNG; only PIL's
+                        8-bit fixed-point weight quantization may
+                        differ in the last LSB)
 - U7 polygon union    → operators/geometry.py
 
 Scale notes (100 TB of imagery): kernels are *opaque to Catalyst* —
@@ -341,14 +343,67 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
+#: Keys bicubic sharpness constant — the a = -0.5 kernel PIL's
+#: BICUBIC filter uses (Keys 1981, "Cubic convolution interpolation").
+_BICUBIC_A = -0.5
+
+
+def _keys_cubic(x: np.ndarray) -> np.ndarray:
+    """The piecewise Keys cubic kernel with a = -0.5 (PIL BICUBIC's
+    filter function): support [-2, 2], C¹-continuous."""
+    a = _BICUBIC_A
+    ax = np.abs(x)
+    near = ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    far = (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return np.where(ax < 1.0, near, np.where(ax < 2.0, far, 0.0))
+
+
+def bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) row-normalized resampling matrix for
+    one axis, built the way PIL's convolution resize does
+    (main.py:300-304 resizes with ``Image.BICUBIC``): when
+    downsampling, the kernel is STRETCHED by the scale factor (proper
+    antialiasing — every source pixel under the widened support
+    contributes), taps are evaluated at pixel centers, and each output
+    row's weights are normalized to sum to 1. Pure numpy float64; PIL
+    quantizes weights to 8-bit fixed point, so payloads may differ
+    from PIL in the last LSB, documented."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    centers = (np.arange(out_size) + 0.5) * scale  # (out,)
+    lo = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+    hi = np.minimum((centers + support + 0.5).astype(np.int64), in_size)
+    w = _keys_cubic(
+        ((np.arange(in_size)[None, :] + 0.5) - centers[:, None])
+        / filterscale
+    )
+    mask = (np.arange(in_size)[None, :] >= lo[:, None]) & (
+        np.arange(in_size)[None, :] < hi[:, None]
+    )
+    w = np.where(mask, w, 0.0)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+def bicubic_resize(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Separable bicubic resample of a channel-first (bands, h, w)
+    uint8 array to (bands, th, tw) — horizontal then vertical passes,
+    PIL's pass order, with half-up rounding and clipping to uint8."""
+    nb, h, w = img.shape
+    wx = bicubic_weights(w, tw)  # (tw, w)
+    wy = bicubic_weights(h, th)  # (th, h)
+    tmp = img.astype(np.float64) @ wx.T  # (nb, h, tw)
+    out = np.einsum("ij,bjk->bik", wy, tmp)  # (nb, th, tw)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
 def thumbnail(stacked: DataFrame) -> DataFrame:
     """U6: downsample by THUMBNAIL_SCALE_FACTOR with int-truncated
-    dims (main.py:290-292: int(width/7)) and a real PNG payload
-    (main.py:303-308) encoded with stdlib zlib (``png_encode``). The
-    reference resamples with PIL BICUBIC; PIL is absent here, so the
-    resample is deterministic nearest-neighbor decimation — that one
-    divergence stays documented, geometry and container format now
-    match."""
+    dims (main.py:290-292: int(width/7)), a BICUBIC resample
+    (main.py:303-304 ``Image.BICUBIC`` — here the same Keys a=-0.5
+    convolution kernel in pure numpy, ``bicubic_resize``), and a real
+    PNG payload (main.py:303-308) encoded with stdlib zlib
+    (``png_encode``)."""
 
     def _thumb(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -361,9 +416,7 @@ def thumbnail(stacked: DataFrame) -> DataFrame:
             th = int(h / THUMBNAIL_SCALE_FACTOR)
             img = np.frombuffer(data, dtype=np.uint8).reshape(nb, h, w)
             if tw and th:
-                ys = (np.arange(th) * h) // th
-                xs = (np.arange(tw) * w) // tw
-                t = img[:, ys][:, :, xs]
+                t = bicubic_resize(img, tw, th)
             else:
                 tw = th = 0
                 t = np.zeros((nb, 0, 0), dtype=np.uint8)

@@ -138,14 +138,93 @@ def test_clip_crops_and_masks():
 def test_thumbnail_dims_truncate():
     """main.py:290-292: int(width/7) — 16→2, 6→0."""
     img = rk.synth_band_array(1, 0, 16, 16)
-    full = np.stack([img] * 3).tobytes()
-    arr = np.frombuffer(full, dtype=np.uint8).reshape(3, 16, 16)
+    full = np.stack([img] * 3)
     tw, th = int(16 / 7), int(16 / 7)
     assert (tw, th) == (2, 2)
-    ys = (np.arange(th) * 16) // th
-    xs = (np.arange(tw) * 16) // tw
-    t = arr[:, ys][:, :, xs]
+    t = rk.bicubic_resize(full, tw, th)
     assert t.shape == (3, 2, 2)
+
+
+def _keys_ref(x: float) -> float:
+    """Scalar Keys a=-0.5 cubic, written out long-hand as the golden
+    reference (independent of the vectorized kernel under test)."""
+    a = -0.5
+    x = abs(x)
+    if x < 1.0:
+        return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+    if x < 2.0:
+        return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+    return 0.0
+
+
+def _bicubic_ref_1d(vals: np.ndarray, out_size: int) -> np.ndarray:
+    """Per-output-pixel scalar convolution resample of one row —
+    PIL's convolution geometry (stretched kernel, pixel centers,
+    normalized taps) written as an explicit loop."""
+    in_size = len(vals)
+    scale = in_size / out_size
+    fs = max(scale, 1.0)
+    support = 2.0 * fs
+    out = np.zeros(out_size)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        ws = [_keys_ref(((x + 0.5) - center) / fs) for x in range(xmin, xmax)]
+        tot = sum(ws)
+        out[i] = sum(
+            w * float(vals[x]) for w, x in zip(ws, range(xmin, xmax))
+        ) / tot
+    return out
+
+
+def test_bicubic_golden_against_scalar_convolution():
+    """bicubic_resize must agree with an independent per-pixel scalar
+    convolution (same Keys a=-0.5 kernel, same PIL geometry) on a
+    hand-sized 16→2 downsample, per channel and both axes."""
+    rng_img = np.stack(
+        [rk.synth_band_array(7, b, 16, 16) for b in range(3)]
+    )
+    got = rk.bicubic_resize(rng_img, 2, 2)
+    for b in range(3):
+        # horizontal pass per row, then vertical per column
+        hor = np.stack(
+            [_bicubic_ref_1d(rng_img[b, y, :], 2) for y in range(16)]
+        )  # (16, 2)
+        exp = np.stack(
+            [_bicubic_ref_1d(hor[:, x], 2) for x in range(2)], axis=1
+        )  # (2, 2)
+        exp_u8 = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+        assert np.array_equal(got[b], exp_u8), (b, got[b], exp_u8)
+
+
+def test_bicubic_identity_and_constant():
+    """scale=1 must be the identity (Keys kernel is interpolating:
+    weight 1 at offset 0, 0 at integer offsets); a constant image
+    stays constant under any scale (weights are normalized)."""
+    img = np.stack([rk.synth_band_array(3, b, 16, 16) for b in range(3)])
+    assert np.array_equal(rk.bicubic_resize(img, 16, 16), img)
+    const = np.full((2, 11, 13), 137, dtype=np.uint8)
+    out = rk.bicubic_resize(const, 3, 5)
+    assert out.shape == (2, 5, 3)
+    assert np.all(out == 137)
+
+
+def test_bicubic_gradient_monotone_and_mirror_symmetric():
+    """A linear ramp resampled bicubically stays monotone, and the
+    resample commutes with mirroring (the stretched-kernel geometry is
+    symmetric): out[i] + out[n-1-i] must equal the ramp's endpoint sum
+    (boundary clamping affects both ends identically)."""
+    ramp = np.tile(
+        np.arange(0, 160, 10, dtype=np.uint8), (1, 16, 1)
+    )  # (1, 16, 16) rows all equal
+    out = rk.bicubic_resize(ramp, 4, 4)
+    row = out[0, 0].astype(int)
+    assert all(row[i] < row[i + 1] for i in range(3))
+    assert row[0] + row[3] == row[1] + row[2] == 150
+    # mirroring the input mirrors the output exactly
+    flipped = rk.bicubic_resize(ramp[:, :, ::-1].copy(), 4, 4)
+    assert np.array_equal(flipped[0, 0], out[0, 0][::-1])
 
 
 def test_raster_pipeline_end_to_end(spark):
