@@ -55,6 +55,16 @@ _SQL_PLANES = (
 )
 
 
+def _sql_bucket(n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of ``_bucket_expr``: sign-LSH bucket id over the
+    first ``n_planes`` hyperplanes of the shared PLANES matrix,
+    evaluated against a ``qv`` column in scope."""
+    return f"""list_sum(list_transform(generate_series(1, {n_planes}),
+    p -> CASE WHEN list_sum(list_transform(generate_series(1, {DIM}),
+                  d -> qv[d] * ({_SQL_PLANES})[p][d])) >= 0
+              THEN (1::BIGINT << (p - 1)) ELSE 0::BIGINT END))::BIGINT"""
+
+
 @query(
     "similarity_topk_bruteforce",
     oracle=f"""
@@ -132,7 +142,23 @@ N_PROBE = 5
 #: (``ivf_assign``); ends with ``assigned`` (every vector × every
 #: cell, ranked by cosine affinity) and ``lists`` (the crank-1 cell
 #: membership).
-SQL_IVF_CELL_CTES = f"""q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings),
+def sql_ivf_cell_ctes(seed_bits: int = 0) -> str:
+    """The IVF codebook CTE block, parameterized on the cell-count
+    dial exactly like ``ivf_assign(seed_bits)``: when ``seed_bits >
+    0`` the seed label is split ``2**seed_bits`` ways by the same
+    sign-LSH bits the Spark side folds in (``_bucket_expr``), so the
+    oracle mirrors the SCALE-geometry codebook, not just the 10-cell
+    label one."""
+    if seed_bits:
+        q_cte = f"""q0 AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings),
+    q AS (SELECT vec_id,
+                 label || '#' || ({_sql_bucket(seed_bits)})::VARCHAR
+                     AS label,
+                 qv
+          FROM q0)"""
+    else:
+        q_cte = f"q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embeddings)"
+    return q_cte + f""",
     e AS (
         SELECT vec_id, label, unnest(qv) AS qc,
                unnest(generate_series(1, len(qv))) AS pos
@@ -178,6 +204,9 @@ SQL_IVF_CELL_CTES = f"""q AS (SELECT vec_id, label, {SQL_QVEC} AS qv FROM embedd
     lists AS (SELECT vec_id, qv, nrm, c_label FROM assigned WHERE crank = 1)"""
 
 
+SQL_IVF_CELL_CTES = sql_ivf_cell_ctes(0)
+
+
 @query(
     "similarity_ivf_probe",
     oracle=f"""
@@ -211,6 +240,62 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb)
+
+
+#: scale-geometry IVF dials (VERDICT r7 item 2): 2^5 sign-LSH
+#: subcells per label → 320 cells (√n-ish for the smoke's 120 K
+#: corpus; the fixture holds 500 vectors, so the DEMONSTRATED probe
+#: fraction is n_probe/cells = 10% — vs ~50% for the 10-cell entry
+#: above). At production scale the probe COUNT stays put while the
+#: cell count tracks √n, so the fraction keeps shrinking.
+IVF_SCALED_SEED_BITS = 5
+IVF_SCALED_N_PROBE = 32
+
+
+@query(
+    "similarity_ivf_scaled",
+    oracle=f"""
+    WITH {sql_ivf_cell_ctes(IVF_SCALED_SEED_BITS)},
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {IVF_SCALED_N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               {sql_dot("qn.qv", "l.qv")}::DOUBLE / (qn.nrm * l.nrm) AS cos_sim
+        FROM probes p
+        JOIN lists l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k at SCALE geometry — the same ``ivf_topk`` kernel as
+    ``similarity_ivf_probe`` but with the cell-count dial engaged:
+    ``seed_bits={IVF_SCALED_SEED_BITS}`` splits each label into
+    sign-LSH subcells (320 cells total) before the Lloyd refinement,
+    and {IVF_SCALED_N_PROBE} probes scan ~10% of the corpus per query
+    instead of the label-codebook entry's ~50%. The oracle rebuilds
+    the IDENTICAL seeded+refined codebook in SQL
+    (``sql_ivf_cell_ctes(seed_bits)``), so cell assignment, probe
+    sets, and ranking are compared end-to-end. Recall@5 vs the exact
+    brute force is pinned ≥ 0.8 in tests/test_ann_recall.py — equal
+    to the 10-cell entry's measured recall at a fifth of its scan
+    fraction."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        seed_bits=IVF_SCALED_SEED_BITS,
+        n_probe=IVF_SCALED_N_PROBE,
+    )
 
 
 def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
@@ -379,10 +464,7 @@ def _bucket_expr(qv, n_planes: int = N_PLANES):
     )
 
 
-_SQL_BUCKET = f"""list_sum(list_transform(generate_series(1, {N_PLANES}),
-    p -> CASE WHEN list_sum(list_transform(generate_series(1, {DIM}),
-                  d -> qv[d] * ({_SQL_PLANES})[p][d])) >= 0
-              THEN (1::BIGINT << (p - 1)) ELSE 0::BIGINT END))::BIGINT"""
+_SQL_BUCKET = _sql_bucket()
 
 
 #: multi-probe deltas: the query's own bucket plus every Hamming-1
@@ -769,11 +851,18 @@ def pq_adc_topk(
     query_stride: int = QUERY_STRIDE,
     rerank: int = PQ_RERANK,
     top_k: int = TOP_K,
+    router: DataFrame | None = None,
 ) -> DataFrame:
     """Parameterized PQ+ADC kernel behind ``similarity_pq_adc``:
     ``query_stride`` sizes the query set (the smoke drives a sparse
     stride at 60x vectors — the registered dense stride would mean
-    thousands of full-corpus compressed scans in one job)."""
+    thousands of full-corpus compressed scans in one job).
+
+    ``router``, when given, is a (query_id, candidate_id) DataFrame
+    restricting WHICH candidates each query ADC-scores — the IVF-PQ
+    composition (``ivf_pq_topk``): per-query cost becomes ∝ the
+    routed candidate set instead of the corpus. Codebook training and
+    encoding still cover the full corpus (the index is built once)."""
     spark = emb.sparkSession
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
@@ -940,12 +1029,30 @@ def pq_adc_topk(
     qn_pq = qside.select(
         "query_id", norm(F.col("q_qv")).alias("qnrm")
     )
-    score = (
-        codes.join(F.broadcast(lut), ["m", "cell"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
-        .agg(F.sum("t").cast("long").alias("ip"))
-    )
+    if router is not None:
+        # routed scan: the (query, candidate) pair set drives the code
+        # lookup — each pair expands to its PQ_M codes, each code hits
+        # the broadcast per-query table once. Pairs are unique by
+        # construction (a candidate lives in exactly one IVF list).
+        score = (
+            router.select("query_id", "candidate_id")
+            .join(
+                codes.select(
+                    F.col("vec_id").alias("candidate_id"), "m", "cell"
+                ),
+                "candidate_id",
+            )
+            .join(F.broadcast(lut), ["query_id", "m", "cell"])
+            .groupBy("query_id", "candidate_id")
+            .agg(F.sum("t").cast("long").alias("ip"))
+        )
+    else:
+        score = (
+            codes.join(F.broadcast(lut), ["m", "cell"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+            .agg(F.sum("t").cast("long").alias("ip"))
+        )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_raw"), F.asc("candidate_id")
     )
@@ -1004,3 +1111,163 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+#: IVF-PQ router geometry — same dials as similarity_ivf_scaled so
+#: the two entries share the probed-candidate story: 320 cells, 32
+#: probes ≈ 10% of the fixture corpus ADC-scanned per query.
+IVF_PQ_SEED_BITS = IVF_SCALED_SEED_BITS
+IVF_PQ_N_PROBE = IVF_SCALED_N_PROBE
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    seed_bits: int = IVF_PQ_SEED_BITS,
+    n_probe: int = IVF_PQ_N_PROBE,
+    query_stride: int = QUERY_STRIDE,
+    rerank: int = PQ_RERANK,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """The production FAISS shape — IVF router over PQ-compressed
+    lists: the coarse quantizer (``ivf_assign``) picks each query's
+    ``n_probe`` nearest cells, and ONLY the vectors in those lists are
+    ADC-scored against the query's lookup table, then exact-reranked
+    ``rerank`` deep. Per-query scan cost ∝ probed-list mass (compressed
+    codes, no full vectors) — never the corpus."""
+    assigned = ivf_assign(emb, seed_bits)
+    lists = assigned.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("candidate_id"), "c_label"
+    )
+    probes = assigned.filter(
+        (F.col("crank") <= n_probe) & (F.col("vec_id") % query_stride == 0)
+    ).select(F.col("vec_id").alias("query_id"), "c_label")
+    router = (
+        probes.join(lists, "c_label")
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .select("query_id", "candidate_id")
+    )
+    return pq_adc_topk(
+        emb,
+        query_stride=query_stride,
+        rerank=rerank,
+        top_k=top_k,
+        router=router,
+    )
+
+
+@query(
+    "similarity_ivf_pq",
+    oracle=f"""
+    -- IVF-PQ: the coarse quantizer routes each query to its
+    -- {IVF_PQ_N_PROBE} nearest cells (same seeded+refined codebook
+    -- as similarity_ivf_scaled) and ONLY the routed lists' vectors
+    -- are ADC-scored (same PQ codebooks/codes/lookup tables as
+    -- similarity_pq_adc), then exact-reranked {PQ_RERANK} deep.
+    WITH {sql_ivf_cell_ctes(IVF_PQ_SEED_BITS)},
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {IVF_PQ_N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    cand AS (
+        SELECT p.query_id, l.vec_id AS candidate_id
+        FROM probes p
+        JOIN lists l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+    ),
+    psub AS (
+        SELECT vec_id, m, qv,
+               list_slice(qv, m * {PQ_SUB} + 1, m * {PQ_SUB} + {PQ_SUB})
+                   AS sv,
+               {_pq_seed_cell_sql()} AS cell
+        FROM q, range({PQ_M}) r(m)
+    ),
+    pcnt AS (SELECT m, cell, count(*) AS n FROM psub GROUP BY 1, 2),
+    pcomp AS (
+        SELECT m, cell, pos, sum(sv[pos])::BIGINT AS s
+        FROM psub, range(1, {PQ_SUB} + 1) p(pos)
+        GROUP BY 1, 2, 3
+    ),
+    pcent AS (
+        SELECT pcomp.m, pcomp.cell,
+               list((pcomp.s * {PQ_SCALE}) // pcnt.n ORDER BY pcomp.pos)
+                   AS cq
+        FROM pcomp JOIN pcnt USING (m, cell)
+        GROUP BY pcomp.m, pcomp.cell, pcnt.n
+    ),
+    pcentn AS (SELECT m, cell, cq, {sql_dot("cq", "cq")} AS cn2 FROM pcent),
+    paff AS (
+        SELECT s.vec_id, s.m, c.cell, c.cn2,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {sql_dot("s.sv", "c.cq")}::DOUBLE
+                       / (sqrt({sql_dot("s.sv", "s.sv")}::DOUBLE)
+                          * sqrt(c.cn2::DOUBLE)) DESC, c.cell) AS rk
+        FROM psub s JOIN pcentn c USING (m)
+    ),
+    pcodes AS (SELECT vec_id, m, cell, cn2 FROM paff WHERE rk = 1),
+    prn AS (SELECT vec_id, sum(cn2)::BIGINT AS rnorm2 FROM pcodes GROUP BY 1),
+    pqn AS (SELECT vec_id, sqrt({sql_dot("qv", "qv")}::DOUBLE) AS qnrm
+            FROM q WHERE vec_id % {QUERY_STRIDE} = 0),
+    plut AS (
+        SELECT q.vec_id AS query_id, c.m, c.cell,
+               {sql_dot(f"list_slice(q.qv, c.m * {PQ_SUB} + 1, c.m * {PQ_SUB} + {PQ_SUB})", "c.cq")}
+                   AS t
+        FROM q JOIN pcentn c ON q.vec_id % {QUERY_STRIDE} = 0
+    ),
+    pscore AS (
+        SELECT cd.query_id, cd.candidate_id, sum(pl.t)::BIGINT AS ip
+        FROM cand cd
+        JOIN pcodes k ON k.vec_id = cd.candidate_id
+        JOIN plut pl ON pl.query_id = cd.query_id
+                    AND pl.m = k.m AND pl.cell = k.cell
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT s.query_id, s.candidate_id,
+               s.ip::DOUBLE / (pqn.qnrm * sqrt(prn.rnorm2::DOUBLE))
+                   AS adc_cos,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY s.ip::DOUBLE
+                         / (pqn.qnrm * sqrt(prn.rnorm2::DOUBLE)) DESC,
+                       s.candidate_id) AS adc_rank
+        FROM pscore s
+        JOIN pqn ON pqn.vec_id = s.query_id
+        JOIN prn ON prn.vec_id = s.candidate_id
+    ),
+    rerank AS (
+        SELECT sl.query_id, sl.candidate_id, sl.adc_cos,
+               {sql_dot("cq2.qv", "qq.qv")}::DOUBLE
+                   / (sqrt({sql_dot("cq2.qv", "cq2.qv")}::DOUBLE)
+                      * sqrt({sql_dot("qq.qv", "qq.qv")}::DOUBLE))
+                   AS cos_exact,
+               row_number() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY {sql_dot("cq2.qv", "qq.qv")}::DOUBLE
+                         / (sqrt({sql_dot("cq2.qv", "cq2.qv")}::DOUBLE)
+                            * sqrt({sql_dot("qq.qv", "qq.qv")}::DOUBLE)) DESC,
+                       sl.candidate_id) AS rank
+        FROM shortlist sl
+        JOIN q cq2 ON cq2.vec_id = sl.candidate_id
+        JOIN q qq ON qq.vec_id = sl.query_id
+        WHERE sl.adc_rank <= {PQ_RERANK}
+    )
+    SELECT query_id, candidate_id, round(adc_cos, 6) AS adc_cos,
+           round(cos_exact, 6) AS cos_exact, rank
+    FROM rerank WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN index — IVF routing over
+    PQ-compressed lists (FAISS IVFPQ shape, the docstring claim on
+    ``similarity_pq_adc`` made real): coarse cells from the SAME
+    seeded+refined codebook as ``similarity_ivf_scaled``, compressed
+    codes/lookup tables from the SAME PQ training as
+    ``similarity_pq_adc``, per-query ADC cost ∝ the ~10% of the
+    corpus the {IVF_PQ_N_PROBE} probed lists hold, exact re-rank
+    {PQ_RERANK} deep. The oracle rebuilds router AND codec end-to-end
+    in SQL. Recall@5 vs exact brute force is pinned in
+    tests/test_ann_recall.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb)

@@ -222,6 +222,10 @@ _PRIORITY = (
     "corpus_shard_manifest",
     "analytics_new_vs_returning",
     "corpus_token_budget_split",
+    # r9 candidates (r8-new scale-geometry ANN entries, local-green
+    # with full oracles + recall floors; rotate into the r9 window):
+    "similarity_ivf_scaled",
+    "similarity_ivf_pq",
     # Rotated out r7 (driver-green r5+r6, kernels untouched this
     # round; made room for dedup_semantic_cells /
     # corpus_chunk_documents / scd2_event_state):

@@ -50,6 +50,26 @@ def test_ivf_probe_recall(spark, exact_pairs):
     assert recall >= 0.8, f"IVF recall@5 below floor: {recall:.3f}"
 
 
+def test_ivf_scaled_recall(spark, exact_pairs):
+    """The SCALE-geometry IVF entry (320 cells, 32 probes ≈ 10% of
+    the corpus scanned vs the 10-cell entry's ~50%) must hold the
+    same recall floor — measured 0.88, fully deterministic (integer
+    codebook, fixed planes)."""
+    got = _topk_pairs(spark, "similarity_ivf_scaled")
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"scaled IVF recall@5 below floor: {recall:.3f}"
+
+
+def test_ivf_pq_composed_recall(spark, exact_pairs):
+    """IVF-PQ composition: router recall × ADC+rerank recall.
+    Measured 0.86 (router alone 0.88 — the compressed-domain scan
+    loses one borderline pair to quantization before the exact
+    rerank). Deterministic; floor 0.8."""
+    got = _topk_pairs(spark, "similarity_ivf_pq")
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"IVF-PQ recall@5 below floor: {recall:.3f}"
+
+
 def test_lsh_bucketed_weak_neighbor_recall_floor(spark, exact_pairs):
     """Weak-neighbor recall is expected to be small; the floor only
     guards against the candidate join going EMPTY (geometry bug)."""

@@ -449,3 +449,15 @@ def test_stream_cdc_tombstone_survives_late_upsert(spark):
         .collect()
     }
     assert live == {2, 3}
+
+    # run 3: re-drain the SAME checkpoint with no new source files —
+    # the run-twice idempotency property the batch upsert sinks
+    # already pin (VERDICT r7 item 8): no new snapshot version may
+    # appear and the latest snapshot's content is unchanged.
+    before = sorted(glob.glob(os.path.join(snap, "v=*")))
+    v3 = run_stream_cdc(spark, src, snap, ckpt)
+    after = sorted(glob.glob(os.path.join(snap, "v=*")))
+    assert after == before, "re-drain created a new snapshot version"
+    assert v3 == v2
+    snap3 = {r["user_id"]: r for r in spark.read.parquet(v3).collect()}
+    assert snap3 == snap2
