@@ -58,11 +58,16 @@ def run_batch(names: list[str]) -> None:
     import __spark_entry__ as entrymod
     from lake_satellite_image_etl_spark.session import get_spark
 
+    from lake_satellite_image_etl_spark.plans.ingest_entries import (
+        STREAM_DATA_TWINS,
+    )
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
     timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     for i, name in enumerate(names):
         # liveness breadcrumb on stderr (stdout stays ONE JSON line)
         print(f"bench [{i + 1}/{len(names)}] {name}", file=sys.stderr, flush=True)
@@ -76,16 +81,38 @@ def run_batch(names: list[str]) -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             dt = float("nan")
         timings[name] = round(dt, 4)
+        if name in STREAM_DATA_TWINS and dt == dt:
+            # mechanics-vs-data split for streaming entries: time the
+            # batch data-plane twin (same result over static reads —
+            # no source listing / checkpoint / trigger loop / sink
+            # commit) and attribute the remainder to streaming
+            # mechanics, so these rows compare to batch rows.
+            twin = STREAM_DATA_TWINS[name]
+            try:
+                twin(spark, SF_DIR).limit(1).collect()
+                t0 = time.perf_counter()
+                twin(spark, SF_DIR).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                data_sec = time.perf_counter() - t0
+                split[name] = {
+                    "total": round(dt, 4),
+                    "data_plane": round(data_sec, 4),
+                    "mechanics": round(max(dt - data_sec, 0.0), 4),
+                }
+            except Exception as e:  # noqa: BLE001
+                print(f"bench twin error in {name}: {e}", file=sys.stderr)
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
-    print(json.dumps({"queries": timings}), flush=True)
+    print(json.dumps({"queries": timings, "streaming_split": split}), flush=True)
 
 
 def main() -> None:
     names = _query_names()
     chunks = [names[i : i + BATCH] for i in range(0, len(names), BATCH)]
     timings: dict[str, float] = {}
+    streaming_split: dict[str, dict[str, float]] = {}
     for ci, chunk in enumerate(chunks):
         print(
             f"bench batch {ci + 1}/{len(chunks)} ({len(chunk)} queries, fresh JVM)",
@@ -99,7 +126,9 @@ def main() -> None:
         )
         sys.stderr.write(proc.stderr)
         try:
-            batch_timings = json.loads(proc.stdout.strip().splitlines()[-1])["queries"]
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            batch_timings = payload["queries"]
+            streaming_split.update(payload.get("streaming_split", {}))
         except (IndexError, ValueError, KeyError):
             print(
                 f"bench batch {ci + 1} produced no JSON (exit {proc.returncode})",
@@ -117,6 +146,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "streaming_split": streaming_split,
                 "sf": _sf_label(SF_DIR),
                 "batch_size": BATCH,
                 "n_batches": len(chunks),
