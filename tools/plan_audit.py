@@ -46,6 +46,8 @@ ALLOWED_BNLJ = {
     "incremental_new_keys",
     "similarity_topk_bruteforce",
     "similarity_ivf_probe",
+    "similarity_ivf_scaled",
+    "similarity_ivf_pq",
     "dedup_semantic_cells",
     "text_bigram_lm_score",
     # late-r7: same broadcast-constant class —

@@ -52,7 +52,21 @@ DOC_QUERIES = [
     "text_tfidf_top_terms",
     "text_bigram_lm_score",
     "text_wordpiece_tokenize",
+    "pipeline_training_prep",
 ]
+#: banded-rank family (VERDICT r7 item 6): exact order statistics via
+#: bounded count-table shuffles instead of global sorts. These read
+#: the TPC-H-ish tables (events/orders/lineitem), which the scale
+#: fixture doesn't carry — smoked at the natural 10× step the
+#: driver fixtures provide: sf0.01 → sf0.1.
+BANDED_QUERIES = [
+    "stats_robust_anomaly",
+    "stats_equidepth_histogram",
+    "agg_abc_pareto",
+    "agg_gini_inequality",
+]
+BANDED_BASE_DIR = "/root/testdata/sf0.01"
+BANDED_SCALE_DIR = "/root/testdata/sf0.1"
 #: embedding-side CORPUS queries (work over all n vectors, no query
 #: set): row ratio = 60×, judged on the same linearity bar as docs
 EMB_QUERIES = ["dedup_semantic_cells"]
@@ -62,6 +76,7 @@ SIM_QUERIES = [
     "similarity_ivf_probe",
     "similarity_lsh_bucketed",
     "similarity_pq_adc",
+    "similarity_ivf_pq",
 ]
 
 
@@ -194,17 +209,36 @@ def main() -> None:
             query_stride=5987,
         )
 
+    # IVF-PQ composition at 120 K vectors: the router restricts the
+    # ADC scan to 32 of 320 probed lists (~10% of the corpus) — the
+    # per-query cost line the similarity_ivf_pq docstring claims
+    # (∝ probed-list mass, never the corpus). Same sparse stride as
+    # the full-corpus PQ line so the two per-query numbers compare
+    # directly.
+    def _ivf_pq_scaled(spark, sf_dir):
+        from lake_satellite_image_etl_spark.operators.similarity import (
+            ivf_pq_topk,
+        )
+
+        return ivf_pq_topk(
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+            seed_bits=5,
+            query_stride=5987,
+        )
+
     scaled_fns = {
         "dedup_simhash": _simhash_scaled,
         "similarity_ivf_probe": _ivf_scaled,
         "dedup_semantic_cells": _semantic_scaled,
         "similarity_pq_adc": _pq_scaled,
+        "similarity_ivf_pq": _ivf_pq_scaled,
     }
     scaled_geometry = {
         "dedup_simhash": "band_bits=20 (3 bands, 2^20 keys)",
         "similarity_ivf_probe": "seed_bits=5 (320 cells)",
         "dedup_semantic_cells": "seed_bits=5 (320 cells)",
         "similarity_pq_adc": "query_stride=5987 (~20 queries)",
+        "similarity_ivf_pq": "seed_bits=5, 32/320 lists, stride 5987",
     }
 
     table: dict[str, dict[str, object]] = {}
@@ -231,7 +265,7 @@ def main() -> None:
             # 5987 at scale (120 000 vecs)
             n_scale_q = (
                 120000 // 5987 + 1
-                if name == "similarity_pq_adc"
+                if name in ("similarity_pq_adc", "similarity_ivf_pq")
                 else 120000 // 53 + 1
             )
             entry["per_query_ms"] = {
@@ -239,6 +273,25 @@ def main() -> None:
                 "sfscale": round(scale / n_scale_q * 1000, 1),
             }
         table[name] = entry
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
+    # banded-rank family at the fixtures' natural 10×: exactness
+    # without a global sort must not cost super-linear wall time.
+    for name in BANDED_QUERIES:
+        fn = queries[name]
+        base, base_rows = _timed(fn, spark, BANDED_BASE_DIR)
+        scale, scale_rows = _timed(fn, spark, BANDED_SCALE_DIR)
+        table[name] = {
+            "sf0.01_sec": base,
+            "sf0.1_sec": scale,
+            "rows_out": {"sf0.01": base_rows, "sf0.1": scale_rows},
+            "ratio": round(scale / base, 1) if base else float("nan"),
+            "row_ratio": 10.0,
+            "out_ratio": (
+                round(scale_rows / base_rows, 1) if base_rows else float("nan")
+            ),
+        }
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
