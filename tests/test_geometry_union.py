@@ -124,10 +124,68 @@ def _png_decode(png: bytes):
     return w, h, color_type, rows[:, 1:].reshape(h, w, nch)
 
 
+def _ref_keys_cubic(x: float, a: float = -0.5) -> float:
+    ax = abs(x)
+    if ax < 1.0:
+        return ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0
+    if ax < 2.0:
+        return (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a
+    return 0.0
+
+
+def _ref_bicubic(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Independent scalar transcription of PIL's antialiased BICUBIC
+    convolution resize (Keys a=-0.5, kernel stretched by the scale
+    factor when downsampling, taps at pixel centers, rows normalized,
+    half-up rounding) — double loops, no shared code with the
+    vectorized engine kernel it checks."""
+
+    def axis(in_size: int, out_size: int) -> np.ndarray:
+        scale = in_size / out_size
+        fs = max(scale, 1.0)
+        support = 2.0 * fs
+        m = np.zeros((out_size, in_size))
+        for i in range(out_size):
+            center = (i + 0.5) * scale
+            lo = max(int(center - support + 0.5), 0)
+            hi = min(int(center + support + 0.5), in_size)
+            for j in range(lo, hi):
+                m[i, j] = _ref_keys_cubic(((j + 0.5) - center) / fs)
+            m[i] /= m[i].sum()
+        return m
+
+    nb, h, w = img.shape
+    wx, wy = axis(w, tw), axis(h, th)
+    out = np.empty((nb, th, tw))
+    for b in range(nb):
+        out[b] = wy @ (img[b].astype(np.float64) @ wx.T)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def test_bicubic_weights_hand_computed():
+    """Golden literals for the first row of the 4→2 downsample weight
+    matrix (scale 2 ⇒ filterscale 2, taps at x = -0.25, 0.25, 0.75,
+    1.25): k(0.25)=0.8671875, k(0.75)=0.2265625, k(1.25)=-0.0703125,
+    row sum 1.890625 before normalization — and the same-size resize
+    must be the identity (Keys kernel is 1 at 0, 0 at ±1, ±2)."""
+    from lake_satellite_image_etl_spark.multimodal.raster import (
+        bicubic_weights,
+    )
+
+    row0 = bicubic_weights(4, 2)[0]
+    s = 1.890625
+    expect = np.array(
+        [0.8671875 / s, 0.8671875 / s, 0.2265625 / s, -0.0703125 / s]
+    )
+    assert np.allclose(row0, expect, atol=1e-12)
+    assert np.allclose(bicubic_weights(5, 5), np.eye(5), atol=1e-12)
+
+
 def test_thumbnail_emits_valid_png(spark):
-    """U6 golden (VERDICT r6 item 5): thumbnail blobs parse as valid
-    PNG (signature, CRCs, dims) and the pixels round-trip the
-    nearest-neighbor decimation exactly."""
+    """U6 golden (VERDICT r6 item 5 + r7 item 7): thumbnail blobs
+    parse as valid PNG (signature, CRCs, dims) and the pixels match an
+    independent scalar bicubic reference exactly (uint8 after half-up
+    rounding)."""
     from lake_satellite_image_etl_spark.multimodal.raster import thumbnail
 
     w, h, nb = 21, 14, 3
@@ -141,9 +199,7 @@ def test_thumbnail_emits_valid_png(spark):
     assert (row.thumb_width, row.thumb_height) == (3, 2)
     pw, ph, color_type, px = _png_decode(bytes(row.thumb))
     assert (pw, ph, color_type) == (3, 2, 2)  # RGB
-    ys = (np.arange(2) * h) // 2
-    xs = (np.arange(3) * w) // 3
-    expect = img[:, ys][:, :, xs].transpose(1, 2, 0)
+    expect = _ref_bicubic(img, 3, 2).transpose(1, 2, 0)
     assert (px == expect).all()
 
 
