@@ -48,6 +48,18 @@ JDBC_MIN_ACCTBAL = 1000.0
 #: 30-day LOOKBACK default in streaming/ingest.py.
 STREAM_GATE_LOOKBACK = "90 days"
 
+#: State-store / per-batch shuffle partition count for the registered
+#: streaming drains. Stateful queries pin this at first checkpoint and
+#: pay per-partition store open/commit EVERY micro-batch, so it is
+#: sized to state volume, not to the session's batch-shuffle width:
+#: the fixtures carry a few MB of live state, where 8 stores are
+#: already generous (measured on the stream-stream join drain:
+#: 32 partitions → 18.3 s, 8 → 3.3 s, identical output). At 100 TB
+#: you'd size it as ceil(live state / ~1 GB per store) instead — the
+#: knob is ``state_partitions`` on every runner
+#: (streaming/ingest.state_partition_scope documents the contract).
+STREAM_STATE_PARTITIONS = 8
+
 
 def _scratch(prefix: str) -> str:
     """A per-call temp dir, removed at interpreter exit — safe with
@@ -145,7 +157,14 @@ def stream_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "ckpt")
-    run_available_now(spark, src, out, ckpt, lookback=STREAM_GATE_LOOKBACK)
+    run_available_now(
+        spark,
+        src,
+        out,
+        ckpt,
+        lookback=STREAM_GATE_LOOKBACK,
+        state_partitions=STREAM_STATE_PARTITIONS,
+    )
     # NO trailing distinct: dropDuplicatesWithinWatermark already makes
     # the landed PK set distinct (horizon covers the fixture span), and
     # the gate must verify that property — a distinct here would mask
@@ -206,6 +225,9 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lake_satellite_image_etl_spark.streaming.ingest import (
         read_events_stream,
     )
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        state_partition_scope,
+    )
     from lake_satellite_image_etl_spark.streaming.stateful import (
         sessionize_stateful,
     )
@@ -218,18 +240,19 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(src, "events.parquet"),
     )
     sink = f"sessionize_{uuid.uuid4().hex[:12]}"
-    q = (
-        sessionize_stateful(
-            read_events_stream(spark, src).select("user_id", "ts")
+    with state_partition_scope(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            sessionize_stateful(
+                read_events_stream(spark, src).select("user_id", "ts")
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(sink).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("n_sessions").alias("n_sessions"),
@@ -278,7 +301,11 @@ def stream_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(scratch, "out")
     run_windowed_counts_available_now(
-        spark, src, out, os.path.join(scratch, "ckpt")
+        spark,
+        src,
+        out,
+        os.path.join(scratch, "ckpt"),
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return spark.read.parquet(out).select("window_start", "event_type", "n")
 
@@ -325,7 +352,11 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = os.path.join(scratch, "out")
     run_stream_stream_join_available_now(
-        spark, src, out, os.path.join(scratch, "ckpt")
+        spark,
+        src,
+        out,
+        os.path.join(scratch, "ckpt"),
+        state_partitions=STREAM_STATE_PARTITIONS,
     )
     return spark.read.parquet(out).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
@@ -444,7 +475,9 @@ def stream_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(part, os.path.join(src, f"{name}.parquet"))
     snap = os.path.join(scratch, "snap")
     ckpt = os.path.join(scratch, "ckpt")
-    latest = run_stream_cdc(spark, src, snap, ckpt)
+    latest = run_stream_cdc(
+        spark, src, snap, ckpt, state_partitions=STREAM_STATE_PARTITIONS
+    )
     return (
         spark.read.parquet(latest)
         .filter(F.col("event_type") != CDC_DELETE_OP)
