@@ -120,3 +120,27 @@ def test_sessionize_group_chunk_order_invariant():
     out2 = list(_sessionize_group((7,), iter([later]), state))
     row2 = out2[0].iloc[0]
     assert (row2["n_events"], row2["n_sessions"]) == (7, 2)
+
+
+def test_state_partition_scope_restores(spark):
+    """The scope must restore the session's shuffle width on exit and
+    on error — a leaked low setting would silently narrow every batch
+    shuffle that follows the streaming drain."""
+    from lake_satellite_image_etl_spark.streaming.ingest import (
+        state_partition_scope,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with state_partition_scope(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+    with pytest.raises(RuntimeError):
+        with state_partition_scope(spark, 3):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+    # n=None leaves the session untouched (no set/restore churn)
+    with state_partition_scope(spark, None):
+        assert spark.conf.get(key) == before
