@@ -268,3 +268,42 @@ def test_standardized_dimensions_have_zero_mean_unit_variance(spark):
         .collect()
     )
     assert all(abs(r["zm"]) < 1e-9 and abs(r["zv"] - 1) < 1e-9 for r in z)
+
+
+def test_pdot_matches_hof_dot(spark):
+    """pdot_long (Arrow numpy einsum) must be bit-identical to
+    dot_long (Catalyst zip_with+aggregate fold) — ivf_assign's
+    affinity matrix relies on swapping one for the other without
+    moving a single oracle hash. Includes negatives and
+    centroid-scale magnitudes (sums of ~10^4-quantized components)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.vectors import (
+        dot_long,
+        pdot_long,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            [rng.randint(-4 * 10**6, 4 * 10**6) for _ in range(64)],
+            [rng.randint(-15000, 15000) for _ in range(64)],
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<long>, b array<long>"
+    )
+    bad = (
+        df.select(
+            "id",
+            dot_long(F.col("a"), F.col("b")).alias("hof"),
+            pdot_long(F.col("a"), F.col("b")).alias("npy"),
+        )
+        .filter(F.col("hof") != F.col("npy"))
+        .count()
+    )
+    assert bad == 0
