@@ -8,9 +8,10 @@ of the clustered columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lake_satellite_image_etl_spark.functions.text import tok_hash60
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -121,4 +122,95 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("min_y"),
             F.max("y").alias("max_y"),
         )
+    )
+
+
+#: compaction planning: files are the (source, shard) micro-files the
+#: corpus writer emits; bins target this many bytes (chars proxy).
+N_COMPACT_SHARDS = 64
+COMPACT_TARGET_BYTES = 8192
+
+
+@query(
+    "layout_compaction",
+    oracle=f"""
+    -- small-file compaction plan (the OPTIMIZE bin-packing step):
+    -- roll the writer's micro-files ((source, shard) slices of the
+    -- corpus, {N_COMPACT_SHARDS} hash shards) into
+    -- ~{COMPACT_TARGET_BYTES}-byte rewrite groups by next-fit over
+    -- the running byte total in stable shard order — the planning
+    -- table a compactor executes one rewrite task per row of.
+    WITH files AS (
+        SELECT source,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % {N_COMPACT_SHARDS} AS shard,
+               sum(n_chars)::BIGINT AS bytes,
+               count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    binned AS (
+        SELECT source, shard, bytes, n_docs,
+               (coalesce(sum(bytes) OVER (
+                   PARTITION BY source ORDER BY shard
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // {COMPACT_TARGET_BYTES})::BIGINT AS bin
+        FROM files
+    )
+    SELECT source, bin,
+           count(*)::BIGINT AS n_files,
+           sum(bytes)::BIGINT AS total_bytes,
+           sum(n_docs)::BIGINT AS total_docs,
+           min(shard) AS first_shard, max(shard) AS last_shard
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the Delta/Iceberg ``OPTIMIZE``
+    front half: given the writer's micro-file inventory (here the
+    (source, shard) slices of the corpus, sized in bytes), pack
+    consecutive files into ~{COMPACT_TARGET_BYTES}-byte rewrite groups
+    by NEXT-FIT over the running byte total in stable shard order.
+    Each output row is one rewrite task (its file list is the
+    first/last shard range); next-fit over a deterministic order makes
+    the plan reproducible and restart-safe — a re-run after a partial
+    compaction schedules the identical remaining groups.
+
+    Plan: the file inventory is one groupBy over the corpus
+    (|sources × shards| rows); the packing itself is a window cumsum
+    on that BOUNDED table — the corpus is scanned once, the planning
+    math never touches it again. At 100 TB the inventory comes from
+    the metastore/manifest instead, and this exact window runs on
+    millions of file rows, trivially."""
+    docs = read_table(spark, sf_dir, "documents")
+    files = (
+        docs.groupBy(
+            "source",
+            (
+                tok_hash60(F.col("doc_id").cast("string"))
+                % N_COMPACT_SHARDS
+            ).alias("shard"),
+        )
+        .agg(
+            F.sum("n_chars").cast("long").alias("bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / COMPACT_TARGET_BYTES
+        ),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.min("shard").alias("first_shard"),
+        F.max("shard").alias("last_shard"),
     )

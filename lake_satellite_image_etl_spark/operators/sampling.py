@@ -185,6 +185,61 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PPS sampling: inclusion probability = n_chars / PPS_UNIT (docs are
+#: far below the unit, so p < 1 always holds on this corpus; the
+#: operator still clamps defensively).
+PPS_UNIT = 1024
+
+
+@query(
+    "sample_pps_weighted",
+    oracle=f"""
+    -- probability-proportional-to-size Poisson sampling with exact
+    -- integer inclusion arithmetic: include a document iff
+    -- hash(doc_id) mod {PPS_UNIT} < n_chars, i.e. p = n_chars/{PPS_UNIT}
+    -- — long documents (more training tokens) are proportionally more
+    -- likely to be drawn, and the Horvitz-Thompson weight 1/p makes
+    -- any downstream sum over the sample an unbiased corpus estimate.
+    SELECT doc_id, source, n_chars,
+           round(least(n_chars, {PPS_UNIT}) / {PPS_UNIT}.0, 6)
+               AS inclusion_prob,
+           round({PPS_UNIT}.0 / least(n_chars, {PPS_UNIT}), 6) AS ht_weight
+    FROM documents
+    WHERE {_sql_key_hash("doc_id")} % {PPS_UNIT}
+              < least(n_chars, {PPS_UNIT})
+    """,
+)
+def sample_pps_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) Poisson sampling —
+    the survey-statistics draw a corpus-metrics job wants: each
+    document enters the sample with probability proportional to its
+    size (p = n_chars/{PPS_UNIT}), decided by EXACT integer arithmetic
+    on its stable hash, never a float comparison, so every engine and
+    every re-run draws the identical set. The emitted
+    Horvitz-Thompson weight (1/p) turns sample sums into unbiased
+    estimates of corpus totals.
+
+    Plan: a narrow pushable filter (hash + integer compare) and two
+    arithmetic columns — scan-speed, no shuffle, no coordination
+    between rows; at 100 TB this is the cheapest possible sampling
+    primitive and composes with the hash splits above (a PPS draw of
+    the train split is stable too)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sz = F.least(F.col("n_chars"), F.lit(PPS_UNIT))
+    return (
+        docs.filter(
+            tok_hash60(F.col("doc_id").cast("string")) % PPS_UNIT < sz
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(sz / F.lit(float(PPS_UNIT)), 6).alias("inclusion_prob"),
+            F.round(F.lit(float(PPS_UNIT)) / sz, 6).alias("ht_weight"),
+        )
+    )
+
+
 #: stratified sampling: proportional allocation at this rate, with a
 #: floor of one row per stratum so rare strata never vanish.
 STRAT_PCT = 10

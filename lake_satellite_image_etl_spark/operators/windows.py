@@ -560,3 +560,80 @@ def window_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_active_day"
         ),
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    oracle="""
+    -- time-weighted average (TWAP) of `value` per (user, day): each
+    -- reading is held until the next one (last reading held to day
+    -- end), so irregular sampling can't bias the mean toward chatty
+    -- periods. Durations are EXACT integer microseconds (epoch_us);
+    -- the one double division happens last.
+    WITH s AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               epoch_us(ts) AS t_us,
+               coalesce(
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, CAST(ts AS DATE)
+                       ORDER BY ts, event_id),
+                   epoch_us(CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP))
+               ) AS t_next_us
+        FROM events
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_readings,
+           sum(t_next_us - t_us)::BIGINT AS covered_us,
+           round(sum(value * (t_next_us - t_us))
+                     / sum(t_next_us - t_us), 6) AS twap
+    FROM s GROUP BY user_id, day
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of `value` per (user, day) — the
+    correct mean for irregularly-sampled state readings (sensor
+    values, account balances, queue depths): each reading is weighted
+    by how long it was CURRENT (held until the next reading; the last
+    one held to day end), so a burst of samples in one minute counts
+    for one minute, not for most of the average. Durations are exact
+    integer microseconds end to end; the single double division is the
+    final step.
+
+    Scale shape: one shuffle on (user, day) shared by the lead()
+    window and the aggregate — Catalyst plans a single exchange+sort.
+    Day keys bound every partition's span, so state never grows with
+    history; this is also the batch twin of a streaming session
+    holdover (lead == the next micro-batch's arrival)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    day_end_us = F.unix_micros(
+        F.date_add(day, 1).cast("timestamp")
+    )
+    s = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.coalesce(
+            F.lead(F.unix_micros("ts")).over(w), day_end_us
+        ).alias("t_next_us"),
+    )
+    dt = F.col("t_next_us") - F.col("t_us")
+    return (
+        s.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_readings"),
+            F.sum(dt).cast("long").alias("covered_us"),
+            F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias(
+                "twap"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_readings",
+            "covered_us",
+            "twap",
+        )
+    )
