@@ -629,6 +629,109 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: containment detection: C(A→B) = |S_A ∩ S_B| / |S_A| over the
+#: df-capped shingle universe; shingles in more than CONTAIN_DF_CAP
+#: docs are stopword-shingles and excluded on BOTH engines.
+CONTAIN_DF_CAP = 50
+CONTAIN_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    -- asymmetric containment (quote / excerpt / subset detection):
+    -- C(A→B) = |S_A ∩ S_B| / |S_A| over distinct hashed 3-gram
+    -- shingles — catches a short doc living inside a long one, which
+    -- symmetric Jaccard structurally misses (J ≈ |A|/|B| → 0 as B
+    -- grows). Intersections come EXACTLY from the inverted index;
+    -- shingles with df > {CONTAIN_DF_CAP} are dropped as
+    -- stopword-shingles (the universe is defined identically here
+    -- and in the engine).
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_HSHINGLES} AS hsh FROM t),
+    ex AS (SELECT doc_id, unnest(hsh) AS s FROM sh),
+    dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    keep AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfq USING (s)
+             WHERE df <= {CONTAIN_DF_CAP}),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh
+              FROM keep GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared
+        FROM keep a JOIN keep b
+          ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, sa.n_sh AS n_a, n_shared,
+           round(n_shared::DOUBLE / sa.n_sh, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared::DOUBLE / sa.n_sh >= {CONTAIN_THRESHOLD}
+      AND sa.n_sh <= sb.n_sh
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — the quote/excerpt catcher:
+    emit directed pairs A→B where ≥ {CONTAIN_THRESHOLD:.0%} of A's
+    distinct 3-gram shingles also appear in B (and A is the
+    smaller side). Jaccard-family near-dup misses exactly this case
+    (a tweet quoted inside an article has J ≈ 0 but containment 1.0),
+    and training pipelines care because the contained copy is the one
+    to drop.
+
+    Scale shape: candidate pairs and intersection counts both come
+    from ONE inverted-index self-equi-join on shingle hash — a pair
+    is materialized only if it shares ≥1 indexed shingle, and the
+    shuffle carries (doc_a, doc_b) keys, never text. The df-cap
+    (> {CONTAIN_DF_CAP} docs ⇒ stopword-shingle, excluded) bounds the
+    per-key fanout, so no hot shingle can quadratically explode a
+    partition — the same guard CCNet-style pipelines ship; the
+    containment universe is defined identically in the oracle, so the
+    results stay engine-exact."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    )
+    ex = sh.select("doc_id", F.explode("hsh").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        ex.join(df_tbl, "s")
+        .filter(F.col("df") <= CONTAIN_DF_CAP)
+        .select("doc_id", "s")
+        .localCheckpoint(eager=True)
+    )
+    sizes = keep.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = keep.select(F.col("doc_id").alias("doc_a"), "s")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    containment = F.col("n_shared") / F.col("n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (containment >= CONTAIN_THRESHOLD)
+            & (F.col("n_a") <= F.col("n_b"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_shared",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
 #: span-level exact dedup: consecutive SPAN_TOKENS-token windows, the
 #: C4/Lee-et-al.-2022 substring-dedup unit when the corpus carries no
 #: paragraph boundaries (k = 50 tokens in the paper; 10 here so the

@@ -464,3 +464,125 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("n_v1") != F.col("n_v2"))
         | (F.col("total_v1") != F.col("total_v2"))
     )
+
+
+#: late-arrival simulation for the backfill planner: rows whose hash
+#: lands in 1/LATE_MOD arrived AFTER the snapshot was taken.
+LATE_MOD = 501
+#: content fingerprints sum per-row hashes reduced mod this, keeping
+#: the per-day sum exactly inside int64 at any partition size.
+FP_MOD = 1_000_000_000
+
+
+@query(
+    "incremental_backfill_partitions",
+    oracle=f"""
+    -- backfill planner (the late-data scheduler): which CLOSED daily
+    -- partitions changed since the snapshot, and by how much. The
+    -- snapshot materialized everything before the 7-day watermark
+    -- cutoff; since then, late rows (hash mod {LATE_MOD} = 0 here)
+    -- arrived INTO those closed days. Compare per-day row counts and
+    -- an order-independent content fingerprint (sum of per-row
+    -- hashes mod {FP_MOD} — exact integers); emit only days needing
+    -- a rewrite. A day whose count matches but whose fingerprint
+    -- differs still surfaces (update-in-place corruption).
+    WITH cutoff AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events),
+    closed AS (
+        SELECT CAST(ts AS DATE) AS day, event_id,
+               ('0x' || substring(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                   AS h
+        FROM events, cutoff WHERE ts < c
+    ),
+    snap AS (
+        SELECT day, count(*)::BIGINT AS n,
+               sum(h % {FP_MOD})::BIGINT AS fp
+        FROM closed WHERE h % {LATE_MOD} <> 0 GROUP BY day
+    ),
+    cur AS (
+        SELECT day, count(*)::BIGINT AS n,
+               sum(h % {FP_MOD})::BIGINT AS fp
+        FROM closed GROUP BY day
+    )
+    SELECT strftime(coalesce(snap.day, cur.day), '%Y-%m-%d') AS day,
+           coalesce(snap.n, 0) AS rows_snapshot,
+           coalesce(cur.n, 0) AS rows_current,
+           coalesce(cur.n, 0) - coalesce(snap.n, 0) AS rows_late,
+           CASE WHEN snap.day IS NULL THEN 'new_partition'
+                ELSE 'rewrite' END AS action
+    FROM snap FULL OUTER JOIN cur ON snap.day = cur.day
+    WHERE snap.day IS NULL OR cur.day IS NULL
+       OR snap.n <> cur.n OR snap.fp <> cur.fp
+    """,
+)
+def incremental_backfill_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill planner — the scheduling table a late-data pipeline
+    derives its rewrite jobs from: diff every CLOSED daily partition
+    between the materialized snapshot and the current table, using
+    per-day row counts plus an order-independent integer content
+    fingerprint (sum of per-row hashes mod {FP_MOD}), and emit only
+    the days that need rewriting. Count-equal-but-content-different
+    days still surface — the failure mode a row-count-only audit
+    silently ships.
+
+    Scale shape: both sides collapse to |days| rows with map-side
+    partial aggregation before the full outer join — the raw table is
+    scanned once (the snapshot filter and the current pass share the
+    scan), nothing row-level ever shuffles, and on a date-partitioned
+    layout the `ts < cutoff` predicate is partition pruning. The
+    planner's output is exactly the partition list the rewrite job
+    feeds back into, making the backfill loop incremental and
+    idempotent."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("c"))
+    closed = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("c"))
+        .select(
+            F.to_date("ts").alias("day"),
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    snap = (
+        closed.filter(F.col("h") % LATE_MOD != 0)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("h") % FP_MOD).cast("long").alias("fp"),
+        )
+    )
+    cur = closed.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("h") % FP_MOD).cast("long").alias("fp"),
+    )
+    s = snap.select(
+        F.col("day").alias("day_s"), F.col("n").alias("n_s"), F.col("fp").alias("fp_s")
+    )
+    c = cur.select(
+        F.col("day").alias("day_c"), F.col("n").alias("n_c"), F.col("fp").alias("fp_c")
+    )
+    j = s.join(c, s.day_s == c.day_c, "full_outer")
+    return (
+        j.filter(
+            F.col("day_s").isNull()
+            | F.col("day_c").isNull()
+            | (F.col("n_s") != F.col("n_c"))
+            | (F.col("fp_s") != F.col("fp_c"))
+        )
+        .select(
+            F.date_format(F.coalesce("day_s", "day_c"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.coalesce("n_s", F.lit(0)).cast("long").alias("rows_snapshot"),
+            F.coalesce("n_c", F.lit(0)).cast("long").alias("rows_current"),
+            (
+                F.coalesce("n_c", F.lit(0)) - F.coalesce("n_s", F.lit(0))
+            ).cast("long").alias("rows_late"),
+            F.when(F.col("day_s").isNull(), "new_partition")
+            .otherwise("rewrite")
+            .alias("action"),
+        )
+    )
