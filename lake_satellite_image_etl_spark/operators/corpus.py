@@ -1374,3 +1374,133 @@ def corpus_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+#: fixed merge table for BPE APPLICATION (rank order matters: 'an'
+#: must exist before ('an','d') can fire) — in production this is the
+#: artifact corpus_bpe_learn emits; a literal here so the apply step
+#: is a standalone, data-independent query.
+BPE_APPLY_MERGES = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+)
+
+
+def _merge_fold_lit(l_sym: str, r_sym: str) -> str:
+    """The left-to-right non-overlapping merge fold with the pair as
+    literals (same fold as _BPE_MERGE_FOLD; a merged symbol
+    l_sym||r_sym can never equal l_sym, so the fold merges exactly
+    where a positional scan would)."""
+    return f"""aggregate(syms, cast(array() as array<string>),
+      (acc, x) -> IF(size(acc) > 0 AND element_at(acc, -1) = '{l_sym}'
+                         AND x = '{r_sym}',
+                     concat(slice(acc, 1, size(acc) - 1),
+                            array('{l_sym}{r_sym}')),
+                     concat(acc, array(x))))"""
+
+
+def _bpe_apply_oracle() -> str:
+    blocks = [
+        """w0 AS MATERIALIZED (
+        SELECT word,
+               [word[i] FOR i IN generate_series(1, len(word))] AS syms
+        FROM (SELECT DISTINCT unnest(string_split(lower(text), ' '))
+                  AS word
+              FROM documents)
+        WHERE word <> ''
+    )"""
+    ]
+    for r, (l, rr) in enumerate(BPE_APPLY_MERGES):
+        blocks.append(f"""s{r} AS (
+        SELECT word, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out
+        FROM w{r}
+        UNION ALL
+        SELECT word, syms,
+               CASE WHEN pos < len(syms) AND syms[pos] = '{l}'
+                         AND syms[pos + 1] = '{rr}'
+                    THEN pos + 2 ELSE pos + 1 END,
+               list_append(out,
+                   CASE WHEN pos < len(syms) AND syms[pos] = '{l}'
+                             AND syms[pos + 1] = '{rr}'
+                        THEN '{l}{rr}' ELSE syms[pos] END)
+        FROM s{r} WHERE pos <= len(syms)
+    ),
+    w{r + 1} AS MATERIALIZED (SELECT word, out AS syms FROM s{r}
+                 WHERE pos > len(syms))""")
+    n = len(BPE_APPLY_MERGES)
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(blocks)
+        + f""",
+    tok AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    )
+    SELECT tok.source,
+           count(*)::BIGINT AS n_words,
+           sum(len(tok.word))::BIGINT AS n_base_syms,
+           sum(len(d.syms))::BIGINT AS n_bpe_syms,
+           round(sum(len(tok.word))::DOUBLE / sum(len(d.syms)), 6)
+               AS compression,
+           round(sum(len(d.syms))::DOUBLE / count(*), 6) AS fertility
+    FROM tok JOIN w{n} d USING (word)
+    WHERE tok.word <> ''
+    GROUP BY tok.source"""
+    )
+
+
+@query("corpus_bpe_apply", oracle=_bpe_apply_oracle())
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale — apply a learned merge table
+    (here the fixed {len(BPE_APPLY_MERGES)}-rule artifact; in
+    production, corpus_bpe_learn's output) to every document and
+    report per-source token economics: base symbols vs BPE symbols,
+    compression, and fertility (BPE symbols per word). This is the
+    half of the tokenizer lifecycle the TRAINING JOB runs on all
+    100 TB; learning ran once on a sample.
+
+    Scale shape (the dictionary trick, same as wordpiece): the merge
+    folds run once per DISTINCT word — vocabulary-sized work, each
+    merge one JVM higher-order fold in rank order, no Python UDF —
+    and the corpus-sized stream does one broadcast join against the
+    encoded dictionary plus one per-source aggregate. Encoding cost
+    is O(vocab × merges), independent of corpus size."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    dic = (
+        toks.select("word")
+        .distinct()
+        .select("word", F.split("word", "").alias("syms"))
+    )
+    for l_sym, r_sym in BPE_APPLY_MERGES:
+        dic = dic.select(
+            "word", F.expr(_merge_fold_lit(l_sym, r_sym)).alias("syms")
+        )
+    dic = dic.select(
+        "word",
+        F.length("word").cast("long").alias("n_base"),
+        F.size("syms").cast("long").alias("n_bpe"),
+    )
+    return (
+        toks.join(F.broadcast(dic), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_base").cast("long").alias("n_base_syms"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_syms"),
+            F.round(F.sum("n_base") / F.sum("n_bpe"), 6).alias(
+                "compression"
+            ),
+            F.round(F.sum("n_bpe") / F.count(F.lit(1)), 6).alias(
+                "fertility"
+            ),
+        )
+    )
