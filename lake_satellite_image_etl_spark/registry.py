@@ -158,6 +158,13 @@ _PRIORITY = (
     "corpus_token_budget_split",
     "similarity_ivf_scaled",
     "similarity_ivf_pq",
+    # r8-new entries (all full-oracle, local-green):
+    "dedup_containment",
+    "incremental_backfill_partitions",
+    "corpus_bpe_apply",
+    "sample_pps_weighted",
+    "layout_compaction",
+    "window_time_weighted_avg",
     # Previously driver-confirmed entries, rotated out (green in
     # r1-r7 windows and in the local gate; kernels unchanged or
     # covered by golden tests this round):

@@ -44,6 +44,7 @@ ALLOWED_BNLJ = {
     "pipeline_image_records",
     "incremental_lookback",
     "incremental_new_keys",
+    "incremental_backfill_partitions",
     "similarity_topk_bruteforce",
     "similarity_ivf_probe",
     "similarity_ivf_scaled",
