@@ -300,8 +300,8 @@ def corpus_contamination_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leave the join — output is hits only (the decontamination
     worklist), not corpus-sized."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
     bench = (
@@ -576,8 +576,8 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # one shingling pass serves both the filter build (bench rows) and
     # the probe scan
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     ).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
     bench_pos = (
@@ -759,8 +759,8 @@ def corpus_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair group-by keys on (bench, train) pairs that actually share
     shingles, so output is the leak worklist, never |bench| × |corpus|."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     bench = sh.filter(F.col("doc_id") < CONT_BENCH_MAX).select(
         F.col("doc_id").alias("bench_id"),
@@ -1080,8 +1080,8 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage."""
     docs = read_table(spark, sf_dir, "documents")
     ranked = quality_pct_ranked(docs)
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
     bench = sh.filter(is_bench).select(F.explode("hsh").alias("s")).distinct()

@@ -21,7 +21,7 @@ has a full DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.functions.text import (
@@ -225,8 +225,8 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     returns (doc_a, doc_b, jaccard) with jaccard ≥ JACCARD_THRESHOLD.
     Reused by dedup_cluster_assign (raw documents) and
     pipeline_corpus_dedup (exact-dedup survivor set)."""
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     sig = sh.select(
         "doc_id",
@@ -568,10 +568,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not cache(): no-unpersist caches leak storage
     # across queries in a shared session, ADVICE r2; checkpoint blocks
     # free when this query's DataFrames are dropped).
-    sh = docs.select(
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
         "doc_id",
         F.floor(F.col("n_chars") / NGRAM_BLOCK_CHARS).alias("len_bucket"),
-        hashed_shingles(tokens_of(F.col("text"))).alias("shingles"),
+        hashed_shingles(F.col("_toks")).alias("shingles"),
     ).localCheckpoint(eager=True)
 
     # ---- prefix filtering (PPJoin-style, EXACT) -------------------
@@ -680,54 +680,86 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     and training pipelines care because the contained copy is the one
     to drop.
 
-    Scale shape: candidate pairs and intersection counts both come
-    from ONE inverted-index self-equi-join on shingle hash — a pair
-    is materialized only if it shares ≥1 indexed shingle, and the
-    shuffle carries (doc_a, doc_b) keys, never text. The df-cap
-    (> {CONTAIN_DF_CAP} docs ⇒ stopword-shingle, excluded) bounds the
-    per-key fanout, so no hot shingle can quadratically explode a
-    partition — the same guard CCNet-style pipelines ship; the
-    containment universe is defined identically in the oracle, so the
-    results stay engine-exact."""
+    Scale shape: ONE exchange (groupBy shingle hash) builds the
+    inverted index as posting-list buckets; candidate pairs and exact
+    intersection counts then fall out of an in-memory pair expansion
+    per bucket (pair_combos HOF) + one (doc_a, doc_b) count — no
+    index self-join, and the shuffles carry ids and counts, never
+    text. The df-cap (> {CONTAIN_DF_CAP} docs ⇒ stopword-shingle,
+    bucket dropped) bounds every bucket's expansion at
+    C({CONTAIN_DF_CAP},2) pairs, so no hot shingle can quadratically
+    explode a partition — the same guard CCNet-style pipelines ship;
+    the containment universe is defined identically in the oracle, so
+    the results stay engine-exact."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     ex = sh.select("doc_id", F.explode("hsh").alias("s"))
-    df_tbl = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    keep = (
-        ex.join(df_tbl, "s")
-        .filter(F.col("df") <= CONTAIN_DF_CAP)
-        .select("doc_id", "s")
+    # ONE exchange builds the inverted index as posting-list buckets;
+    # the df-cap is the bucket-size filter, after which every bucket
+    # expands to at most C({CONTAIN_DF_CAP},2) pairs as an in-memory
+    # HOF (pair_combos) — no index self-join, no second pass over the
+    # explode. Eager checkpoint: the buckets feed both the pair
+    # expansion and the per-doc size table.
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
+        .filter(F.size("m") <= CONTAIN_DF_CAP)
         .localCheckpoint(eager=True)
     )
-    sizes = keep.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
+    sizes = (
+        buckets.select(F.explode("m").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     )
-    a = keep.select(F.col("doc_id").alias("doc_a"), "s")
-    b = keep.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        buckets.filter(F.size("m") >= 2)
+        .select(F.explode(pair_combos(F.col("m"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("doc_lo"), F.col("p.b").alias("doc_hi")
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    containment = F.col("n_shared") / F.col("n_a")
+    lo = sizes.select(
+        F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo")
+    )
+    hi = sizes.select(
+        F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi")
+    )
+    # each undirected pair yields the directed rows whose A side is
+    # the smaller set and clears the threshold (both directions when
+    # the sizes tie — containment is then equal both ways)
+    directed = F.filter(
+        F.array(
+            F.struct(
+                F.col("doc_lo").alias("doc_a"),
+                F.col("doc_hi").alias("doc_b"),
+                F.col("n_lo").alias("n_a"),
+                (F.col("n_lo") <= F.col("n_hi")).alias("ok"),
+            ),
+            F.struct(
+                F.col("doc_hi").alias("doc_a"),
+                F.col("doc_lo").alias("doc_b"),
+                F.col("n_hi").alias("n_a"),
+                (F.col("n_hi") <= F.col("n_lo")).alias("ok"),
+            ),
+        ),
+        lambda d: d["ok"]
+        & (F.col("n_shared") / d["n_a"] >= CONTAIN_THRESHOLD),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (containment >= CONTAIN_THRESHOLD)
-            & (F.col("n_a") <= F.col("n_b"))
-        )
+        inter.join(lo, "doc_lo")
+        .join(hi, "doc_hi")
+        .select("n_shared", F.explode(directed).alias("d"))
         .select(
-            "doc_a",
-            "doc_b",
-            "n_a",
+            F.col("d.doc_a").alias("doc_a"),
+            F.col("d.doc_b").alias("doc_b"),
+            F.col("d.n_a").alias("n_a"),
             "n_shared",
-            F.round(containment, 6).alias("containment"),
+            F.round(F.col("n_shared") / F.col("d.n_a"), 6).alias(
+                "containment"
+            ),
         )
     )
 
@@ -1498,9 +1530,9 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as _W
 
-    sh = docs.select(
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
         "doc_id",
-        hashed_shingles(tokens_of(F.col("text"))).alias("hsh"),
+        hashed_shingles(F.col("_toks")).alias("hsh"),
     ).withColumn("key", F.array_min("hsh"))
     # materialize the shingled table ONCE — three consumers below
     # (bucket counts + both sides of the neighbor join) would each
@@ -1605,8 +1637,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (dedup_minhash_lsh) is the backfill form. Verify stays
     candidate-only. No quadratic stage anywhere."""
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", hashed_shingles(tokens_of(F.col("text"))).alias("hsh")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     sig = sh.select(
         "doc_id", "hsh", minhash_sig_from_hashes(F.col("hsh")).alias("sig")

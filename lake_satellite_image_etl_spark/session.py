@@ -48,6 +48,19 @@ def get_spark(
         # no-op. (Found via the 120 K smoke: every doc query looked
         # ~20× super-linear because the fixture was a single split.)
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # InferFiltersFromGenerate copies the generator's child
+        # expression into a `size(...) > 0` Filter — for the HOF-heavy
+        # arrays this engine explodes (shingle+md5 chains, band
+        # transforms) that re-evaluates the WHOLE chain once more per
+        # row, measured 2.4 s -> 0.65 s on the shingle index stage
+        # (r8). The inferred filter only skips empty arrays, which
+        # plain explode skips anyway — semantics identical, the rule
+        # is pure overhead for expensive generators (cf. SPARK-36715).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         # Deterministic, oracle-comparable timestamps.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -47,7 +47,9 @@ DOC_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
     "dedup_sorted_neighborhood",
+    "dedup_containment",
     "corpus_bloom_prefilter",
+    "corpus_bpe_apply",
     "text_profile",
     "text_tfidf_top_terms",
     "text_bigram_lm_score",
