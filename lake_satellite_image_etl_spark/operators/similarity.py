@@ -306,7 +306,9 @@ def similarity_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, seed_bits: int = 0, keep_ranks: int | None = None
+) -> DataFrame:
     """Build the IVF codebook and rank every vector against every
     cell: coarse quantizer seeded by per-label integer centroids —
     split ``2**seed_bits`` ways per label by deterministic sign-LSH
@@ -319,6 +321,13 @@ def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
     from the assignment): the k-means training step itself, expressed
     relationally, so cells are geometry-driven. Exact integer sums
     keep the assignment engine-independent.
+
+    ``keep_ranks`` caps how many cell ranks each vector emits (None =
+    all cells): consumers only ever read ``crank <= n_probe``, and at
+    √n cells emitting the full ranking would materialize n·√n rows —
+    the cap keeps the assignment output at n·n_probe. The Lloyd
+    refinement round internally uses keep 1 (it only needs each
+    vector's nearest seed).
 
     Returns ``(vec_id, qv, nrm, c_label, c_cos, crank)`` — crank 1 is
     the vector's cell (the ``lists`` CTE of ``SQL_IVF_CELL_CTES``);
@@ -368,7 +377,7 @@ def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
     n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
     spark = emb.sparkSession
 
-    def assign(cent: DataFrame) -> DataFrame:
+    def assign(cent: DataFrame, keep: int | None = None) -> DataFrame:
         # The FAISS coarse-quantizer shape: the trained codebook is a
         # MODEL ARTIFACT of √n rows, so it is materialized once
         # (structurally capped at IVF_CODEBOOK_CAP cells ≈ 32 MB —
@@ -422,8 +431,9 @@ def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
                 )
                 # columns are pre-sorted by label, so a STABLE argsort
                 # on -cos reproduces orderBy(desc(c_cos), asc(c_label))
-                order = _np.argsort(-cos, axis=1, kind="stable")
-                rows = _np.repeat(_np.arange(b), k)
+                kk = k if keep is None else min(keep, k)
+                order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                rows = _np.repeat(_np.arange(b), kk)
                 cols = order.ravel()
                 yield _pd.DataFrame(
                     {
@@ -431,7 +441,7 @@ def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
                         "c_label": lab[cols],
                         "c_cos": cos[rows, cols],
                         "crank": _np.tile(
-                            _np.arange(1, k + 1, dtype=_np.int32), b
+                            _np.arange(1, kk + 1, dtype=_np.int32), b
                         ),
                     }
                 )
@@ -450,9 +460,13 @@ def ivf_assign(emb: DataFrame, seed_bits: int = 0) -> DataFrame:
     # seed codebook: per-label integer sums; one Lloyd refinement:
     # nearest-seed assignment → recompute centroids per assigned cell
     cent0 = centroids(q, "label")
-    cells = assign(cent0).filter(F.col("crank") == 1).select("vec_id", "qv", "c_label")
+    cells = (
+        assign(cent0, keep=1)
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "qv", "c_label")
+    )
     cent1 = centroids(cells, "c_label")
-    return assign(cent1)
+    return assign(cent1, keep=keep_ranks)
 
 
 def ivf_topk(
@@ -470,7 +484,12 @@ def ivf_topk(
     Scale: a query probes n_probe/cells of the corpus; the probe join
     shuffles on the centroid id (bounded, near-uniform after the
     Lloyd refinement)."""
-    assigned = ivf_assign(emb, seed_bits)
+    # lazy checkpoint: the ranked assignment feeds lists, probes and
+    # the query-norm table — without it the codebook matmul kernel
+    # (and its emb scan) re-runs once per consumer
+    assigned = ivf_assign(emb, seed_bits, keep_ranks=n_probe).localCheckpoint(
+        eager=False
+    )
     lists = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("candidate_id"),
         F.col("qv").alias("c_qv"),
@@ -715,7 +734,7 @@ def semantic_dedup_cells(
     ``seed_bits`` sizes the codebook (cells = labels × 2^seed_bits ≈
     √n — within-cell pair work is then n·√n total), ``tau`` is the
     duplicate bar."""
-    assigned = ivf_assign(emb, seed_bits)
+    assigned = ivf_assign(emb, seed_bits, keep_ranks=1)
     # materialize the cell assignment ONCE: it feeds three consumers
     # (both self-join sides + the cell-size aggregate), and without the
     # cut Catalyst replays the whole two-phase codebook build per
@@ -941,55 +960,58 @@ def pq_adc_topk(
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
-    # explode FIRST, then derive the seed bits from the 8-dim slice
-    # with literal plane arrays indexed by the m column: the pre-explode
-    # form inlined the unmaterialized qvec transform into every one of
-    # the 64 weight terms per subspace — a codegen blowup measured at
-    # 4x this plan's cost. localCheckpoint: three consumers below
-    # (cell counts, component sums, the assignment scan) must not each
-    # recompute the explode.
-    subs0 = q.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice("qv", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.sv")
-    # per-subspace plane weights as a BROADCAST 8-row table of scalar
-    # columns instead of literal arrays inlined per term: each
-    # element_at(literal_array, ...) embeds its own copy of the
-    # 64-literal array into codegen — 512 copies made Janino spend
-    # ~12 s compiling this one stage (measured; steady-state run was
-    # 6 s). Scalar-column refs keep the generated code linear.
-    wrows = [
-        tuple([m] + [PLANES[b][m * PQ_SUB + d] for b in range(PQ_BITS)
-                     for d in range(PQ_SUB)])
-        for m in range(PQ_M)
-    ]
-    wcols = [f"w_{b}_{d}" for b in range(PQ_BITS) for d in range(PQ_SUB)]
-    weights = spark.createDataFrame(
-        wrows, ", ".join(["m int"] + [f"{c} int" for c in wcols])
+    # ---- seed-cell assignment: ONE numpy sign-matmul kernel -------
+    # History: the relational spelling went literal-arrays (512 copies
+    # of a 64-literal array in codegen, ~12 s of Janino) -> broadcast
+    # weight table with a 512-term scalar expression (fast steady-
+    # state but ~5 s of Janino compile at EVERY construction — expr
+    # ids differ per DataFrame, so the codegen cache never hits). The
+    # kernel form is the same trick ivf_assign uses for its codebook:
+    # the plane matrix is a plan-time constant, each Arrow batch does
+    # one integer einsum, and the sign bits are exact in int64 —
+    # equivalence pinned by the unchanged DuckDB oracle.
+    wmat = np.array(
+        [
+            [
+                [PLANES[b][m * PQ_SUB + d] for d in range(PQ_SUB)]
+                for b in range(PQ_BITS)
+            ]
+            for m in range(PQ_M)
+        ],
+        dtype=np.int64,
     )
-    cell_bits = F.lit(0)
-    for b in range(PQ_BITS):
-        dotb = None
-        for d in range(PQ_SUB):
-            term = F.col("sv")[d] * F.col(f"w_{b}_{d}")
-            dotb = term if dotb is None else dotb + term
-        cell_bits = cell_bits + F.when(dotb >= 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
+    bitvals = np.array([1 << b for b in range(PQ_BITS)], dtype=np.int64)
+
+    def seed_cells(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            nb = len(pdf)
+            if not nb:
+                continue
+            x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+            xs = x.reshape(nb, PQ_M, PQ_SUB)
+            dots = _np.einsum("vms,mbs->vmb", xs, wmat)
+            cells = ((dots >= 0) * bitvals[None, None, :]).sum(axis=2)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "m": _np.tile(
+                        _np.arange(PQ_M, dtype=_np.int32), nb
+                    ),
+                    "sv": list(xs.reshape(nb * PQ_M, PQ_SUB)),
+                    "cell": cells.reshape(-1).astype(_np.int32),
+                }
+            )
+
+    # localCheckpoint: two consumers below (cell counts, component
+    # sums) must not each recompute the kernel scan.
     subs = (
-        subs0.join(F.broadcast(weights), "m")
-        .withColumn("cell", cell_bits)
-        .select("vec_id", "m", "sv", "cell")
+        q.mapInPandas(
+            seed_cells,
+            schema="vec_id long, m int, sv array<long>, cell int",
+        )
         .localCheckpoint(eager=False)
     )
     cnt = subs.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("n"))
@@ -1016,62 +1038,69 @@ def pq_adc_topk(
         .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
         .localCheckpoint(eager=False)
     )
-    centr = cent.select(
-        "m", F.col("cell").alias("c_cell"), "cq", "cn2"
-    )
-    # code assignment = per-(vec, m) ARGMAX affinity. max_by over a
-    # (affinity, -cell) ordering struct instead of a row_number window:
-    # the n x K affinity rows collapse MAP-SIDE (partial aggregation)
-    # to one row per (vec, m) before the shuffle — the window form
-    # sorts all n x K rows through one exchange (measured 22 s vs 6 s
-    # at sf0.1).
-    # the assignment scan is n x K rows: expand the {PQ_SUB}-dim dot
-    # into scalar arithmetic (no per-row array allocation / HOF loop —
-    # ~10x on this, the training hot path) and precompute each
-    # subvector's self-dot ONCE instead of per candidate cell.
-    subs_n = subs.select(
-        "vec_id",
-        "m",
-        dot_long(F.col("sv"), F.col("sv")).alias("svn2"),
-        *[F.col("sv")[d].alias(f"sv{d}") for d in range(PQ_SUB)],
-    )
-    centr_flat = centr.select(
-        "m",
-        "c_cell",
-        "cn2",
-        *[F.col("cq")[d].alias(f"cq{d}") for d in range(PQ_SUB)],
-    )
-    dot_expanded = None
-    for _d in range(PQ_SUB):
-        term = F.col(f"sv{_d}") * F.col(f"cq{_d}")
-        dot_expanded = term if dot_expanded is None else dot_expanded + term
-    aff = subs_n.join(F.broadcast(centr_flat), "m").select(
-        "vec_id",
-        "m",
-        "c_cell",
-        "cn2",
-        (
-            dot_expanded.cast("double")
-            / (
-                F.sqrt(F.col("svn2").cast("double"))
-                * F.sqrt(F.col("cn2").cast("double"))
+    # ---- code assignment: numpy argmax against the collected
+    # codebook (a model artifact of PQ_M x PQ_K rows — same
+    # materialize-once-and-broadcast treatment as ivf_assign's coarse
+    # codebook). For each (vec, m) the affinity row is one integer
+    # matmul against that subspace's centroids; cosine = exact int64
+    # dot / (sqrt * sqrt) — the identical IEEE ops the relational
+    # spelling ran, and the stable first-max argmax over cell-sorted
+    # columns reproduces max_by(struct(a, -c_cell)) including the NaN
+    # ordering (NaN poisons numpy argmax to the first NaN index = the
+    # lowest NaN cell, which is Spark's NaN-greatest + min-cell tie).
+    cent_rows = cent.collect()
+    by_m: dict[int, list] = {}
+    for r in cent_rows:
+        by_m.setdefault(r["m"], []).append(r)
+    cmats, cn2s, clabels = {}, {}, {}
+    for m, rows in by_m.items():
+        rows.sort(key=lambda r: r["cell"])
+        cmats[m] = np.array([r["cq"] for r in rows], dtype=np.int64)
+        cn2s[m] = np.array([r["cn2"] for r in rows], dtype=np.int64)
+        clabels[m] = np.array([r["cell"] for r in rows], dtype=np.int64)
+    bc_cent = spark.sparkContext.broadcast((cmats, cn2s, clabels))
+
+    def assign_codes(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cm, cn, cl = bc_cent.value
+        for pdf in batches:
+            nb = len(pdf)
+            if not nb:
+                continue
+            x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+            xs = x.reshape(nb, PQ_M, PQ_SUB)
+            out_cell = _np.empty((nb, PQ_M), dtype=_np.int64)
+            out_cn2 = _np.empty((nb, PQ_M), dtype=_np.int64)
+            for m in range(PQ_M):
+                xm = xs[:, m, :]
+                svn2 = _np.einsum("vs,vs->v", xm, xm).astype(_np.float64)
+                dots = (xm @ cm[m].T).astype(_np.float64)
+                a = dots / (
+                    _np.sqrt(svn2)[:, None]
+                    * _np.sqrt(cn[m].astype(_np.float64))[None, :]
+                )
+                best = _np.argmax(a, axis=1)
+                out_cell[:, m] = cl[m][best]
+                out_cn2[:, m] = cn[m][best]
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "m": _np.tile(
+                        _np.arange(PQ_M, dtype=_np.int32), nb
+                    ),
+                    "cell": out_cell.reshape(-1),
+                    "cn2": out_cn2.reshape(-1),
+                }
             )
-        ).alias("a"),
-    )
+
     # codes feed BOTH the reconstruction-norm table and the ADC score
-    # join — checkpoint so the n x K assignment scan runs once.
+    # join — checkpoint so the assignment kernel runs once.
     codes = (
-        aff.groupBy("vec_id", "m")
-        .agg(
-            F.expr(
-                "max_by(struct(c_cell, cn2), struct(a, -c_cell))"
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            "m",
-            F.col("best.c_cell").alias("cell"),
-            F.col("best.cn2").alias("cn2"),
+        q.mapInPandas(
+            assign_codes,
+            schema="vec_id long, m int, cell long, cn2 long",
         )
         .localCheckpoint(eager=False)
     )
@@ -1210,7 +1239,11 @@ def ivf_pq_topk(
     ADC-scored against the query's lookup table, then exact-reranked
     ``rerank`` deep. Per-query scan cost ∝ probed-list mass (compressed
     codes, no full vectors) — never the corpus."""
-    assigned = ivf_assign(emb, seed_bits)
+    # lazy checkpoint: the router reads the assignment twice (lists +
+    # probes); one materialization instead of two codebook rank runs
+    assigned = ivf_assign(emb, seed_bits, keep_ranks=n_probe).localCheckpoint(
+        eager=False
+    )
     lists = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("candidate_id"), "c_label"
     )
