@@ -597,8 +597,11 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) rows, never gram text repeated per occurrence. No
     sort, no window — scan-dominated at 100 TB."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens_of(F.col("text"))
-    grams = docs.select(
+    # bind the token split to a column first: the gram lambda slices
+    # `toks` once per position, and an inline split would re-tokenize
+    # at every reference (same lesson as shingles_of, r8)
+    toks = F.col("_toks")
+    grams = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
         "doc_id",
         F.explode(
             F.transform(
