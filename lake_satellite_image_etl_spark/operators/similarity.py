@@ -1378,3 +1378,117 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     return ivf_pq_topk(emb)
+
+
+# ----------------------------------------------------------- kNN graph
+
+#: neighbors per vector in the kNN graph
+KNN_K = 3
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    -- cell-restricted kNN graph: every vector's top-{KNN_K} exact
+    -- cosine neighbors WITHIN its IVF cell (the same seeded+refined
+    -- codebook as the ANN entries) — the graph SemDeDup-style
+    -- semantic filtering and connectivity-based curation consume.
+    WITH {{IVF_CTES}},
+    edges AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               {sql_dot("a.qv", "b.qv")}::DOUBLE / (a.nrm * b.nrm)
+                   AS cos
+        FROM lists a JOIN lists b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+    ),
+    rk AS (
+        SELECT vec_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id)
+                   AS rank
+        FROM edges
+    )
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim, rank
+    FROM rk WHERE rank <= {KNN_K}
+    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
+)
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction — every vector's top-{KNN_K} exact-cosine
+    neighbors within its IVF cell, the all-vectors sibling of the
+    query-set ANN entries: semantic-dedup clustering, graph-based
+    curation (connectivity filtering, label propagation over
+    embeddings), and diversity sampling all start from this edge list.
+    Cell restriction is what makes an n-vector graph buildable: exact
+    all-pairs is n² and unshippable at 100 TB.
+
+    Scale shape: one cell-assignment pass (broadcast √n-row codebook,
+    ``keep_ranks=1`` so the kernel emits one row per vector), then a
+    within-cell self-join shuffled on the cell id — pair work is
+    n·(n/cells), the ``seed_bits`` dial sizes cells ≈ √n, and the
+    top-{KNN_K} window partitions per vector with cell-bounded input.
+    Neighbors outside the cell are missed by construction (the
+    SemDeDup trade); multi-probe assignment is the recall patch and
+    reuses the same assignment table."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, 0, keep_ranks=1).localCheckpoint(
+        eager=False
+    )
+    lists = assigned.filter(F.col("crank") == 1).select(
+        "vec_id", "qv", "nrm", "c_label"
+    )
+
+    # per-cell matmul kernel instead of a within-cell self-join: the
+    # join materializes n*(n/cells) pairs EACH CARRYING both 64-int
+    # vectors (~GBs at sf0.1); grouping by cell and doing one integer
+    # gram matrix per group keeps every vector in memory once and
+    # emits only the top-K edge rows. Exactness: int64 matmul + one
+    # IEEE divide are the oracle's ops; ties break to the lowest
+    # neighbor id via a stable argsort over id-sorted columns.
+    def cell_knn(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return _pd.DataFrame(
+                {
+                    "vec_id": _np.array([], dtype=_np.int64),
+                    "neighbor_id": _np.array([], dtype=_np.int64),
+                    "cos": _np.array([], dtype=_np.float64),
+                    "rank": _np.array([], dtype=_np.int32),
+                }
+            )
+        x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+        nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
+        cos = (x @ x.T).astype(_np.float64) / (nrm[:, None] * nrm[None, :])
+        _np.fill_diagonal(cos, -_np.inf)
+        kk = min(KNN_K, m - 1)
+        order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        rows = _np.repeat(_np.arange(m), kk)
+        cols = order.ravel()
+        ids = pdf["vec_id"].to_numpy()
+        return _pd.DataFrame(
+            {
+                "vec_id": ids[rows],
+                "neighbor_id": ids[cols],
+                "cos": cos[rows, cols],
+                "rank": _np.tile(
+                    _np.arange(1, kk + 1, dtype=_np.int32), m
+                ),
+            }
+        )
+
+    return (
+        lists.groupBy("c_label")
+        .applyInPandas(
+            cell_knn,
+            schema="vec_id long, neighbor_id long, cos double, rank int",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            "rank",
+        )
+    )

@@ -165,6 +165,7 @@ _PRIORITY = (
     "sample_pps_weighted",
     "layout_compaction",
     "window_time_weighted_avg",
+    "similarity_knn_graph",
     # Previously driver-confirmed entries, rotated out (green in
     # r1-r7 windows and in the local gate; kernels unchanged or
     # covered by golden tests this round):
