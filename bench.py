@@ -10,7 +10,10 @@ would bill multi-100k-row results' ser/de to the query; VERDICT r1
 flagged exactly that on join_fanout_1n).
 
 The run is split into FORKED BATCHES — a fresh JVM per
-``$SPARK_GRAFT_BENCH_BATCH`` (default 16) queries (VERDICT r6 item 7):
+``$SPARK_GRAFT_BENCH_BATCH`` (default 8) queries (VERDICT r6 item 7;
+r8 halved 16 -> 8 after measuring up to ~2-3x inflation on heavy
+queries landing late in a 16-query batch — e.g. pipeline_corpus_dedup
+8.9 s in-batch vs 3.4 s isolated):
 ~90 queries in one shared JVM accumulate codegen caches / broadcast
 refs / GC pressure until late queries read 3-10× their isolated time
 (r6's agg_exact_corr printed 18.2 s shared vs 1.66 s isolated), and
@@ -31,7 +34,7 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "8"))
 
 
 def _sf_label(sf_dir: str) -> float:

@@ -574,3 +574,107 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("active_users"),
         )
     )
+
+
+#: market-basket affinity: pairs must co-occur in at least this many
+#: orders to be reported
+BASKET_MIN_SUPPORT = 2
+
+
+@query(
+    "analytics_market_basket",
+    oracle=f"""
+    -- market-basket pair affinity (the co-purchase table behind
+    -- "customers also bought"): support = orders containing BOTH
+    -- parts, lift = support·|orders| / (freq_a·freq_b) — lift > 1
+    -- means the pair co-occurs more than independence predicts.
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM b a JOIN b b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s AS (
+        SELECT part_a, part_b, count(*)::BIGINT AS support
+        FROM p GROUP BY 1, 2
+    ),
+    item AS (SELECT l_partkey, count(*)::BIGINT AS freq FROM b GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM b)
+    SELECT s.part_a, s.part_b, s.support,
+           ia.freq AS freq_a, ib.freq AS freq_b,
+           round(s.support::DOUBLE * n.n_orders
+                 / (ia.freq * ib.freq), 6) AS lift
+    FROM s
+    JOIN item ia ON ia.l_partkey = s.part_a
+    JOIN item ib ON ib.l_partkey = s.part_b
+    CROSS JOIN n
+    WHERE s.support >= {BASKET_MIN_SUPPORT}
+    """,
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity — co-purchased part pairs with
+    support ≥ {BASKET_MIN_SUPPORT} orders and their lift vs
+    independence, the first stage of every frequent-itemset /
+    recommendation pipeline (the A-Priori k=2 pass).
+
+    Scale shape: baskets collapse to sorted part arrays (one exchange
+    on the order key, map-side combined), pairs expand IN MEMORY per
+    basket (pair_combos HOF — expansion bounded by C(basket, 2), never
+    a table self-join), and the support count shuffles (part_a,
+    part_b, 1) rows with partial aggregation. The item-frequency side
+    is |parts| rows — broadcast into the lift join. An order with a
+    pathological basket would explode combinatorially; real A-Priori
+    caps basket size the same way the df-cap guards the shingle
+    index (baskets here max at 13 parts)."""
+    from lake_satellite_image_etl_spark.operators.dedup import pair_combos
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # one distinct pass materialized: the basket table feeds three
+    # consumers (baskets, item frequencies, the order count)
+    b = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    baskets = (
+        b.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    supp = (
+        baskets.select(F.explode(pair_combos(F.col("m"))).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    item = b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    n = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("part_a"), F.col("freq").alias("freq_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("part_b"), F.col("freq").alias("freq_b")
+    )
+    return (
+        supp.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "freq_a",
+            "freq_b",
+            F.round(
+                F.col("support") * F.col("n_orders")
+                / (F.col("freq_a") * F.col("freq_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -8,6 +8,8 @@ aggregates.py.)
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -505,4 +507,83 @@ def profile_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 6
         ).alias("dup_rate"),
         F.max("n").cast("long").alias("max_cluster"),
+    )
+
+
+#: Benford expected first-digit frequencies log10(1 + 1/d), inlined
+#: as literals so neither engine's log implementation is in the
+#: comparison path
+BENFORD_EXPECTED = {
+    d: round(math.log10(1 + 1 / d), 8) for d in range(1, 10)
+}
+_SQL_BENFORD_CASE = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN {p}" for d, p in BENFORD_EXPECTED.items()
+) + " END"
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    -- Benford's-law audit over order totals: the classic
+    -- fabricated-data / aggregation-bug detector — natural
+    -- multi-scale amounts follow P(d) = log10(1 + 1/d); a flat or
+    -- spiked first-digit histogram flags synthetic or truncated
+    -- values. First digit via INTEGER string math (floor then
+    -- leading character) so no engine log/format call is in the
+    -- comparison path; expected frequencies are inlined literals.
+    WITH d AS (
+        SELECT CAST(substring(CAST(floor(o_totalprice)::BIGINT
+                                   AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT c.digit, c.n,
+           round(c.n::DOUBLE / t.total, 6) AS observed_frac,
+           {_SQL_BENFORD_CASE} AS expected_frac,
+           round(c.n::DOUBLE / t.total - ({_SQL_BENFORD_CASE}), 6)
+               AS deviation
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    forensic data-quality check that catches fabricated amounts,
+    unit-mixups, and truncation bugs: naturally-occurring multi-scale
+    values follow P(d) = log10(1+1/d), so a flat histogram (synthetic
+    uniform data — as here) or a spike at one digit is a red flag the
+    profiler surfaces per digit as observed-vs-expected deviation.
+
+    Scale shape: one narrow integer map (floor → leading digit) and a
+    9-row aggregate with map-side combine; the total is a 1-row
+    broadcast. Runs at scan speed on any table size — the cheapest
+    audit in the DQ suite."""
+    ords = read_table(spark, sf_dir, "orders")
+    expected = F.create_map(
+        *[
+            x
+            for d, p in BENFORD_EXPECTED.items()
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )
+    d = ords.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_frac"),
+            expected[F.col("digit")].alias("expected_frac"),
+            F.round(
+                F.col("n") / F.col("total") - expected[F.col("digit")], 6
+            ).alias("deviation"),
+        )
     )

@@ -166,6 +166,8 @@ _PRIORITY = (
     "layout_compaction",
     "window_time_weighted_avg",
     "similarity_knn_graph",
+    "analytics_market_basket",
+    "dq_benford_first_digit",
     # Previously driver-confirmed entries, rotated out (green in
     # r1-r7 windows and in the local gate; kernels unchanged or
     # covered by golden tests this round):
