@@ -45,6 +45,8 @@ ALLOWED_BNLJ = {
     "incremental_lookback",
     "incremental_new_keys",
     "incremental_backfill_partitions",
+    "analytics_market_basket",
+    "dq_benford_first_digit",
     "similarity_topk_bruteforce",
     "similarity_ivf_probe",
     "similarity_ivf_scaled",
