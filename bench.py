@@ -1,6 +1,9 @@
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line (a compact
+summary — the slowest 20 entries inline, the full per-query map in
+``BENCH_DETAIL.json``; harness stdout capture keeps only a ~2000-char
+tail, which a 184-entry line overflows).
 
 Each query is warmed once (plan compile + scan setup) and then timed on
 a ``noop``-format write — the full plan executes on the executors and
@@ -142,14 +145,43 @@ def main() -> None:
         timings.update(batch_timings)
 
     total = sum(t for t in timings.values() if t == t)
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "streaming_split": streaming_split,
+        "sf": _sf_label(SF_DIR),
+        "batch_size": BATCH,
+        "n_batches": len(chunks),
+    }
+    # full per-query detail to a file: the harness capturing stdout
+    # keeps only a tail of it, and ~184 query entries push the single
+    # JSON line past that window (r7's artifact recorded parsed: null
+    # for exactly this reason) — so the LAST stdout line is a compact
+    # summary that always fits, with the slowest entries inline and
+    # the full map on disk.
+    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(payload, f)
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items() if v == v),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    errors = sorted(k for k, v in timings.items() if v != v)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": timings,
-                "streaming_split": streaming_split,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "n_errors": len(errors),
+                "errors": errors[:10],
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": _sf_label(SF_DIR),
                 "batch_size": BATCH,
                 "n_batches": len(chunks),
