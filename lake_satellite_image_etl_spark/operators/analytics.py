@@ -678,3 +678,94 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "analytics_rfm_segmentation",
+    oracle="""
+    -- RFM customer segmentation — the standard lifecycle scoring:
+    -- quintile scores for Recency (days since last order, anchored
+    -- at the corpus max date so the result is deterministic),
+    -- Frequency (order count) and Monetary (total spend), plus the
+    -- classic segment labels marketing pipelines key campaigns on.
+    -- ntile tie order is pinned by the (metric, custkey) sort.
+    WITH per_cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(o_orderdate),
+                         (SELECT max(o_orderdate) FROM orders))
+                   AS recency_days,
+               count(*)::BIGINT AS frequency,
+               round(sum(o_totalprice), 4) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT custkey, recency_days, frequency, monetary,
+               ntile(5) OVER (ORDER BY recency_days ASC, custkey)
+                   AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, custkey)
+                   AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, custkey)
+                   AS m_score
+        FROM per_cust
+    )
+    SELECT custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+                WHEN r_score <= 2 THEN 'recent'
+                WHEN f_score <= 2 THEN 'loyal_lapsing'
+                WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the lifecycle scoring every growth/CRM pipeline derives campaigns
+    from: per-customer quintile scores on days-since-last-order
+    (anchored at the corpus max date for determinism), order count,
+    and total spend, composed into the classic segment labels.
+
+    Scale shape: orders collapse to |customers| rows first (map-side
+    combined groupBy); the three ntile windows then run on that
+    BOUNDED table. Global ntile is a single-partition sort of
+    |customers| rows — at 100 TB replace it with the banded
+    equi-depth decomposition (`stats_equidepth_histogram`'s count
+    tables give the same quintile edges without a global sort); the
+    hash-pinned tie order makes both forms pick identical scores."""
+    ords = read_table(spark, sf_dir, "orders")
+    anchor = ords.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        ords.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate")).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 4).alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    scored = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion"
+        )
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal_lapsing")
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk"
+        )
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

@@ -637,3 +637,150 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap",
         )
     )
+
+
+@query(
+    "window_interpolate_linear",
+    oracle="""
+    -- hourly resample with LINEAR interpolation — the sensor-grade
+    -- sibling of window_gap_fill's LOCF: a missing hour gets the
+    -- value on the straight line between its previous and next
+    -- observed buckets (time-weighted by integer hour offsets, so
+    -- the only float ops are the same interpolation arithmetic on
+    -- both engines). Observed buckets keep their own (rounded) mean.
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               round(avg(value), 6) AS obs_value
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.bucket, o.obs_value,
+               epoch_us(g.bucket) // 3600000000 AS t
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.bucket = g.bucket
+    ),
+    ctx AS (
+        SELECT user_id, bucket, obs_value, t,
+               last_value(obs_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_prev,
+               last_value(CASE WHEN obs_value IS NOT NULL THEN t END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS t_prev,
+               first_value(obs_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS v_next,
+               first_value(CASE WHEN obs_value IS NOT NULL THEN t END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS t_next
+        FROM j
+    )
+    SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           obs_value IS NOT NULL AS observed,
+           -- floor(x*1e6 + 0.5)/1e6 instead of round(): Spark's
+           -- round() goes through the double's SHORTEST decimal repr
+           -- (BigDecimal.valueOf), so 32.55781249999999715 prints as
+           -- "32.5578125" and HALF_UP kicks it UP while a true-value
+           -- round keeps it down — the floor form is the identical
+           -- IEEE op sequence on both engines (values are >= 0 here)
+           floor((CASE WHEN obs_value IS NOT NULL THEN obs_value
+                       ELSE v_prev + (v_next - v_prev)
+                            * ((t - t_prev)::DOUBLE / (t_next - t_prev))
+                  END) * 1000000 + 0.5) / 1000000 AS value
+    FROM ctx
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation per user — the
+    standard sensor/metric regridding (LOCF's sibling,
+    `window_gap_fill`): each missing hour gets the straight-line
+    value between its neighboring observations, time-weighted on
+    exact integer hour offsets; only the interpolation arithmetic is
+    float, and it is the identical expression on both engines.
+
+    Scale shape: events collapse to (user, hour) buckets map-side,
+    the per-user grid explodes from a 2-row span (bounded by span
+    hours), and all four IGNORE-NULLS context windows share ONE
+    (user, bucket) sort — Catalyst plans a single exchange+sort for
+    the whole context block. State never exceeds a user's span."""
+    ev = read_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("obs_value"))
+    span = obs.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    j = grid.join(obs, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "obs_value",
+        (F.unix_micros("bucket") / F.lit(3600000000)).cast("long").alias(
+            "t"
+        ),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # the forward context runs on a DESCENDING running frame: Spark's
+    # (CURRENT ROW, UNBOUNDED FOLLOWING) frame recomputes its
+    # aggregate from scratch per row — O(span^2) per user, measured
+    # 13.8 s at sf0.1 — while last(ignorenulls) over bucket-DESC with
+    # UNBOUNDED PRECEDING is the incremental running form (1.9 s)
+    # and returns the identical nearest-following observation.
+    wfd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t_obs = F.when(F.col("obs_value").isNotNull(), F.col("t"))
+    ctx = j.select(
+        "user_id",
+        "bucket",
+        "obs_value",
+        "t",
+        F.last("obs_value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(t_obs, ignorenulls=True).over(wb).alias("t_prev"),
+        F.last("obs_value", ignorenulls=True).over(wfd).alias("v_next"),
+        F.last(t_obs, ignorenulls=True).over(wfd).alias("t_next"),
+    )
+    interp = F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * (
+        (F.col("t") - F.col("t_prev")).cast("double")
+        / (F.col("t_next") - F.col("t_prev"))
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("obs_value").isNotNull().alias("observed"),
+        (
+            F.floor(
+                F.when(F.col("obs_value").isNotNull(), F.col("obs_value"))
+                .otherwise(interp)
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("value"),
+    )

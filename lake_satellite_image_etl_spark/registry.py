@@ -168,6 +168,8 @@ _PRIORITY = (
     "similarity_knn_graph",
     "analytics_market_basket",
     "dq_benford_first_digit",
+    "analytics_rfm_segmentation",
+    "window_interpolate_linear",
     # Previously driver-confirmed entries, rotated out (green in
     # r1-r7 windows and in the local gate; kernels unchanged or
     # covered by golden tests this round):
