@@ -622,7 +622,11 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket (pair_combos HOF — expansion bounded by C(basket, 2), never
     a table self-join), and the support count shuffles (part_a,
     part_b, 1) rows with partial aggregation. The item-frequency side
-    is |parts| rows — broadcast into the lift join. An order with a
+    is |parts| rows — left UNHINTED so AQE broadcasts it when its
+    runtime size fits under autoBroadcastJoinThreshold and falls back
+    to a shuffled join when a 100 TB corpus has 10^7-10^8 distinct
+    items (an unconditional broadcast hint there would be a driver
+    OOM; only the 1-row order count keeps a static hint). An order with a
     pathological basket would explode combinatorially; real A-Priori
     caps basket size the same way the df-cap guards the shingle
     index (baskets here max at 13 parts)."""
@@ -662,8 +666,8 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("freq").alias("freq_b")
     )
     return (
-        supp.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        supp.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
@@ -671,8 +675,12 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support",
             "freq_a",
             "freq_b",
+            # cast BEFORE the multiply, mirroring the oracle's
+            # support::DOUBLE * n_orders — exact int64 support*n_orders
+            # diverges from the double product in the 6th rounded
+            # decimal once it exceeds 2^53 (real at 100 TB scale)
             F.round(
-                F.col("support") * F.col("n_orders")
+                F.col("support").cast("double") * F.col("n_orders")
                 / (F.col("freq_a") * F.col("freq_b")),
                 6,
             ).alias("lift"),

@@ -66,18 +66,72 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: at the first ~50 entries, so this list front-loads by verification
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
-    # ================= r8 driver window (50 slots) =================
-    # CONSOLIDATION round (VERDICT r7 item 1): every slot goes to an
-    # entry that has NEVER had a driver CORRECTNESS row — all are
-    # green against the same DuckDB oracles in the local gate
-    # (tests/test_oracle_gate.py). Complex kernels front-loaded;
-    # entries whose kernels changed this round (join_point_in_time /
-    # join_interval_overlap tie-break+dedup fixes, wordpiece guard,
-    # bloom guard, the batched multimodal kernels) are all in this
-    # set, so the r8 changes get driver confirmation too. The other
-    # r8-touched kernels (bicubic thumbnail, feature-kernel batching)
-    # are covered by golden tests + local oracles; their previously
-    # driver-green entries rotate out to make room.
+    # ================= r9 driver window (50 slots) =================
+    # VERDICT r8 item 1: finish the rotation. Slots 1-35 = every entry
+    # that has NEVER had a driver CORRECTNESS row (the late-r7/late-r8
+    # registration tail; all green in the local parametrized oracle
+    # gate). Slots 36-39 = the 4 entries whose kernels changed in r8
+    # but whose driver rows predate the change (bicubic thumbnail,
+    # batched multimodal feature kernels). Slots 40-50 = the stalest
+    # still-green rows (r2) for re-confirmation. After this round every
+    # registry entry has a driver CORRECTNESS row from some round.
+
+    # -- never driver-confirmed (35) --
+    "corpus_token_entropy",
+    "vector_standardize",
+    "window_sliding_distinct",
+    "join_asof_nearest",
+    "stats_covariance_topk",
+    "corpus_perplexity_buckets",
+    "analytics_ab_ttest",
+    "agg_percentile_approx",
+    "dedup_url_canonical",
+    "stats_linear_regression",
+    "window_ohlc_bars",
+    "sketch_loglog_set_ops",
+    "analytics_markov_steady_state",
+    "profile_dedup_summary",
+    "agg_monthly_growth",
+    "window_activity_streaks",
+    "scalar_stable_ids",
+    "dedup_prefix_boilerplate",
+    "agg_gini_inequality",
+    "corpus_shard_manifest",
+    "analytics_new_vs_returning",
+    "corpus_token_budget_split",
+    "similarity_ivf_scaled",
+    "similarity_ivf_pq",
+    "dedup_containment",
+    "incremental_backfill_partitions",
+    "corpus_bpe_apply",
+    "sample_pps_weighted",
+    "layout_compaction",
+    "window_time_weighted_avg",
+    "similarity_knn_graph",
+    "analytics_market_basket",
+    "dq_benford_first_digit",
+    "analytics_rfm_segmentation",
+    "window_interpolate_linear",
+    # -- r8-changed kernels whose driver rows predate the change (4) --
+    "raster_stats_pipeline",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_video_frames",
+    # -- stalest re-confirmations (r2 rows, 11) --
+    "join_left_anti",
+    "agg_collect_array",
+    "agg_filtered_mean",
+    "agg_conditional_fraction",
+    "agg_distinct_count",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats_moments",
+    "topk_global",
+    "topk_per_group",
+    "set_union",
+    # ---- first 50 end here -------------------------------------------
+    # Previously driver-confirmed entries, rotated out (green in
+    # r1-r8 windows and in the local gate; kernels unchanged):
 
     "similarity_pq_adc",
     "pipeline_training_prep",
@@ -129,51 +183,6 @@ _PRIORITY = (
     "corpus_contamination_pairs",
     "stats_equidepth_histogram",
     "stats_ks_drift",
-    # ---- first 50 end here -------------------------------------------
-    # r9 candidates: the remaining never-driver-confirmed entries
-    # (local-green with full oracles) — one more rotation finishes
-    # the debt. The last two are r8-new (scale-geometry ANN).
-
-    "corpus_token_entropy",
-    "vector_standardize",
-    "window_sliding_distinct",
-    "join_asof_nearest",
-    "stats_covariance_topk",
-    "corpus_perplexity_buckets",
-    "analytics_ab_ttest",
-    "agg_percentile_approx",
-    "dedup_url_canonical",
-    "stats_linear_regression",
-    "window_ohlc_bars",
-    "sketch_loglog_set_ops",
-    "analytics_markov_steady_state",
-    "profile_dedup_summary",
-    "agg_monthly_growth",
-    "window_activity_streaks",
-    "scalar_stable_ids",
-    "dedup_prefix_boilerplate",
-    "agg_gini_inequality",
-    "corpus_shard_manifest",
-    "analytics_new_vs_returning",
-    "corpus_token_budget_split",
-    "similarity_ivf_scaled",
-    "similarity_ivf_pq",
-    # r8-new entries (all full-oracle, local-green):
-    "dedup_containment",
-    "incremental_backfill_partitions",
-    "corpus_bpe_apply",
-    "sample_pps_weighted",
-    "layout_compaction",
-    "window_time_weighted_avg",
-    "similarity_knn_graph",
-    "analytics_market_basket",
-    "dq_benford_first_digit",
-    "analytics_rfm_segmentation",
-    "window_interpolate_linear",
-    # Previously driver-confirmed entries, rotated out (green in
-    # r1-r7 windows and in the local gate; kernels unchanged or
-    # covered by golden tests this round):
-
     "flagship_catalog",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
@@ -197,11 +206,9 @@ _PRIORITY = (
     "geo_polygon_union_exact",
     "scalar_epoch_roundtrip",
     "multimodal_binaryfile_scan",
-    "multimodal_video_frames",
     "window_session",
     "jdbc_scan",
     "stream_dedup_batch",
-    "raster_stats_pipeline",
     "raster_clip_pipeline",
     "pipeline_image_records",
     "sql_api_shipping_priority",
@@ -224,8 +231,6 @@ _PRIORITY = (
     "text_repetition_score",
     "stream_window_batch",
     "text_redact_pii",
-    "multimodal_image_features",
-    "multimodal_audio_features",
     "join_fanout_1n",
     "join_asof",
     "join_range_bucket",
@@ -247,26 +252,15 @@ _PRIORITY = (
     "join_dim_enrich",
     "join_cross_configs",
     "agg_tpch_q1",
-    "topk_global",
-    "topk_per_group",
-    "agg_collect_array",
-    "agg_filtered_mean",
-    "agg_conditional_fraction",
-    "agg_rollup",
-    "agg_cube",
     "agg_pivot",
     "agg_exact_corr",
-    "agg_stats_moments",
-    "agg_distinct_count",
     "agg_approx_distinct",
-    "set_union",
     "set_intersect",
     "set_except_all",
     "set_union_by_name",
     "window_tumbling",
     "window_sliding",
     "window_analytics",
-    "join_left_anti",
     "join_left_semi",
     "scalar_string_keys",
     "scalar_dates",
