@@ -1,9 +1,13 @@
 """Headline benchmark: runs the engine's flagship queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line (a compact
-summary — the slowest 20 entries inline, the full per-query map in
-``BENCH_DETAIL.json``; harness stdout capture keeps only a ~2000-char
-tail, which a 184-entry line overflows).
+summary — the slowest 20 entries inline under ``"slowest"``, the full
+per-query map under ``"queries"`` in ``BENCH_DETAIL.json``; harness
+stdout capture keeps only a ~2000-char tail, which a 186-entry line
+overflows). Queries run in ALPHABETICAL order split into fixed-size
+fresh-JVM batches, so batch composition — part of each query's
+measured time — is stable round-over-round regardless of registry
+order.
 
 Each query is warmed once (plan compile + scan setup) and then timed on
 a ``noop``-format write — the full plan executes on the executors and
@@ -55,7 +59,12 @@ def _query_names() -> list[str]:
     bench_names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if bench_names:
         return [n for n in bench_names.split(",") if n in queries]
-    return list(queries)
+    # ALPHABETICAL, not registry order: batch composition (which 8
+    # queries share a fresh JVM) is part of each query's measured
+    # time, so it must be stable across rounds even when the registry
+    # reorders entries — r9's registry rotation made every per-query
+    # delta placement-shaped (VERDICT r9 item 4).
+    return sorted(queries)
 
 
 def run_batch(names: list[str]) -> None:
@@ -177,7 +186,12 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": slowest,
+                # the FULL per-query map lives in BENCH_DETAIL.json
+                # under "queries"; this line carries only the top-20
+                # tail, so the key says so (a consumer parsing
+                # "queries" as the full map would silently see a
+                # subset — VERDICT r9 item 4)
+                "slowest": slowest,
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "errors": errors[:10],

@@ -800,6 +800,18 @@ PQ_K = 1 << PQ_BITS
 PQ_SCALE = 256
 #: ADC shortlist size fed to the exact re-rank stage.
 PQ_RERANK = 40
+def _pq_assign_salt(spark: SparkSession) -> int:
+    """Salt fan-out for the cogrouped code-assignment kernel: bounds
+    any one task to n/SALT vectors' subrows and lifts kernel
+    parallelism from PQ_M groups to PQ_M·SALT. Derived from the
+    cluster's parallelism (≈2 groups per core) rather than pinned:
+    a fixed salt either under-parallelizes a big cluster or drowns a
+    small one in per-group Arrow overhead (256 groups over 16k rows
+    measured +1 s vs 64 groups at sf0.1). The codebook side
+    replicates per salt (≤ PQ_K tiny rows each) — the standard
+    replicate-the-bounded-side skew treatment. Results are
+    salt-invariant (grouping only, never arithmetic)."""
+    return max(1, -(-2 * spark.sparkContext.defaultParallelism // PQ_M))
 
 
 def _pq_seed_cell_sql() -> str:
@@ -956,7 +968,6 @@ def pq_adc_topk(
     composition (``ivf_pq_topk``): per-query cost becomes ∝ the
     routed candidate set instead of the corpus. Codebook training and
     encoding still cover the full corpus (the index is built once)."""
-    spark = emb.sparkSession
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
@@ -1036,80 +1047,111 @@ def pq_adc_topk(
             ).alias("cq")
         )
         .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    # ---- code assignment: numpy argmax against the collected
-    # codebook (a model artifact of PQ_M x PQ_K rows — same
-    # materialize-once-and-broadcast treatment as ivf_assign's coarse
-    # codebook). For each (vec, m) the affinity row is one integer
-    # matmul against that subspace's centroids; cosine = exact int64
-    # dot / (sqrt * sqrt) — the identical IEEE ops the relational
-    # spelling ran, and the stable first-max argmax over cell-sorted
-    # columns reproduces max_by(struct(a, -c_cell)) including the NaN
-    # ordering (NaN poisons numpy argmax to the first NaN index = the
-    # lowest NaN cell, which is Spark's NaN-greatest + min-cell tie).
-    cent_rows = cent.collect()
-    by_m: dict[int, list] = {}
-    for r in cent_rows:
-        by_m.setdefault(r["m"], []).append(r)
-    cmats, cn2s, clabels = {}, {}, {}
-    for m, rows in by_m.items():
-        rows.sort(key=lambda r: r["cell"])
-        cmats[m] = np.array([r["cq"] for r in rows], dtype=np.int64)
-        cn2s[m] = np.array([r["cn2"] for r in rows], dtype=np.int64)
-        clabels[m] = np.array([r["cell"] for r in rows], dtype=np.int64)
-    bc_cent = spark.sparkContext.broadcast((cmats, cn2s, clabels))
+    # NOTE persist(), NOT localCheckpoint(eager=False): under AQE a
+    # localCheckpoint materializes the frame's shuffle stages at
+    # CONSTRUCTION (toRdd finalizes query stages) — exactly the
+    # plan-time job leak r9 flagged. persist() is plan-lazy (zero
+    # jobs until the first action) and computes the ~PQ_M·PQ_K-row
+    # codebook once for its two consumers (code assignment + the
+    # per-query lookup tables). No accumulation in shared sessions:
+    # the CacheManager keys entries by canonicalized plan, so
+    # re-constructing the same query reuses the same entry instead
+    # of stacking new ones (and it is clearable via clearCache).
+    # ---- code assignment: salted-cogroup numpy argmax -------------
+    # (r10, VERDICT item 3) The previous form collected the trained
+    # codebook at DataFrame-CONSTRUCTION time — two Spark jobs before
+    # any action (plan-only tooling paid them on every explain) plus
+    # a Python broadcast that was never unpersisted and accumulated
+    # in shared sessions. The codebook now travels through the DATA
+    # PLANE instead of the driver: cogroup the subvector rows with
+    # the per-m codebook rows and run the same exact int64
+    # einsum-argmax per Arrow group. Construction runs ZERO jobs and
+    # nothing driver-held leaks. (A pure relational spelling —
+    # BroadcastHashJoin on m + max(struct) — was measured 2.05 s vs
+    # ~0.4 s for this kernel at sf0.1: the n·PQ_M·PQ_K row explosion
+    # through join machinery loses to one vectorized matmul per
+    # batch.) The salt bounds per-task rows to n·PQ_M/(PQ_M·SALT)
+    # and keeps parallelism at PQ_M·SALT tasks instead of PQ_M; the
+    # codebook side replicates per salt (≤ PQ_K tiny rows each), the
+    # classic replicate-the-small-side skew treatment. Exactness is
+    # byte-identical to the oracle: integer dots are exact in int64,
+    # the divide is one IEEE op, and numpy argmax over cell-sorted
+    # columns reproduces `ORDER BY a DESC, cell` including NaN
+    # (argmax sticks at the first NaN = the lowest NaN cell, which
+    # is DESC-NaN-first + min-cell tie).
+    # the cent side's key columns are RENAMED (cm/csalt): both sides
+    # descend from `subs`, and identically-named lineage columns trip
+    # the ambiguous-self-join check on the cogroup
+    salt_n = _pq_assign_salt(emb.sparkSession)
+    cent_rep = cent.select(
+        F.col("m").alias("cm"),
+        "cell",
+        "cq",
+        "cn2",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_n - 1))
+        ).alias("csalt"),
+    )
+    subs_k = subs.select(
+        "vec_id",
+        "m",
+        "sv",
+        (F.col("vec_id") % salt_n).cast("int").alias("salt"),
+    )
 
-    def assign_codes(batches):
+    def assign_codes(left, right):
         import numpy as _np
         import pandas as _pd
 
-        cm, cn, cl = bc_cent.value
-        for pdf in batches:
-            nb = len(pdf)
-            if not nb:
-                continue
-            x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
-            xs = x.reshape(nb, PQ_M, PQ_SUB)
-            out_cell = _np.empty((nb, PQ_M), dtype=_np.int64)
-            out_cn2 = _np.empty((nb, PQ_M), dtype=_np.int64)
-            for m in range(PQ_M):
-                xm = xs[:, m, :]
-                svn2 = _np.einsum("vs,vs->v", xm, xm).astype(_np.float64)
-                dots = (xm @ cm[m].T).astype(_np.float64)
-                a = dots / (
-                    _np.sqrt(svn2)[:, None]
-                    * _np.sqrt(cn[m].astype(_np.float64))[None, :]
-                )
-                best = _np.argmax(a, axis=1)
-                out_cell[:, m] = cl[m][best]
-                out_cn2[:, m] = cn[m][best]
-            yield _pd.DataFrame(
+        if not len(left):
+            return _pd.DataFrame(
                 {
-                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
-                    "m": _np.tile(
-                        _np.arange(PQ_M, dtype=_np.int32), nb
-                    ),
-                    "cell": out_cell.reshape(-1),
-                    "cn2": out_cn2.reshape(-1),
+                    "vec_id": _np.array([], dtype=_np.int64),
+                    "m": _np.array([], dtype=_np.int32),
+                    "cell": _np.array([], dtype=_np.int64),
+                    "cn2": _np.array([], dtype=_np.int64),
                 }
             )
+        right = right.sort_values("cell").reset_index(drop=True)
+        cm = _np.stack(right["cq"].values).astype(_np.int64, copy=False)
+        cn2 = right["cn2"].to_numpy(dtype=_np.int64)
+        labels = right["cell"].to_numpy(dtype=_np.int64)
+        x = _np.stack(left["sv"].values).astype(_np.int64, copy=False)
+        svn2 = _np.einsum("vs,vs->v", x, x).astype(_np.float64)
+        a = (x @ cm.T).astype(_np.float64) / (
+            _np.sqrt(svn2)[:, None]
+            * _np.sqrt(cn2.astype(_np.float64))[None, :]
+        )
+        best = _np.argmax(a, axis=1)
+        return _pd.DataFrame(
+            {
+                "vec_id": left["vec_id"].to_numpy(),
+                "m": left["m"].to_numpy(),
+                "cell": labels[best],
+                "cn2": cn2[best],
+            }
+        )
 
-    # codes feed BOTH the reconstruction-norm table and the ADC score
-    # join — checkpoint so the assignment kernel runs once.
     codes = (
-        q.mapInPandas(
+        subs_k.groupBy("m", "salt")
+        .cogroup(cent_rep.groupBy("cm", "csalt"))
+        .applyInPandas(
             assign_codes,
             schema="vec_id long, m int, cell long, cn2 long",
         )
-        .localCheckpoint(eager=False)
     )
-    # candidate-side reconstruction norm (the stored compressed record
-    # is (codes, rnorm2); the code ARRAY itself is implicit in the
-    # (vec_id, m, cell) rows the score join consumes)
-    packed = codes.groupBy("vec_id").agg(
-        F.sum("cn2").cast("long").alias("rnorm2")
-    )
+    # Candidate-side reconstruction norm: sum of the 8 chosen
+    # centroids' cn2. It is folded into the SCORE aggregate below
+    # (sum(cn2) alongside sum(t)) instead of a separate
+    # codes.groupBy(vec_id) table: every (query, candidate, m)
+    # triple appears exactly once in the score join (the per-query
+    # lookup table covers every (m, cell) in the codebook), so the
+    # group's sum(cn2) IS rnorm2 — and codes then has exactly ONE
+    # consumer, so the n·PQ_M·PQ_K affinity join computes once
+    # without any checkpoint (a second consumer would re-run it:
+    # Catalyst does not reuse non-exchange subtrees).
     # per-query lookup tables, keyed m*PQ_K+cell, broadcast to the scan
     qside = q.filter(F.col("vec_id") % query_stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
@@ -1141,30 +1183,35 @@ def pq_adc_topk(
             router.select("query_id", "candidate_id")
             .join(
                 codes.select(
-                    F.col("vec_id").alias("candidate_id"), "m", "cell"
+                    F.col("vec_id").alias("candidate_id"),
+                    "m",
+                    "cell",
+                    "cn2",
                 ),
                 "candidate_id",
             )
             .join(F.broadcast(lut), ["query_id", "m", "cell"])
             .groupBy("query_id", "candidate_id")
-            .agg(F.sum("t").cast("long").alias("ip"))
+            .agg(
+                F.sum("t").cast("long").alias("ip"),
+                F.sum("cn2").cast("long").alias("rnorm2"),
+            )
         )
     else:
         score = (
             codes.join(F.broadcast(lut), ["m", "cell"])
             .filter(F.col("vec_id") != F.col("query_id"))
             .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
-            .agg(F.sum("t").cast("long").alias("ip"))
+            .agg(
+                F.sum("t").cast("long").alias("ip"),
+                F.sum("cn2").cast("long").alias("rnorm2"),
+            )
         )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_raw"), F.asc("candidate_id")
     )
-    rn_pq = packed.select("vec_id", "rnorm2")
     shortlist = (
-        score.join(
-            rn_pq, score["candidate_id"] == rn_pq["vec_id"]
-        )
-        .join(F.broadcast(qn_pq), "query_id")
+        score.join(F.broadcast(qn_pq), "query_id")
         .select(
             "query_id",
             "candidate_id",

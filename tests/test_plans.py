@@ -389,5 +389,41 @@ def test_generate_filter_inference_is_excluded(spark):
         .select("doc_id", F.explode("hsh").alias("s"))
     )
     plan = _plan(ex)
-    # no Filter may sit between the scan and the Generate
-    assert "Filter (" not in plan or "size(" not in plan, plan
+    # The rule's signature is a Filter node whose condition
+    # re-evaluates the generator child inside `size(...) > 0` — the
+    # old disjunctive check (`'Filter (' not in plan or 'size(' not
+    # in plan`) passed whenever EITHER substring was absent, i.e.
+    # also on plans that DID carry the inferred filter as long as
+    # some unrelated detail suppressed one substring. Assert the
+    # specific pattern instead (verified present when the exclusion
+    # conf is flipped off in a scratch session, absent with it on).
+    import re
+
+    assert not re.search(r"Filter .*size\(.*\) > 0", plan), plan
+
+
+def test_pq_adc_construction_runs_zero_jobs(spark):
+    """Building (and explaining) similarity_pq_adc must trigger NO
+    Spark jobs: r9 flagged the code-assignment kernel for collecting
+    the trained PQ codebook at DataFrame-construction time (plan-only
+    tooling — plan audits, bench warm passes — paid two jobs per
+    explain, and the Python broadcast was never unpersisted). The
+    assignment is now a lazy relational broadcast-join argmax, so
+    construction is pure plan declaration."""
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        similarity_pq_adc,
+    )
+
+    # warm the one-per-path parquet schema-inference job (io.py memo)
+    # so the probe measures the operator, not first-touch fixture IO
+    read_table(spark, SF_SMOKE, "embeddings")
+    sc = spark.sparkContext
+    group = "pq-adc-lazy-probe"
+    sc.setJobGroup(group, "pq_adc construction must run zero jobs")
+    try:
+        df = similarity_pq_adc(spark, SF_SMOKE)
+        _plan(df)  # physical planning included — still no jobs
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
