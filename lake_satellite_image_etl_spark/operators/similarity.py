@@ -1431,22 +1431,41 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: neighbors per vector in the kNN graph
 KNN_K = 3
+#: cells each vector PROBES for graph neighbors (its own cell plus
+#: its runner-up): multi-probe assignment — the recall patch for
+#: cross-cell near-neighbors that single-cell restriction misses by
+#: construction (VERDICT r9 item 1b). Probe work scales linearly in
+#: this dial: pair cost is n·KNN_PROBES·(n/cells).
+KNN_PROBES = 2
+#: hot-cell OOM guard (VERDICT r9 item 1a): the per-cell gram is
+#: computed in ROW BLOCKS of at most this many float64 elements
+#: (4M ≈ 32 MB), so one skewed/hot cell of m members costs
+#: O(block) memory instead of O(m²) in a single task. Exactness is
+#: unaffected — each query row still scores against every member
+#: column; only the row batching changes.
+KNN_GRAM_BLOCK_ELEMS = 4_000_000
 
 
 @query(
     "similarity_knn_graph",
     oracle=f"""
-    -- cell-restricted kNN graph: every vector's top-{KNN_K} exact
-    -- cosine neighbors WITHIN its IVF cell (the same seeded+refined
-    -- codebook as the ANN entries) — the graph SemDeDup-style
-    -- semantic filtering and connectivity-based curation consume.
+    -- multi-probe cell-restricted kNN graph: every vector's top-{KNN_K}
+    -- exact cosine neighbors within its {KNN_PROBES} nearest IVF
+    -- cells (the same seeded+refined codebook as the ANN entries) —
+    -- the graph SemDeDup-style semantic filtering and
+    -- connectivity-based curation consume.
     WITH {{IVF_CTES}},
+    probes AS (
+        SELECT vec_id, c_label FROM assigned WHERE crank <= {KNN_PROBES}
+    ),
     edges AS (
-        SELECT a.vec_id, b.vec_id AS neighbor_id,
-               {sql_dot("a.qv", "b.qv")}::DOUBLE / (a.nrm * b.nrm)
+        SELECT p.vec_id, b.vec_id AS neighbor_id,
+               {sql_dot("qn.qv", "b.qv")}::DOUBLE / (qn.nrm * b.nrm)
                    AS cos
-        FROM lists a JOIN lists b
-          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+        FROM probes p
+        JOIN lists b
+          ON b.c_label = p.c_label AND b.vec_id <> p.vec_id
+        JOIN n qn ON qn.vec_id = p.vec_id
     ),
     rk AS (
         SELECT vec_id, neighbor_id, cos,
@@ -1461,77 +1480,107 @@ KNN_K = 3
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN GRAPH construction — every vector's top-{KNN_K} exact-cosine
-    neighbors within its IVF cell, the all-vectors sibling of the
-    query-set ANN entries: semantic-dedup clustering, graph-based
-    curation (connectivity filtering, label propagation over
-    embeddings), and diversity sampling all start from this edge list.
-    Cell restriction is what makes an n-vector graph buildable: exact
-    all-pairs is n² and unshippable at 100 TB.
+    neighbors within its {KNN_PROBES} nearest IVF cells, the
+    all-vectors sibling of the query-set ANN entries: semantic-dedup
+    clustering, graph-based curation (connectivity filtering, label
+    propagation over embeddings), and diversity sampling all start
+    from this edge list. Cell restriction is what makes an n-vector
+    graph buildable (exact all-pairs is n² and unshippable at
+    100 TB); MULTI-PROBE assignment (``keep_ranks={KNN_PROBES}``)
+    recovers the cross-cell near-neighbors single-cell restriction
+    misses by construction — a vector sitting on a cell boundary
+    also scores the members of its runner-up cell. Recall vs the
+    exact graph is pinned in tests/test_ann_recall.py.
 
-    Scale shape: one cell-assignment pass (broadcast √n-row codebook,
-    ``keep_ranks=1`` so the kernel emits one row per vector), then a
-    within-cell self-join shuffled on the cell id — pair work is
-    n·(n/cells), the ``seed_bits`` dial sizes cells ≈ √n, and the
-    top-{KNN_K} window partitions per vector with cell-bounded input.
-    Neighbors outside the cell are missed by construction (the
-    SemDeDup trade); multi-probe assignment is the recall patch and
-    reuses the same assignment table."""
+    Scale shape: one cell-assignment pass (broadcast √n-row
+    codebook, each vector emitting its top-{KNN_PROBES} cells), then
+    one shuffle on the cell id groups members and probe rows
+    together — pair work is n·{KNN_PROBES}·(n/cells) with cells ≈ √n
+    via the ``seed_bits`` dial. Inside each cell the gram matrix is
+    computed in ≤{KNN_GRAM_BLOCK_ELEMS}-element ROW BLOCKS, so a
+    hot cell costs bounded memory per task instead of O(m²) (the
+    r9-flagged OOM-at-skew risk); per-cell top-{KNN_K} lists then
+    merge to the global top-{KNN_K} in a per-vector window whose
+    input is ≤ {KNN_PROBES}·{KNN_K} rows per vector."""
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, 0, keep_ranks=1).localCheckpoint(
-        eager=False
-    )
-    lists = assigned.filter(F.col("crank") == 1).select(
-        "vec_id", "qv", "nrm", "c_label"
-    )
+    assigned = ivf_assign(emb, 0, keep_ranks=KNN_PROBES)
 
     # per-cell matmul kernel instead of a within-cell self-join: the
-    # join materializes n*(n/cells) pairs EACH CARRYING both 64-int
-    # vectors (~GBs at sf0.1); grouping by cell and doing one integer
-    # gram matrix per group keeps every vector in memory once and
-    # emits only the top-K edge rows. Exactness: int64 matmul + one
-    # IEEE divide are the oracle's ops; ties break to the lowest
-    # neighbor id via a stable argsort over id-sorted columns.
+    # join materializes the pair rows EACH CARRYING both 64-int
+    # vectors (~GBs at sf0.1); grouping by cell and doing blocked
+    # integer gram matrices per group keeps every vector in memory
+    # once and emits only the top-K edge rows. Exactness: int64
+    # matmul + one IEEE divide are the oracle's ops; ties break to
+    # the lowest neighbor id via a stable argsort over id-sorted
+    # member columns, and the per-cell top-K cut is lossless for the
+    # global top-K (a candidate's rank within one cell never exceeds
+    # its rank across the probed union).
     def cell_knn(pdf):
         import numpy as _np
         import pandas as _pd
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = len(pdf)
-        if m < 2:
-            return _pd.DataFrame(
-                {
-                    "vec_id": _np.array([], dtype=_np.int64),
-                    "neighbor_id": _np.array([], dtype=_np.int64),
-                    "cos": _np.array([], dtype=_np.float64),
-                    "rank": _np.array([], dtype=_np.int32),
-                }
-            )
-        x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
-        nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
-        cos = (x @ x.T).astype(_np.float64) / (nrm[:, None] * nrm[None, :])
-        _np.fill_diagonal(cos, -_np.inf)
-        kk = min(KNN_K, m - 1)
-        order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-        rows = _np.repeat(_np.arange(m), kk)
-        cols = order.ravel()
-        ids = pdf["vec_id"].to_numpy()
-        return _pd.DataFrame(
+        empty = _pd.DataFrame(
             {
-                "vec_id": ids[rows],
-                "neighbor_id": ids[cols],
-                "cos": cos[rows, cols],
-                "rank": _np.tile(
-                    _np.arange(1, kk + 1, dtype=_np.int32), m
-                ),
+                "vec_id": _np.array([], dtype=_np.int64),
+                "neighbor_id": _np.array([], dtype=_np.int64),
+                "cos": _np.array([], dtype=_np.float64),
             }
         )
+        members = (
+            pdf[pdf["crank"] == 1]
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        m = len(members)
+        if m == 0 or len(pdf) < 2:
+            return empty
+        xm = _np.stack(members["qv"].values).astype(_np.int64, copy=False)
+        nm = members["nrm"].to_numpy(dtype=_np.float64)
+        mids = members["vec_id"].to_numpy()
+        xq = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+        nq = pdf["nrm"].to_numpy(dtype=_np.float64)
+        qids = pdf["vec_id"].to_numpy()
+        kk = min(KNN_K, m)
+        block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+        out = []
+        for lo in range(0, len(pdf), block):
+            hi = min(lo + block, len(pdf))
+            cos = (xq[lo:hi] @ xm.T).astype(_np.float64) / (
+                nq[lo:hi, None] * nm[None, :]
+            )
+            cos[mids[None, :] == qids[lo:hi, None]] = -_np.inf  # self
+            order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            rows = _np.repeat(_np.arange(hi - lo), kk)
+            cols = order.ravel()
+            keep = cos[rows, cols] > -_np.inf
+            out.append(
+                _pd.DataFrame(
+                    {
+                        "vec_id": qids[lo:hi][rows[keep]],
+                        "neighbor_id": mids[cols[keep]],
+                        "cos": cos[rows[keep], cols[keep]],
+                    }
+                )
+            )
+        return _pd.concat(out, ignore_index=True) if out else empty
 
-    return (
-        lists.groupBy("c_label")
+    per_cell = (
+        assigned.select("vec_id", "qv", "nrm", "c_label", "crank")
+        .groupBy("c_label")
         .applyInPandas(
             cell_knn,
-            schema="vec_id long, neighbor_id long, cos double, rank int",
+            schema="vec_id long, neighbor_id long, cos double",
         )
+    )
+    # merge the ≤ KNN_PROBES per-cell top-K lists per vector: the
+    # window input is bounded by KNN_PROBES·KNN_K rows per vec_id,
+    # never by cell size
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        per_cell.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
         .select(
             "vec_id",
             "neighbor_id",

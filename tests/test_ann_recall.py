@@ -140,3 +140,77 @@ def test_pq_adc_recall(spark, exact_pairs):
     got = _topk_pairs(spark, "similarity_pq_adc")
     recall = len(got & exact_pairs) / len(exact_pairs)
     assert recall >= 0.85, f"PQ ADC recall@5 below floor: {recall:.3f}"
+
+
+@pytest.fixture(scope="module")
+def exact_graph_edges(spark):
+    """Brute-force kNN graph ground truth: every vector's top-KNN_K
+    exact-cosine neighbors over the SAME quantized domain the entry
+    computes on (round(x*QUANT) ints), built in numpy."""
+    from lake_satellite_image_etl_spark.functions.vectors import QUANT
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.similarity import KNN_K
+
+    rows = (
+        read_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.rint(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    nrm = np.sqrt((x * x).sum(1).astype(np.float64))
+    cos = (x @ x.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    order = np.argsort(-cos, axis=1, kind="stable")[:, :KNN_K]
+    return {
+        (ids[i], ids[j]) for i in range(len(ids)) for j in order[i]
+    }
+
+
+def test_knn_graph_multiprobe_recall_floor(spark, exact_graph_edges):
+    """Graph recall vs the exact all-pairs kNN graph, pinned (r9
+    item 1b closed — previously no floor existed for this entry).
+    Measured: 0.458 with KNN_PROBES=2 vs 0.279 single-probe on the
+    sf0.01 fixture — multi-probe recovers the cross-cell neighbors
+    single-cell restriction misses by construction. The absolute
+    level is the documented weak-neighbor physics (true fixture
+    neighbors sit at cos 0.2-0.4 and scatter across the 10-cell
+    codebook near-randomly, same regime as the LSH floor test
+    above); the floor pins the multi-probe gain with margin."""
+    got = _topk_pairs_graph(spark)
+    recall = len(got & exact_graph_edges) / len(exact_graph_edges)
+    assert recall >= 0.40, f"kNN-graph recall below floor: {recall:.3f}"
+
+
+def _topk_pairs_graph(spark):
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        similarity_knn_graph,
+    )
+
+    return {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity_knn_graph(spark, SF_ORACLE).collect()
+    }
+
+
+def test_knn_graph_blocked_gram_is_exact(spark, monkeypatch):
+    """The hot-cell guard (r9 item 1a): forcing the gram row-block
+    down to ~single-row blocks (KNN_GRAM_BLOCK_ELEMS=64 « any cell's
+    member count) must reproduce the default output EDGE-FOR-EDGE —
+    blocking changes memory shape, never arithmetic. This is the
+    skewed-cell scenario: with 64-element blocks every cell behaves
+    as if it were past the cap."""
+    import lake_satellite_image_etl_spark.operators.similarity as S
+
+    def edge_set():
+        return {
+            (r["vec_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+            for r in S.similarity_knn_graph(spark, SF_ORACLE).collect()
+        }
+
+    base = edge_set()
+    monkeypatch.setattr(S, "KNN_GRAM_BLOCK_ELEMS", 64)
+    blocked = edge_set()
+    assert blocked == base and len(base) > 0
