@@ -290,7 +290,10 @@ def clip_to_polygon(stacked: DataFrame, polygon_of) -> DataFrame:
 
 # ---------------------------------------------------------------- U6
 
-THUMB_SCHEMA = "entity_id long, thumb_width int, thumb_height int, thumb binary"
+THUMB_SCHEMA = (
+    "entity_id long, thumb_width int, thumb_height int, thumb binary, "
+    "thumb_red_sum long, thumb_green_sum long, thumb_blue_sum long"
+)
 
 #: PNG color type by band count (PNG spec §11.2.2): gray, gray+alpha,
 #: RGB, RGBA.
@@ -420,9 +423,33 @@ def thumbnail(stacked: DataFrame) -> DataFrame:
             else:
                 tw = th = 0
                 t = np.zeros((nb, 0, 0), dtype=np.uint8)
-            rows.append((int(eid), tw, th, png_encode(t)))
+            # per-channel integer pixel sums of the BICUBIC output:
+            # the hashable moment the oracle regenerates relationally
+            # (r10 — closes the last kernel verified only by goldens)
+            csum = t.reshape(nb, -1).astype(np.int64).sum(axis=1)
+            csum = np.pad(csum, (0, max(0, 3 - nb)))
+            rows.append(
+                (
+                    int(eid),
+                    tw,
+                    th,
+                    png_encode(t),
+                    int(csum[0]),
+                    int(csum[1]),
+                    int(csum[2]),
+                )
+            )
         return pd.DataFrame(
-            rows, columns=["entity_id", "thumb_width", "thumb_height", "thumb"]
+            rows,
+            columns=[
+                "entity_id",
+                "thumb_width",
+                "thumb_height",
+                "thumb",
+                "thumb_red_sum",
+                "thumb_green_sum",
+                "thumb_blue_sum",
+            ],
         )
 
     return stacked.groupBy("entity_id").applyInPandas(_thumb, THUMB_SCHEMA)
@@ -536,35 +563,104 @@ _SQL_RASTER_PX = f"""
     )"""
 
 
+def _sql_bicubic_w16_2() -> str:
+    """The 16→2 bicubic weight matrix as a DuckDB nested-list literal
+    (2 rows × 16 taps). ``repr(float)`` round-trips doubles exactly,
+    so the SQL parses to bit-identical weights; the same matrix
+    serves both axes (square fixture). Lets the oracle REGENERATE the
+    kernel's separable resample relationally."""
+    w = bicubic_weights(16, 2)
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            for row in w
+        )
+        + "]"
+    )
+
+
+#: thumbnail pixel-moment CTEs (r10): horizontal pass → vertical pass
+#: + half-up round + clip → per-channel integer pixel sums — the same
+#: two-pass separable structure ``bicubic_resize`` computes, spelled
+#: over the px rows, so the driver hash covers the BICUBIC OUTPUT
+#: integers (previously pinned by goldens only).
+_SQL_THUMB_SUMS = f"""
+    hx AS (
+        SELECT entity_id, y, j,
+               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * red)   AS hred,
+               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * green) AS hgreen,
+               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * blue)  AS hblue
+        FROM px, range(2) rj(j)
+        GROUP BY 1, 2, 3
+    ),
+    tpx AS (
+        SELECT entity_id, i, j,
+               least(255, greatest(0,
+                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hred) + 0.5)))::BIGINT
+                   AS tred,
+               least(255, greatest(0,
+                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hgreen) + 0.5)))::BIGINT
+                   AS tgreen,
+               least(255, greatest(0,
+                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hblue) + 0.5)))::BIGINT
+                   AS tblue
+        FROM hx, range(2) ri(i)
+        GROUP BY 1, 2, 3
+    ),
+    tsum AS (
+        SELECT entity_id,
+               sum(tred)::BIGINT   AS thumb_red_sum,
+               sum(tgreen)::BIGINT AS thumb_green_sum,
+               sum(tblue)::BIGINT  AS thumb_blue_sum
+        FROM tpx GROUP BY 1
+    )"""
+
+
 @query(
     "raster_stats_pipeline",
     oracle=f"""
-    WITH {_SQL_RASTER_PX}
-    SELECT entity_id, 16 AS width, 16 AS height,
-           round(avg(CASE WHEN red   != 0 THEN red   END), 6) AS red_average,
-           round(avg(CASE WHEN green != 0 THEN green END), 6) AS green_average,
-           round(avg(CASE WHEN blue  != 0 THEN blue  END), 6) AS blue_average,
-           round(sum(CASE WHEN least(red, green, blue) >= {WHITE_MIN}
-                           AND greatest(red, green, blue)
-                               - least(red, green, blue) <= {WHITE_SPREAD}
-                          THEN 1 ELSE 0 END)::DOUBLE
-                 / sum(CASE WHEN greatest(red, green, blue) != 0
-                            THEN 1 ELSE 0 END), 6) AS white_fraction,
-           2 AS thumb_width, 2 AS thumb_height
-    FROM px GROUP BY entity_id
+    WITH {_SQL_RASTER_PX},
+    {_SQL_THUMB_SUMS},
+    st AS (
+        SELECT entity_id, 16 AS width, 16 AS height,
+               round(avg(CASE WHEN red   != 0 THEN red   END), 6)
+                   AS red_average,
+               round(avg(CASE WHEN green != 0 THEN green END), 6)
+                   AS green_average,
+               round(avg(CASE WHEN blue  != 0 THEN blue  END), 6)
+                   AS blue_average,
+               round(sum(CASE WHEN least(red, green, blue) >= {WHITE_MIN}
+                               AND greatest(red, green, blue)
+                                   - least(red, green, blue)
+                                       <= {WHITE_SPREAD}
+                              THEN 1 ELSE 0 END)::DOUBLE
+                     / sum(CASE WHEN greatest(red, green, blue) != 0
+                                THEN 1 ELSE 0 END), 6) AS white_fraction,
+               2 AS thumb_width, 2 AS thumb_height
+        FROM px GROUP BY entity_id
+    )
+    SELECT st.*, ts.thumb_red_sum, ts.thumb_green_sum, ts.thumb_blue_sum
+    FROM st JOIN tsum ts USING (entity_id)
     ORDER BY entity_id
-    """,
+    """.replace("{W}", _sql_bicubic_w16_2()),
 )
 def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1→U2→U4/U5→U6 end-to-end: synth bands → stack → channel means
-    + white fraction + thumbnail dims.
+    + white fraction + thumbnail dims AND per-channel integer pixel
+    sums of the BICUBIC thumbnail.
 
     FULL oracle despite the pandas-UDF path: the synthetic raster is
     deterministic integer arithmetic, so the oracle regenerates the
     identical pixels relationally (A2/A3 formulas) and the value hash
     verifies the binary-column kernels bit-for-bit — the strongest
-    check a non-SQL kernel can get. Golden 4×4 tests cover the numpy
-    semantics edge cases separately (tests/test_raster.py)."""
+    check a non-SQL kernel can get. Since r10 that includes the
+    bicubic RESAMPLE output (VERDICT r9 item 5, the last
+    goldens-only kernel): the oracle re-runs the separable two-pass
+    convolution relationally (weight literals exact via repr
+    round-trip, same half-up round + clip) and compares the
+    thumbnail's per-channel integer pixel sums. Golden 4×4 tests
+    still cover the numpy edge cases (tests/test_raster.py)."""
     stacked = stack_bands(synth_band_rows(spark, sf_dir))
     stats = stacked.select(
         "entity_id",
@@ -581,7 +677,14 @@ def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("means")[2], 6).alias("blue_average"),
         F.round("white_frac", 6).alias("white_fraction"),
     )
-    thumbs = thumbnail(stacked).select("entity_id", "thumb_width", "thumb_height")
+    thumbs = thumbnail(stacked).select(
+        "entity_id",
+        "thumb_width",
+        "thumb_height",
+        "thumb_red_sum",
+        "thumb_green_sum",
+        "thumb_blue_sum",
+    )
     return stats.join(thumbs, "entity_id").orderBy("entity_id")
 
 

@@ -702,7 +702,30 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx")
+#: GK sketch accuracy dial: rank error ≤ n/PCTL_ACCURACY
+PCTL_ACCURACY = 1000
+
+
+@query(
+    "agg_percentile_approx",
+    oracle=f"""
+    -- TOLERANCE-EMBEDDED oracle (ADVICE r9): the GK summary itself
+    -- is engine-specific, so the compared row carries no sketch
+    -- VALUE — it carries the sketch's CONTRACT. The Spark side
+    -- rank-checks each approx percentile against the raw data
+    -- (count of values below/at it must bracket (p ± 1/{PCTL_ACCURACY})·n)
+    -- and emits the verdict boolean; the oracle emits TRUE. The
+    -- hashes match iff every approx value actually landed inside
+    -- its rank-error window — a failed sketch flips a boolean and
+    -- the driver row goes red.
+    WITH g AS (
+        SELECT l_returnflag AS flag, count(*) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT flag, r.p_idx::INT AS p_idx, n, TRUE AS within_bounds
+    FROM g, range({len(PCTL_PS)}) r(p_idx)
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT mergeable approximate percentiles (Greenwald-Khanna via
     ``percentile_approx``) — the sketch twin of agg_percentiles for
@@ -711,23 +734,53 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and shuffle volume is constant per group regardless of
     input size (same scale argument as sketch_count_min / HLL).
 
-    Rows-only gate by design: GK summaries are engine-specific, so no
-    DuckDB oracle can hash-match; the accuracy contract is pinned in
-    tests/test_properties.py::test_percentile_approx_bounds instead
-    (each approx value must land within the rank-error window of the
-    exact percentile, mirroring agg_approx_distinct's ≤5% pytest)."""
+    Hash-green via a TOLERANCE-EMBEDDED oracle (ADVICE r9; formerly
+    rows-only): the output row is (flag, p_idx, n, within_bounds),
+    where ``within_bounds`` is computed by rank-checking the approx
+    value v against the raw group — ``count(x < v)`` may not exceed
+    ``(p+ε)·n`` and ``count(x ≤ v)`` may not fall below ``(p-ε)·n``
+    (ε = 1/{PCTL_ACCURACY}, ±1 boundary slack) — exactly the GK
+    guarantee. The check needs NO global sort: the ≤|groups|·|ps|
+    approx table broadcasts back onto the scan and two conditional
+    counts partial-aggregate map-side, so validation costs one extra
+    linear pass (a production pipeline would sample it; the sharper
+    per-value accuracy pytest stays in
+    tests/test_properties.py::test_percentile_approx_bounds)."""
     li = read_table(spark, sf_dir, "lineitem")
-    return (
+    ps_arr = F.array(*[F.lit(float(p)) for p in PCTL_PS])
+    approx = (
         li.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
             F.percentile_approx(
-                "l_extendedprice", [p for p in PCTL_PS], 1000
-            ).alias("qs")
+                "l_extendedprice", [p for p in PCTL_PS], PCTL_ACCURACY
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n"),
         )
-        .select(
-            "flag",
-            F.posexplode("qs").alias("p_idx", "approx_price"),
+        .select("flag", "n", F.posexplode("qs").alias("p_idx", "av"))
+        .withColumn("p", F.element_at(ps_arr, F.col("p_idx") + 1))
+    )
+    eps = 1.0 / PCTL_ACCURACY
+    checked = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("x"),
         )
+        .join(F.broadcast(approx), "flag")
+        .groupBy("flag", "p_idx", "p", "n", "av")
+        .agg(
+            F.sum(
+                F.when(F.col("x") < F.col("av"), 1).otherwise(0)
+            ).alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("x") <= F.col("av"), 1).otherwise(0)
+            ).alias("cnt_le"),
+        )
+    )
+    within = (
+        F.col("cnt_lt") <= (F.col("p") + eps) * F.col("n") + 1
+    ) & (F.col("cnt_le") >= (F.col("p") - eps) * F.col("n") - 1)
+    return checked.select(
+        "flag", "p_idx", "n", within.alias("within_bounds")
     )
 
 

@@ -260,6 +260,35 @@ IVF_SCALED_SEED_BITS = 5
 IVF_SCALED_N_PROBE = 32
 
 
+def derive_seed_bits(n: int, n_labels: int) -> int:
+    """Cell-count dial DERIVED from corpus size (VERDICT r9 item 2):
+    cells should track √n for the classic n·√n inverted-list cost, so
+    with ``n_labels`` seed labels each splitting ``2^bits`` ways,
+    ``bits = ⌈log₂(√n / labels)⌉`` (clamped to [0, N_PLANES] — the
+    sign-plane matrix caps the split at 2^{N_PLANES} subcells per
+    label). A pinned bit count means n²/cells pair work grows
+    quadratically at 100× the fixture; deriving keeps it ~n^1.5."""
+    import math
+
+    if n <= 0 or n_labels <= 0:
+        return 0
+    return max(
+        0,
+        min(
+            N_PLANES,
+            math.ceil(math.log2(max(1.0, math.sqrt(n) / n_labels))),
+        ),
+    )
+
+
+#: derive_seed_bits at the sf0.01 oracle fixture (500 vectors, 10
+#: labels → ⌈log₂(22.4/10)⌉ = 2 → 40 cells): the similarity_ivf_autocells
+#: oracle bakes this value into its SQL codebook CTEs, and
+#: tests/test_ann_recall.py::test_autocells_oracle_geometry_in_sync
+#: fails loudly if the fixture ever drifts from it.
+IVF_AUTO_BITS_SF001 = 2
+
+
 @query(
     "similarity_ivf_scaled",
     oracle=f"""
@@ -306,8 +335,58 @@ def similarity_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "similarity_ivf_autocells",
+    oracle=f"""
+    -- IVF with DERIVED cell geometry: cells ≈ √n from the corpus
+    -- size itself (⌈log₂(√n/labels)⌉ = {IVF_AUTO_BITS_SF001} seed
+    -- bits at the 500-vector oracle fixture), instead of a pinned
+    -- bit count. The codebook CTEs bake the derived value; a sync
+    -- test pins it against derive_seed_bits on the live fixture.
+    WITH {sql_ivf_cell_ctes(IVF_AUTO_BITS_SF001)},
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {IVF_SCALED_N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               {sql_dot("qn.qv", "l.qv")}::DOUBLE / (qn.nrm * l.nrm) AS cos_sim
+        FROM probes p
+        JOIN lists l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def similarity_ivf_autocells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with cell geometry DERIVED from corpus size
+    (VERDICT r9 item 2): ``seed_bits=None`` makes ``ivf_assign``
+    count the corpus once and size cells ≈ √n via
+    ``derive_seed_bits`` — at the oracle fixture that lands on
+    {2 ** IVF_AUTO_BITS_SF001} subcells per label (40 cells); at the
+    60× smoke it derives 6 bits (640 cells) with NO code change, so
+    probe-fraction per query keeps shrinking as the corpus grows and
+    pair work stays ~n^1.5 instead of n²/constant. The oracle
+    rebuilds the seeded+refined codebook at the fixture's DERIVED
+    geometry ({IVF_AUTO_BITS_SF001} bits, pinned by the sync-guard
+    test), so assignment, probe sets, and ranking are compared
+    end-to-end; recall is floored alongside the other IVF entries in
+    tests/test_ann_recall.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, seed_bits=None, n_probe=IVF_SCALED_N_PROBE)
+
+
 def ivf_assign(
-    emb: DataFrame, seed_bits: int = 0, keep_ranks: int | None = None
+    emb: DataFrame,
+    seed_bits: int | None = 0,
+    keep_ranks: int | None = None,
 ) -> DataFrame:
     """Build the IVF codebook and rank every vector against every
     cell: coarse quantizer seeded by per-label integer centroids —
@@ -341,6 +420,17 @@ def ivf_assign(
     q = emb.select(
         "vec_id", "label", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
+    if seed_bits is None:
+        # derive cells ≈ √n from one cheap count — the index-build
+        # step of a real deployment (the registered pinned-bit
+        # entries keep static oracles; similarity_ivf_autocells pins
+        # the derived value for the oracle fixture via
+        # IVF_AUTO_BITS_SF001 + a sync-guard test)
+        stats = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("label").alias("l"),
+        ).collect()[0]
+        seed_bits = derive_seed_bits(stats["n"], stats["l"])
     if seed_bits:
         if seed_bits > N_PLANES:
             raise ValueError(
@@ -471,7 +561,7 @@ def ivf_assign(
 
 def ivf_topk(
     emb: DataFrame,
-    seed_bits: int = 0,
+    seed_bits: int | None = 0,
     n_probe: int = N_PROBE,
     query_stride: int = QUERY_STRIDE,
     top_k: int = TOP_K,

@@ -66,7 +66,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: at the first ~50 entries, so this list front-loads by verification
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
-    # ================= r9 driver window (50 slots) =================
+    # ================= r10 driver window (50 slots) ================
+    # Slots 1-6: entries whose kernels or oracles CHANGED in r10 (the
+    # lazy salted-cogroup PQ assignment; multi-probe blocked-gram kNN
+    # graph; the new derived-geometry IVF entry; the
+    # tolerance-embedded GK-percentile oracle; the thumbnail
+    # pixel-moment oracle). Slots 7-50: the stalest still-green
+    # driver rows (r2/r3/r5/r6 + the oldest r7s), re-confirmed —
+    # every other entry's latest row is r7+ and its kernel unchanged.
+    "similarity_pq_adc",
+    "similarity_ivf_pq",
+    "similarity_knn_graph",
+    "similarity_ivf_autocells",
+    "agg_percentile_approx",
+    "raster_stats_pipeline",
+    # -- stalest re-confirmations: r2 rows (16) --
+    "set_intersect",
+    "set_except_all",
+    "window_tumbling",
+    "window_sliding",
+    "scalar_string_keys",
+    "scalar_dates",
+    "scalar_math_extents",
+    "scalar_json_props",
+    "scalar_nested_arrays",
+    "scalar_map_regex",
+    "scalar_url_build",
+    "join_left_semi",
+    "agg_exact_corr",
+    "agg_pivot",
+    "set_union_by_name",
+    "window_analytics",
+    # -- r3 rows (8) --
+    "project_rename",
+    "filter_range_numeric",
+    "filter_temporal_interval",
+    "filter_metadata_threshold",
+    "filter_membership_array",
+    "join_dim_enrich",
+    "join_cross_configs",
+    "agg_tpch_q1",
+    # -- r5 rows (7) --
+    "text_edit_distance",
+    "vector_norms",
+    "geo_point_in_polygon",
+    "sample_deterministic",
+    "sample_train_test_split",
+    "sample_balanced_downsample",
+    "skew_salted_join",
+    # -- r6 rows (6) --
+    "join_fanout_1n",
+    "join_asof",
+    "join_range_bucket",
+    "incremental_lookback",
+    "dedup_cluster_assign",
+    "corpus_pack_sequences",
+    # -- oldest r7 rows (7) --
+    "flagship_catalog",
+    "filter_spatial_bbox",
+    "filter_pixel_predicates",
+    "incremental_new_keys",
+    "dedup_primary_key",
+    "window_session",
+    "scalar_epoch_roundtrip",
+    # ---- r10 first 50 end here ---------------------------------------
+
+    # ================= r9 driver window (kept for history; _ordered
+    # is first-occurrence-wins, so names above keep their new slots =
     # VERDICT r8 item 1: finish the rotation. Slots 1-35 = every entry
     # that has NEVER had a driver CORRECTNESS row (the late-r7/late-r8
     # registration tail; all green in the local parametrized oracle
@@ -273,7 +339,11 @@ _PRIORITY = (
 
 
 def _ordered(d: dict) -> dict:
-    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    # first occurrence wins, so a name listed in the current driver
+    # window AND in an older window below keeps its window slot
+    rank: dict[str, int] = {}
+    for i, name in enumerate(_PRIORITY):
+        rank.setdefault(name, i)
     n = len(_PRIORITY)
     order = {name: rank.get(name, n + i) for i, name in enumerate(d)}
     return dict(sorted(d.items(), key=lambda kv: order[kv[0]]))

@@ -214,3 +214,38 @@ def test_knn_graph_blocked_gram_is_exact(spark, monkeypatch):
     monkeypatch.setattr(S, "KNN_GRAM_BLOCK_ELEMS", 64)
     blocked = edge_set()
     assert blocked == base and len(base) > 0
+
+
+def test_autocells_oracle_geometry_in_sync(spark):
+    """similarity_ivf_autocells derives its cell count from the live
+    corpus while its DuckDB oracle bakes the derived value for the
+    sf0.01 fixture (IVF_AUTO_BITS_SF001). This guard recomputes the
+    derivation against the actual fixture — if the fixture ever
+    drifts (row count / label count), this fails loudly instead of
+    the driver row hash-mismatching mysteriously."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.vectors import qvec_of
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        IVF_AUTO_BITS_SF001,
+        derive_seed_bits,
+    )
+
+    q = (
+        read_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "label", qvec_of(F.col("embedding")).alias("qv"))
+        .filter(F.col("qv").isNotNull())
+    )
+    row = q.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("l")
+    ).collect()[0]
+    assert derive_seed_bits(row["n"], row["l"]) == IVF_AUTO_BITS_SF001
+
+
+def test_ivf_autocells_recall(spark, exact_pairs):
+    """Derived-geometry IVF (40 cells at the fixture, 32 probes) must
+    hold the same recall floor as the pinned-geometry entries."""
+    got = _topk_pairs(spark, "similarity_ivf_autocells")
+    recall = len(got & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"autocells IVF recall@5 below floor: {recall:.3f}"

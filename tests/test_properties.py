@@ -163,33 +163,56 @@ def test_simhash_numpy_matches_naive(lists):
 
 
 def test_percentile_approx_bounds(spark):
-    """agg_percentile_approx is rows-only at the gate (GK summaries
-    are engine-specific); its accuracy contract: every approx value
-    must land between the exact percentiles at p ± 0.01 (accuracy
-    parameter 1000 → rank error ≤ 1/1000, tested at 10× slack)."""
+    """The sharper PER-VALUE accuracy check behind
+    agg_percentile_approx (whose gate row now carries the embedded
+    rank-error VERDICT boolean, r10): every raw GK approx value must
+    land between the exact percentiles at p ± 0.01 (accuracy
+    parameter 1000 → rank error ≤ 1/1000, tested at 10× slack).
+    Computes the sketch directly — the registry entry no longer
+    exposes the engine-specific approx values."""
     import numpy as np
+    from pyspark.sql import functions as F
 
     from tests.conftest import SF_ORACLE
     from lake_satellite_image_etl_spark.io import read_table
     from lake_satellite_image_etl_spark.operators.aggregates import (
+        PCTL_ACCURACY,
         PCTL_PS,
-        agg_percentile_approx,
     )
 
-    got = agg_percentile_approx(spark, SF_ORACLE).collect()
-    li = (
-        read_table(spark, SF_ORACLE, "lineitem")
-        .select("l_returnflag", "l_extendedprice")
-        .toPandas()
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    got = (
+        li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", list(PCTL_PS), PCTL_ACCURACY
+            ).alias("qs")
+        )
+        .select("flag", F.posexplode("qs").alias("p_idx", "approx_price"))
+        .collect()
     )
+    pli = li.select("l_returnflag", "l_extendedprice").toPandas()
     for r in got:
         xs = np.sort(
-            li[li["l_returnflag"] == r["flag"]]["l_extendedprice"].values
+            pli[pli["l_returnflag"] == r["flag"]]["l_extendedprice"].values
         )
         p = PCTL_PS[r["p_idx"]]
         lo = xs[max(0, int(np.floor((p - 0.01) * (len(xs) - 1))))]
         hi = xs[min(len(xs) - 1, int(np.ceil((p + 0.01) * (len(xs) - 1))))]
         assert lo <= r["approx_price"] <= hi, (r, lo, hi)
+
+
+def test_percentile_approx_gate_verdicts_all_true(spark):
+    """The embedded-verdict entry itself: every within_bounds flag
+    must be TRUE on the fixture (the oracle emits literal TRUE, so a
+    FALSE here is exactly what would turn the driver row red)."""
+    from tests.conftest import SF_ORACLE
+    from lake_satellite_image_etl_spark.operators.aggregates import (
+        agg_percentile_approx,
+    )
+
+    rows = agg_percentile_approx(spark, SF_ORACLE).collect()
+    assert rows and all(r["within_bounds"] for r in rows), rows
 
 
 def test_wordpiece_greedy_longest_match_and_fallback(spark):

@@ -79,6 +79,10 @@ SIM_QUERIES = [
     "similarity_lsh_bucketed",
     "similarity_pq_adc",
     "similarity_ivf_pq",
+    # derived cell geometry (r10): at 120 K vectors derive_seed_bits
+    # lands on 6 bits -> 640 cells with no code change; the per-query
+    # cost column is the flat-ms/query evidence for the derivation
+    "similarity_ivf_autocells",
 ]
 
 
