@@ -78,6 +78,10 @@ ALLOWED_BNLJ = {
     #   row broadcast stats table (constant-size at any event volume)
     "window_sliding_distinct",
     "corpus_perplexity_buckets",
+    # - analytics_rfm_segmentation: crossJoin vs the 1-row broadcast
+    #   max-order-date anchor (analytics.py — same class as
+    #   dq_check_rules/snapshot_diff)
+    "analytics_rfm_segmentation",
     "analytics_ab_ttest",
     # - sketch_loglog_set_ops: inequality self-join of the |types|-row
     #   broadcast type list (pair generation) + the m-row register
