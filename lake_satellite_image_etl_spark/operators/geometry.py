@@ -6,8 +6,9 @@ filterBounds main.py:397, mapping main.py:241). Here the *predicates
 and scalar derivations* are pure Catalyst expressions — ray-casting
 and shoelace are just arithmetic over coordinate arrays, so they run
 JVM-side, get full DuckDB oracles, and stay inside whole-stage
-codegen. Only the exact union *geometry* (a new polygon) needs a real
-geometry kernel, which is import-gated on shapely (absent here).
+codegen. The exact union *geometry* (a new polygon) needs a real
+planar clipping kernel — native since r10 in ``operators/
+clipping.py`` (exact-rational slab decomposition, no shapely).
 
 Scale pattern (SURVEY.md §4): the cheap bbox predicate is pushed to
 the scan and prunes first; the exact ray-cast expression runs on the
@@ -191,8 +192,8 @@ def geo_polygon_union_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     a union is the elementwise min/max over member bboxes: an ordinary
     distributive aggregate (map-side partial, one shuffle of 4 doubles
     per key). Area is the shoelace sum per member (overlap-naive —
-    the exact union area needs a real geometry kernel; see
-    exact_union_requires_shapely)."""
+    the exact union area/boundary run the native clipping kernel; see
+    geo_polygon_union_boundary)."""
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
     geom = li.groupBy(
         (F.floor(F.col("l_orderkey") / 500) % 5).alias("body_id"),
@@ -366,18 +367,14 @@ def geo_polygon_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterized_union_cells(body)
 
 
-def exact_union_requires_shapely(polygons):  # pragma: no cover
+def exact_union_boundary(groups):
     """The exact union *polygon boundary* (main.py:386-388) as vector
-    geometry needs a planar clipping kernel; import-gated on shapely,
-    absent here by design. The union MEASURE (area/overlap at cell
-    resolution) is computed natively by rasterized_union_cells /
-    geo_polygon_union_exact above."""
-    try:
-        import shapely  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "exact polygon union boundary requires shapely; the engine "
-            "computes union measures natively (geo_polygon_union_exact, "
-            "geo_polygon_union_bbox)"
-        ) from exc
-    raise NotImplementedError
+    geometry — NATIVE since r10: a from-scratch planar clipping kernel
+    (slab decomposition on exact rationals, no shapely) lives in
+    ``operators/clipping.py``; this name is kept as the discoverable
+    entry point next to the union-measure operators above. See
+    geo_polygon_union_boundary / geo_union_boundary_hierarchical for
+    the registered Spark forms."""
+    from lake_satellite_image_etl_spark.operators.clipping import union_boundary
+
+    return union_boundary(groups)

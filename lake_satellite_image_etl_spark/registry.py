@@ -35,6 +35,7 @@ _MODULES = (
     "lake_satellite_image_etl_spark.operators.skew",
     "lake_satellite_image_etl_spark.operators.similarity",
     "lake_satellite_image_etl_spark.operators.geometry",
+    "lake_satellite_image_etl_spark.operators.clipping",
     "lake_satellite_image_etl_spark.operators.sampling",
     "lake_satellite_image_etl_spark.operators.analytics",
     "lake_satellite_image_etl_spark.operators.profiling",
@@ -80,6 +81,9 @@ _PRIORITY = (
     "similarity_ivf_autocells",
     "agg_percentile_approx",
     "raster_stats_pipeline",
+    # -- net-new r10 entries (exact union boundary kernel) --
+    "geo_polygon_union_boundary",
+    "geo_union_boundary_hierarchical",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -121,15 +125,17 @@ _PRIORITY = (
     "incremental_lookback",
     "dedup_cluster_assign",
     "corpus_pack_sequences",
-    # -- oldest r7 rows (7) --
+    # -- oldest r7 rows (5; window_session / scalar_epoch_roundtrip
+    #    displaced to slots 51-52 by the two net-new union-boundary
+    #    entries above — both are r7-green with unchanged kernels) --
     "flagship_catalog",
     "filter_spatial_bbox",
     "filter_pixel_predicates",
     "incremental_new_keys",
     "dedup_primary_key",
+    # ---- r10 first 50 end here ---------------------------------------
     "window_session",
     "scalar_epoch_roundtrip",
-    # ---- r10 first 50 end here ---------------------------------------
 
     # ================= r9 driver window (kept for history; _ordered
     # is first-occurrence-wins, so names above keep their new slots =
