@@ -81,9 +81,11 @@ _PRIORITY = (
     "similarity_ivf_autocells",
     "agg_percentile_approx",
     "raster_stats_pipeline",
-    # -- net-new r10 entries (exact union boundary kernel) --
+    # -- net-new r10 entries (exact union boundary kernel; star-
+    #    contraction components sharing dedup_cluster_assign's oracle) --
     "geo_polygon_union_boundary",
     "geo_union_boundary_hierarchical",
+    "graph_components_star",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -125,15 +127,16 @@ _PRIORITY = (
     "incremental_lookback",
     "dedup_cluster_assign",
     "corpus_pack_sequences",
-    # -- oldest r7 rows (5; window_session / scalar_epoch_roundtrip
-    #    displaced to slots 51-52 by the two net-new union-boundary
-    #    entries above — both are r7-green with unchanged kernels) --
+    # -- oldest r7 rows (4; dedup_primary_key / window_session /
+    #    scalar_epoch_roundtrip displaced to slots 51-53 by the three
+    #    net-new entries above — all three are r7-green with unchanged
+    #    kernels) --
     "flagship_catalog",
     "filter_spatial_bbox",
     "filter_pixel_predicates",
     "incremental_new_keys",
-    "dedup_primary_key",
     # ---- r10 first 50 end here ---------------------------------------
+    "dedup_primary_key",
     "window_session",
     "scalar_epoch_roundtrip",
 

@@ -1,0 +1,95 @@
+"""Star-contraction connected components (operators/graph.py):
+equivalence with label propagation, the O(log²n) round-count
+advantage on long chains (its reason to exist at 100 TB), and
+structural-fixpoint properties."""
+
+from __future__ import annotations
+
+import random
+
+
+def _star(spark, undirected_pairs):
+    from lake_satellite_image_etl_spark.operators.graph import (
+        star_contract_components,
+    )
+
+    pairs = spark.createDataFrame(undirected_pairs, "src long, dst long")
+    labels, rounds = star_contract_components(pairs)
+    return {r["node"]: r["label"] for r in labels.collect()}, rounds
+
+
+def _propagate(spark, undirected_pairs):
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        label_propagate_components,
+    )
+
+    pairs = spark.createDataFrame(undirected_pairs, "src long, dst long")
+    edges = pairs.union(pairs.select(F.col("dst"), F.col("src")))
+    return {
+        r["node"]: r["label"]
+        for r in label_propagate_components(edges).collect()
+    }
+
+
+def test_chain_converges_in_logarithmic_rounds(spark):
+    """A 64-node chain (diameter 63) needs ~63 propagation rounds; star
+    contraction must land the same single min-rooted component in
+    O(log²n) alternations — pinned at ≤ 10."""
+    chain = [(i, i + 1) for i in range(1, 64)]
+    labels, rounds = _star(spark, chain)
+    assert labels == {n: 1 for n in range(1, 65)}
+    assert rounds <= 10, f"star contraction took {rounds} rounds on a chain"
+
+
+def test_components_match_label_propagation_on_random_graphs(spark):
+    """Two independent algorithms, identical fixpoint: random sparse
+    graphs (dup edges, self loops, both orientations, singleton-free
+    by construction) must agree node-for-node."""
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n)
+        ]  # includes self-loops / dups / reversed duplicates
+        pairs += [(b, a) for a, b in pairs[: n // 4]]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        star_labels, _ = _star(spark, pairs)
+        prop_labels = _propagate(spark, pairs)
+        assert star_labels == prop_labels, f"trial {trial} diverged"
+
+
+def test_two_components_and_orientation_independence(spark):
+    """Direction of the input pairs must not matter, and separate
+    components keep separate min labels."""
+    pairs = [(12, 11), (11, 10), (10, 9)] + [(20, 21), (21, 22)]
+    labels, _ = _star(spark, pairs)
+    assert labels == {9: 9, 10: 9, 11: 9, 12: 9, 20: 20, 21: 20, 22: 20}
+
+
+def test_star_input_is_immediate_fixpoint(spark):
+    """A min-rooted star is a fixpoint of both operations: one round
+    to observe stability, then out."""
+    star = [(1, k) for k in range(2, 12)]
+    labels, rounds = _star(spark, star)
+    assert labels == {n: 1 for n in range(1, 12)}
+    assert rounds <= 2
+
+
+def test_round_cap_exhaustion_warns(spark, monkeypatch):
+    """Exiting via STAR_MAX_ROUNDS before the edge set stabilizes must
+    raise the RuntimeWarning, mirroring label propagation's contract."""
+    import warnings
+
+    from lake_satellite_image_etl_spark.operators import graph
+
+    monkeypatch.setattr(graph, "STAR_MAX_ROUNDS", 1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _star(spark, [(i, i + 1) for i in range(1, 40)])
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "not converged" in str(w.message)
+        for w in caught
+    )

@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
+    "graph_components_star",
     "dedup_sorted_neighborhood",
     "dedup_containment",
     "corpus_bloom_prefilter",
