@@ -1215,3 +1215,106 @@ def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fertility"),
         F.md5(F.concat_ws(" ", "pieces")).alias("pieces_fp"),
     )
+
+
+#: PMI collocation extraction: adjacent bigrams with at least this
+#: many corpus occurrences, ranked by the scaled PMI ratio.
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+PMI_SCALE = 10**6
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    -- top-{PMI_TOPK} collocations by pointwise mutual information
+    -- over adjacent bigrams (min count {PMI_MIN_COUNT}). PMI =
+    -- log(c_xy*N/(c1_x*c2_y)) is MONOTONE in the ratio, so ranking
+    -- by the exact integer floor(c_xy*N*{PMI_SCALE}/(c1_x*c2_y))
+    -- needs no float log and no cross-engine float agreement;
+    -- ties break on the bigram string.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM t
+    ),
+    bgw AS (SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2 FROM bg),
+    cb AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2,
+                  count(*)::BIGINT AS n_pair
+           FROM bgw GROUP BY bigram),
+    c1 AS (SELECT w1, count(*)::BIGINT AS n_w1 FROM bgw GROUP BY 1),
+    c2 AS (SELECT w2, count(*)::BIGINT AS n_w2 FROM bgw GROUP BY 1),
+    tot AS (SELECT count(*)::BIGINT AS n FROM bgw)
+    SELECT cb.bigram, cb.n_pair,
+           ((cb.n_pair * tot.n * {PMI_SCALE}) // (c1.n_w1 * c2.n_w2))
+               ::BIGINT AS pmi_ratio_scaled
+    FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+    WHERE cb.n_pair >= {PMI_MIN_COUNT}
+    ORDER BY pmi_ratio_scaled DESC, cb.bigram
+    LIMIT {PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information over
+    adjacent bigrams — the phrase-mining primitive (new-term
+    discovery, tokenizer-vocab candidates) run corpus-wide. PMI is
+    ranked through the exact integer ratio c_xy·N·SCALE // (c_x·c_y)
+    (log is monotone, so the ranking is identical and no float
+    crosses an engine boundary); ties break on the bigram string, so
+    the global top-k is a total order.
+
+    Scale shape: bigrams come from the same narrow HOF
+    transform+explode as text_bigram_lm_score (no position
+    self-join); three count aggregates all partial map-side; the
+    position-marginal tables join back WITHOUT broadcast hints (AQE
+    broadcasts them on natural Zipf vocabularies, degrades to
+    shuffle join on pathological ones); the final top-k is
+    TakeOrderedAndProject — per-partition heaps, no global sort. At
+    web scale you'd add a count-min prefilter before the exact
+    count; the plan downstream is unchanged."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens_of(F.col("text"))
+    t = docs.select("doc_id", toks.alias("toks"))
+    bgw = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram")
+    ).select(
+        "bigram",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    cb = bgw.groupBy("bigram").agg(
+        F.min("w1").alias("w1"),
+        F.min("w2").alias("w2"),
+        F.count(F.lit(1)).cast("long").alias("n_pair"),
+    )
+    c1 = bgw.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_w1"))
+    c2 = bgw.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_w2"))
+    tot = bgw.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        cb.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "n_pair",
+            F.expr(f"(n_pair * n * {PMI_SCALE}) div (n_w1 * n_w2)").alias(
+                "pmi_ratio_scaled"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_scaled").desc(), "bigram"
+    ).limit(PMI_TOPK)

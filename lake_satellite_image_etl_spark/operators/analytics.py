@@ -777,3 +777,113 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+#: attribution lookback: a purchase is attributed to the user's most
+#: recent click/view at most this many days before it.
+ATTR_LOOKBACK_DAYS = 7
+ATTR_TOUCH_TYPES = ("click", "view")
+
+
+@query(
+    "analytics_attribution",
+    oracle=f"""
+    -- last-touch revenue attribution: each purchase is credited to
+    -- the user's most recent click/view within {ATTR_LOOKBACK_DAYS}
+    -- days (channel = that event's type), else 'unattributed'.
+    -- Revenue in exact integer cents; the touch→purchase gap in
+    -- exact integer MICROSECONDS (the fixture's ts has sub-second
+    -- precision, and epoch() floats would diverge from Spark's
+    -- whole-second unix_timestamp), summed as BIGINT.
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN event_type END AS touch
+        FROM events
+    ),
+    carried AS (
+        SELECT user_id, ts, event_type, value,
+               last_value(touch IGNORE NULLS) OVER w AS last_touch,
+               last_value(CASE WHEN touch IS NOT NULL THEN ts END
+                          IGNORE NULLS) OVER w AS last_touch_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    purchases AS (
+        SELECT CASE WHEN last_touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(last_touch_ts)
+                         <= {ATTR_LOOKBACK_DAYS}::BIGINT * 86400000000
+                    THEN last_touch ELSE 'unattributed' END AS channel,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN last_touch_ts IS NOT NULL
+                     AND epoch_us(ts) - epoch_us(last_touch_ts)
+                         <= {ATTR_LOOKBACK_DAYS}::BIGINT * 86400000000
+                    THEN epoch_us(ts) - epoch_us(last_touch_ts)
+                    ELSE 0 END AS gap_us
+        FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT channel, count(*)::BIGINT AS n_purchases,
+           sum(cents)::BIGINT AS revenue_cents,
+           sum(gap_us)::BIGINT AS total_gap_us
+    FROM purchases GROUP BY 1
+    """,
+)
+def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — credit every purchase to the
+    user's most recent click/view within the lookback window, the
+    canonical "carry the last non-null over an ordered partition"
+    shape (`last(..., ignorenulls)` running window). Revenue is summed
+    in exact integer cents and the touch→purchase gap in exact epoch
+    MICROSECONDS (unix_micros / epoch_us — whole-second truncation
+    would silently disagree on sub-second fixtures), so the small
+    aggregate is bit-stable cross-engine.
+
+    Scale shape: ONE shuffle — the user-partitioned sort for the
+    running window (the same partitioning a sessionizer uses; at
+    100 TB the events table is already bucketed by user_id and the
+    exchange disappears). Everything after the window is a
+    constant-width global aggregate with map-side partials. This is
+    the join-free formulation: the naive as-of self-join of purchases
+    against touches costs a second shuffle and a range predicate;
+    carrying state through one sorted pass is strictly cheaper and
+    exactly matches join_point_in_time's semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTR_TOUCH_TYPES), F.col("event_type")
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.last(
+            F.when(touch.isNotNull(), F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_touch_ts"),
+    )
+    gap = F.unix_micros("ts") - F.unix_micros("last_touch_ts")
+    in_window = F.col("last_touch_ts").isNotNull() & (
+        gap <= ATTR_LOOKBACK_DAYS * 86400 * 1_000_000
+    )
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        F.when(in_window, F.col("last_touch"))
+        .otherwise("unattributed")
+        .alias("channel"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(in_window, gap).otherwise(0).cast("long").alias("gap_us"),
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )

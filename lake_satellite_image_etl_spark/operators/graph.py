@@ -219,6 +219,132 @@ def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: triangle-count graph: parts of ONE brand co-ordered within one
+#: order (the market-basket co-occurrence graph restricted to a
+#: brand slice — the full co-purchase graph's wedge volume grows
+#: with order fan-out² × |orders| and is bench-hostile at sf0.1;
+#: the brand slice keeps the graph triangle-rich at every sf while
+#: the ALGORITHM stays the one that survives the full graph)
+_SQL_COPART = """
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = (SELECT min(p_brand) FROM part))
+          AND b.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = (SELECT min(p_brand) FROM part))
+"""
+
+_SQL_TRIANGLES = f"""
+    WITH pair AS ({_SQL_COPART}),
+    tri AS (
+        SELECT p1.lo AS a, p1.hi AS b, p2.hi AS c
+        FROM pair p1
+        JOIN pair p2 ON p2.lo = p1.hi
+        JOIN pair p3 ON p3.lo = p1.lo AND p3.hi = p2.hi
+    )
+    SELECT node AS l_partkey, count(*) AS n_triangles
+    FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+          UNION ALL SELECT c AS node FROM tri)
+    GROUP BY 1
+"""
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORDERED edge orientation
+    (Cohen's MapReduce triangle algorithm / Latapy's compact-forward):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one, enumerate wedges by joining oriented edges on
+    the shared middle node, close each wedge with a third oriented-
+    edge join, then explode each triangle to its three corners and
+    count per node.
+
+    Why the orientation matters at 100 TB: wedge enumeration costs
+    Σ out-degree², and degree orientation bounds every out-degree by
+    O(√|E|) — a celebrity node with 10⁷ undirected neighbors
+    contributes ZERO wedges from its own key (all its edges point
+    INTO it), so the skewed key that would OOM a naive neighbor
+    self-join is structurally defused instead of salted after the
+    fact. The triangle SET is orientation-invariant, which is what
+    the id-ordered oracle checks.
+
+    ``edges`` is any (src, dst) pair DataFrame; canonicalized here.
+    Returns (node, n_triangles) for nodes in ≥1 triangle."""
+    canon = _canon_edges(
+        edges.select(
+            F.col(edges.columns[0]).alias("x"),
+            F.col(edges.columns[1]).alias("y"),
+        )
+    )
+    deg = (
+        canon.select(F.col("lo").alias("node"))
+        .union(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("d").alias("d_lo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("d").alias("d_hi"))
+    lo_first = (F.col("d_lo") < F.col("d_hi")) | (
+        (F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        canon.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .union(tri.select(F.col("b").alias("node")))
+        .union(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query("graph_triangle_count", oracle=_SQL_TRIANGLES)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the within-brand part co-purchase graph
+    (parts of the lexicographically-first brand co-ordered within one
+    order): the standard graph-local clustering primitive, computed
+    with the degree-ordered orientation so wedge fan-out is bounded by
+    O(√|E|) per node (see ``triangle_counts``). The brand slice keeps
+    the demonstration graph triangle-rich and bench-sized at every sf;
+    on the FULL graph the same orientation is exactly what keeps the
+    wedge join feasible. The oracle enumerates the same triangles with
+    the id-ordered 3-way self-join — the triangle set is
+    orientation-invariant, so two different join orders must
+    hash-match."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    min_brand = part.agg(F.min("p_brand").alias("b"))
+    brand_parts = part.join(
+        F.broadcast(min_brand), part["p_brand"] == F.col("b")
+    ).select(F.col("p_partkey").alias("pk"))
+    # no broadcast hint: the brand slice is |parts|/|brands| keys —
+    # tiny here, 10⁶-ish at 100 TB — AQE picks the right side
+    li_b = li.join(
+        brand_parts, li["l_partkey"] == F.col("pk"), "leftsemi"
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey"))
+    a = li_b.select("ok", F.col("l_partkey").alias("pa"))
+    b = li_b.select("ok", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("l_partkey"), "n_triangles"
+    )
+
+
 @query("graph_pagerank", oracle=_sql_pagerank())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank ({PR_ITERS} supersteps, damping 0.85) over

@@ -587,3 +587,89 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+#: chi² contribution scale: contributions are reported as
+#: floor(contrib * 10^6) in exact integer arithmetic.
+CHI2_SCALE = 10**6
+
+
+@query(
+    "stats_chi2_independence",
+    oracle=f"""
+    -- Pearson chi-squared test of independence between order priority
+    -- and lineitem return flag, in EXACT integers (the stats_ks_drift
+    -- rule): per cell, with diff = obs*N - r*c (BIGINT), the
+    -- contribution (obs-E)^2/E with E = r*c/N equals
+    -- diff^2 / (N*r*c); scaled by {CHI2_SCALE} and floor-divided in
+    -- 128-bit so both engines agree bit-for-bit. The expected count
+    -- is reported as floor(r*c*{CHI2_SCALE}/N).
+    WITH joined AS (
+        SELECT o.o_orderpriority AS pri, l.l_returnflag AS mode
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    obs AS (SELECT pri, mode, count(*)::BIGINT AS n_obs
+            FROM joined GROUP BY 1, 2),
+    rt AS (SELECT pri, sum(n_obs)::BIGINT AS r FROM obs GROUP BY 1),
+    ct AS (SELECT mode, sum(n_obs)::BIGINT AS c FROM obs GROUP BY 1),
+    tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
+    SELECT o.pri AS o_orderpriority, o.mode AS l_returnflag, o.n_obs,
+           ((rt.r * ct.c * {CHI2_SCALE}) // tot.n)::BIGINT
+               AS expected_scaled,
+           (((o.n_obs * tot.n - rt.r * ct.c)::HUGEINT
+             * (o.n_obs * tot.n - rt.r * ct.c)::HUGEINT
+             * {CHI2_SCALE})
+            // (tot.n::HUGEINT * rt.r * ct.c))::BIGINT
+               AS chi2_contrib_scaled
+    FROM obs o
+    JOIN rt ON rt.pri = o.pri
+    JOIN ct ON ct.mode = o.mode
+    CROSS JOIN tot
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence audit between two categorical columns
+    (order priority × return flag) — the categorical-drift /
+    feature-correlation screen a training-data pipeline runs before
+    trusting a segmentation. All arithmetic is exact integers:
+    diff = obs·N − r·c stays in BIGINT, diff² and the final
+    floor-divide run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so
+    no float summation order can split the engines.
+
+    Scale shape: one shuffle to the (priority, mode) cell table
+    (partial map-side agg collapses the fact join's output early);
+    the margins are two aggregates OVER THE CELL TABLE (≤ |pri|·|mode|
+    rows, constant), joined back broadcast. The fact join itself is a
+    plain equi-join that AQE plans; nothing downstream of the first
+    aggregate depends on data volume."""
+    ords = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        ords, li["l_orderkey"] == ords["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("l_returnflag").alias("mode"),
+    )
+    obs = joined.groupBy("pri", "mode").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    rt = obs.groupBy("pri").agg(F.sum("n_obs").cast("long").alias("r"))
+    ct = obs.groupBy("mode").agg(F.sum("n_obs").cast("long").alias("c"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "mode")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("diff", F.expr("n_obs * n - r * c"))
+    )
+    return cells.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("mode").alias("l_returnflag"),
+        "n_obs",
+        F.expr(f"(r * c * {CHI2_SCALE}) div n").alias("expected_scaled"),
+        F.expr(
+            f"CAST(CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0))"
+            f" * {CHI2_SCALE} AS DECIMAL(38,0))"
+            f" div CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DECIMAL(38,0))"
+        ).alias("chi2_contrib_scaled"),
+    )

@@ -82,10 +82,16 @@ _PRIORITY = (
     "agg_percentile_approx",
     "raster_stats_pipeline",
     # -- net-new r10 entries (exact union boundary kernel; star-
-    #    contraction components sharing dedup_cluster_assign's oracle) --
+    #    contraction components sharing dedup_cluster_assign's oracle;
+    #    degree-oriented triangle counting; PMI collocations; last-touch
+    #    attribution; chi-squared independence) --
     "geo_polygon_union_boundary",
     "geo_union_boundary_hierarchical",
     "graph_components_star",
+    "graph_triangle_count",
+    "text_pmi_collocations",
+    "analytics_attribution",
+    "stats_chi2_independence",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -127,15 +133,14 @@ _PRIORITY = (
     "incremental_lookback",
     "dedup_cluster_assign",
     "corpus_pack_sequences",
-    # -- oldest r7 rows (4; dedup_primary_key / window_session /
-    #    scalar_epoch_roundtrip displaced to slots 51-53 by the three
-    #    net-new entries above — all three are r7-green with unchanged
-    #    kernels) --
+    # ---- r10 first 50 end here ---------------------------------------
+    # (oldest-r7 re-confirmations displaced below the window by the
+    # seven net-new entries above — all displaced names are r7-green
+    # with unchanged kernels, so they lose nothing)
     "flagship_catalog",
     "filter_spatial_bbox",
     "filter_pixel_predicates",
     "incremental_new_keys",
-    # ---- r10 first 50 end here ---------------------------------------
     "dedup_primary_key",
     "window_session",
     "scalar_epoch_roundtrip",

@@ -93,3 +93,44 @@ def test_round_cap_exhaustion_warns(spark, monkeypatch):
         and "not converged" in str(w.message)
         for w in caught
     )
+
+
+# ---------------- triangle counting ------------------------------------
+
+
+def _tri(spark, undirected_pairs):
+    from lake_satellite_image_etl_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    pairs = spark.createDataFrame(undirected_pairs, "src long, dst long")
+    return {
+        r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()
+    }
+
+
+def test_triangles_k4(spark):
+    """K4 has C(4,3)=4 triangles; every node sits in exactly 3."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert _tri(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_star_graph_has_none(spark):
+    """A star (the degree-skew worst case the orientation defuses)
+    has no triangles — and nodes with zero triangles are absent."""
+    star = [(1, h) for h in range(2, 40)]
+    assert _tri(spark, star) == {}
+
+
+def test_triangles_orientation_invariance(spark):
+    """Same counts regardless of input edge direction, duplicates,
+    and self-loops (canonicalization)."""
+    base = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    noisy = base + [(2, 1), (3, 1), (4, 4), (1, 2)]
+    assert _tri(spark, base) == _tri(spark, noisy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_two_overlapping(spark):
+    """Two triangles sharing an edge: shared nodes count both."""
+    g = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
+    assert _tri(spark, g) == {1: 1, 2: 2, 3: 2, 4: 1}

@@ -87,6 +87,12 @@ ALLOWED_BNLJ = {
     #   broadcast type list (pair generation) + the m-row register
     #   grid densifier — both constant-size at any event volume
     "sketch_loglog_set_ops",
+    # - text_pmi_collocations: crossJoin vs the 1-row broadcast
+    #   total-bigram-count anchor (the PMI normalizer N)
+    # - stats_chi2_independence: crossJoin vs the 1-row broadcast
+    #   grand-total anchor N over the constant-size cell table
+    "text_pmi_collocations",
+    "stats_chi2_independence",
 }
 
 
