@@ -1157,3 +1157,111 @@ def agg_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sx"), 2).cast("double").alias("total_value"),
         F.round((2 * srx - (n + 1) * sx) / (n * sx), 6).alias("gini"),
     )
+
+
+#: weighted-median band width over integer price cents (≈ $250
+#: bands) — the same banded-rank decomposition as the equi-depth
+#: histogram, applied to CUMULATIVE WEIGHT instead of row rank.
+WMED_BAND = 25_000
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+    -- exact LOW weighted median of lineitem price per return flag,
+    -- weighted by quantity: the smallest price cents v with
+    -- 2 * (cumulative weight through v) >= total weight. All
+    -- arithmetic is exact integers (cents, integral quantities), so
+    -- the 3-row answer is bit-stable cross-engine. Cumulative weight
+    -- is decomposed over {WMED_BAND}-wide coarse bands (band offsets
+    -- + intra-band running sums), mirroring the engine's scale-safe
+    -- plan so both sides rank identically.
+    WITH ct AS (
+        SELECT l_returnflag AS flag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               sum(CAST(l_quantity AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    banded AS (SELECT flag, cents, w, cents // {WMED_BAND} AS b FROM ct),
+    btot AS (SELECT flag, b, sum(w) AS bw FROM banded GROUP BY 1, 2),
+    boffs AS (
+        SELECT flag, b,
+               COALESCE(sum(bw) OVER (PARTITION BY flag ORDER BY b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS boff
+        FROM btot
+    ),
+    tot AS (SELECT flag, sum(w) AS tw FROM ct GROUP BY 1),
+    cum AS (
+        SELECT banded.flag, cents,
+               boff + sum(w) OVER (PARTITION BY banded.flag, banded.b
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw
+        FROM banded JOIN boffs USING (flag, b)
+    )
+    SELECT cum.flag AS l_returnflag,
+           min(cents)::BIGINT AS weighted_median_cents
+    FROM cum JOIN tot USING (flag)
+    WHERE 2 * cw >= tw
+    GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (low form: min v with 2·cumw(v) ≥ totw)
+    of price cents per return flag, weighted by quantity — the robust
+    location statistic percentile sketches approximate, computed
+    exactly with a scale-safe plan.
+
+    Scale shape: the naive form sorts each group's raw rows in one
+    task. Here the raw fact rows first collapse to a VALUE-COMPRESSED
+    (flag, cents)→weight count table (one map-side-partial shuffle),
+    then cumulative weight is decomposed over {WMED_BAND}-wide coarse
+    bands exactly like `stats_equidepth_histogram`: per-band totals
+    give a bounded table whose running offsets broadcast back, and the
+    intra-band running sum is a window partitioned by (flag, band) —
+    many parallel tasks, each bounded by a band's distinct price
+    points, never a whole group in one task. The threshold pick is a
+    filter + groupBy-min, no global sort anywhere."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ct = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("q").alias("w"))
+    )
+    banded = ct.withColumn("b", F.expr(f"cents div {WMED_BAND}"))
+    btot = banded.groupBy("flag", "b").agg(F.sum("w").alias("bw"))
+    w_off = (
+        Window.partitionBy("flag")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boffs = btot.select(
+        "flag",
+        "b",
+        F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("boff"),
+    )
+    tot = ct.groupBy("flag").agg(F.sum("w").alias("tw"))
+    w_cum = (
+        Window.partitionBy("flag", "b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = banded.join(F.broadcast(boffs), ["flag", "b"]).select(
+        "flag",
+        "cents",
+        (F.col("boff") + F.sum("w").over(w_cum)).alias("cw"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("cents").cast("long").alias("weighted_median_cents"))
+        .select(F.col("flag").alias("l_returnflag"), "weighted_median_cents")
+    )

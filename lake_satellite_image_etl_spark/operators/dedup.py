@@ -1844,3 +1844,82 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+#: fuzzy entity resolution: candidate pairs must share the blocking
+#: key (the name minus its last FUZZY_SUFFIX_LEN chars) and sit
+#: within edit distance FUZZY_MAX_DIST.
+FUZZY_SUFFIX_LEN = 2
+FUZZY_MAX_DIST = 1
+
+
+@query(
+    "dedup_fuzzy_blocked",
+    oracle=f"""
+    -- blocked fuzzy entity resolution over customer names: candidate
+    -- pairs share the name-prefix blocking key (name minus its last
+    -- {FUZZY_SUFFIX_LEN} chars) and match at levenshtein <=
+    -- {FUZZY_MAX_DIST}; per entity, the match count and the smallest
+    -- matching key. Levenshtein is classic unit-cost edit distance in
+    -- both engines; counts/keys are exact integers.
+    WITH c AS (
+        SELECT c_custkey AS k, c_name AS nm,
+               substr(c_name, 1, length(c_name) - {FUZZY_SUFFIX_LEN})
+                   AS blk
+        FROM customer
+    ),
+    hits AS (
+        SELECT a.k AS ka, b.k AS kb
+        FROM c a JOIN c b ON a.blk = b.blk AND a.k < b.k
+        WHERE levenshtein(a.nm, b.nm) <= {FUZZY_MAX_DIST}
+    ),
+    sym AS (SELECT ka AS k, kb AS other FROM hits
+            UNION ALL SELECT kb, ka FROM hits)
+    SELECT k AS c_custkey,
+           count(*)::BIGINT AS n_fuzzy,
+           min(other)::BIGINT AS nearest_key
+    FROM sym GROUP BY 1
+    """,
+)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution — the record-linkage primitive
+    for typo-level duplicate entities: block on a deterministic key
+    (name minus its last {FUZZY_SUFFIX_LEN} chars), compare ONLY
+    within blocks, keep pairs at levenshtein ≤ {FUZZY_MAX_DIST}, and
+    report per entity its match count and smallest matching key (the
+    canonical-keeper convention the other dedup operators use).
+
+    Scale shape: the all-pairs O(n²) edit-distance matrix never
+    exists — the self-join keys on the blocking prefix, so pair
+    fan-out per block is bounded by the suffix alphabet
+    (≤ 10^{FUZZY_SUFFIX_LEN} names per block → ≤ C(10^{FUZZY_SUFFIX_LEN}, 2)
+    comparisons), a bound set by the KEY DESIGN, not by data luck —
+    the same blocking discipline as dedup_sorted_neighborhood, with
+    levenshtein (JVM builtin, whole-stage codegen) as the in-block
+    matcher. Production variants stack multiple blocking passes
+    (prefix, phonetic, q-gram) and union candidates; each pass has
+    this exact plan."""
+    cust = read_table(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.expr(
+            f"substring(c_name, 1, length(c_name) - {FUZZY_SUFFIX_LEN})"
+        ).alias("blk"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    hits = (
+        a.join(b, "blk")
+        .where(F.col("a.k") < F.col("b.k"))
+        .where(
+            F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= FUZZY_MAX_DIST
+        )
+        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+    )
+    sym = hits.select(F.col("ka").alias("k"), F.col("kb").alias("other")).union(
+        hits.select(F.col("kb").alias("k"), F.col("ka").alias("other"))
+    )
+    return sym.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fuzzy"),
+        F.min("other").cast("long").alias("nearest_key"),
+    ).select(F.col("k").alias("c_custkey"), "n_fuzzy", "nearest_key")

@@ -408,3 +408,109 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+#: BFS demonstration: seed parts (every 997th key) expanded over the
+#: FULL co-purchase graph for a fixed hop budget.
+BFS_SEED_MOD = 997
+BFS_MAX_HOPS = 3
+
+_SQL_COPART_FULL = """
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+"""
+
+_SQL_BFS = f"""
+    WITH RECURSIVE pair AS ({_SQL_COPART_FULL}),
+    edges AS (SELECT lo AS src, hi AS dst FROM pair
+              UNION ALL SELECT hi, lo FROM pair),
+    seeds AS (SELECT p_partkey AS node FROM part
+              WHERE p_partkey % {BFS_SEED_MOD} = 0),
+    walk(node, d) AS (
+        SELECT node, 0::BIGINT FROM seeds
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w
+        JOIN edges e ON e.src = w.node
+        WHERE w.d < {BFS_MAX_HOPS}
+    )
+    SELECT node AS l_partkey, min(d)::BIGINT AS hops
+    FROM walk GROUP BY 1
+"""
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Level-synchronous BFS: exact minimum hop distance (≤
+    ``max_hops``) from a seed set over an undirected edge set.
+
+    ``edges`` is any (src, dst) pair DataFrame (canonicalized +
+    symmetrized here); ``seeds`` is a 1-column node DataFrame.
+    Returns (node, hops).
+
+    Scale shape: each of the FIXED ``max_hops`` supersteps is one
+    equi-join (frontier × edges) + one anti-join against the visited
+    set — per-round cost is O(frontier-degree sum), the textbook
+    Pregel BFS expressed relationally. The frontier is eagerly
+    localCheckpointed per round (it feeds the join, the union AND the
+    next anti-join — without the cut Spark re-derives the whole
+    prefix three times per round, the same lineage trap
+    ``star_contract_components`` documents). Level-synchronous
+    visiting makes first-found == minimum distance, which is what the
+    oracle's min() over the (node, d)-deduped recursive walk checks.
+    """
+    canon = _canon_edges(
+        edges.select(
+            F.col(edges.columns[0]).alias("x"),
+            F.col(edges.columns[1]).alias("y"),
+        )
+    )
+    sym = canon.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).union(canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    dist = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
+
+
+@query("graph_bfs_distance", oracle=_SQL_BFS)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (BFS, ≤ {BFS_MAX_HOPS} hops) from the
+    seed parts (every {BFS_SEED_MOD}th key) over the FULL part
+    co-purchase graph — reachability / blast-radius analysis as a
+    fixed-superstep relational loop (see ``bfs_distances``). The
+    oracle recomputes the same distances with a recursive CTE whose
+    UNION dedups on (node, d) pairs, bounding its work at
+    |nodes| × hops."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    seeds = part.where(
+        F.col("p_partkey") % BFS_SEED_MOD == 0
+    ).select("p_partkey")
+    return bfs_distances(pairs, seeds, BFS_MAX_HOPS).select(
+        F.col("node").alias("l_partkey"), "hops"
+    )

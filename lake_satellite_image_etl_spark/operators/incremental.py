@@ -586,3 +586,90 @@ def incremental_backfill_partitions(
             .alias("action"),
         )
     )
+
+
+#: view-maintenance cutoff: rows at least this far after the corpus
+#: min timestamp are "the delta batch"; everything earlier is "the
+#: materialized state".
+MERGE_CUTOFF_DAYS = 150
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Merge any number of partial aggregate states of the shape
+    (event_type, month, n, cents, min_cents, max_cents) into one —
+    count/sum re-sum, min/max re-extremize. Mergeability is the whole
+    point: a 100 TB materialized aggregate is maintained by
+    aggregating ONLY the arriving partition and merging, never by
+    rescanning history."""
+    acc = states[0]
+    for s in states[1:]:
+        acc = acc.unionByName(s)
+    return acc.groupBy("event_type", "month").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("min_cents").cast("long").alias("min_cents"),
+        F.max("max_cents").cast("long").alias("max_cents"),
+    )
+
+
+def _agg_state(ev: DataFrame) -> DataFrame:
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("cents"),
+            F.min("c").cast("long").alias("min_cents"),
+            F.max("c").cast("long").alias("max_cents"),
+        )
+    )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    -- incremental materialized-view maintenance: the engine computes
+    -- the (event_type, month) aggregate as OLD-STATE (ts < cutoff)
+    -- merged with the DELTA batch (ts >= cutoff); the oracle is the
+    -- full single-pass recompute. Equality IS the correctness
+    -- property: merging partials must be indistinguishable from
+    -- rescanning history. Exact integer cents.
+    SELECT event_type,
+           strftime(date_trunc('month', ts), '%Y-%m') AS month,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents,
+           min(CAST(round(value * 100) AS BIGINT))::BIGINT AS min_cents,
+           max(CAST(round(value * 100) AS BIGINT))::BIGINT AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance: the monthly per-type
+    revenue rollup is produced by MERGING two independently-computed
+    partial states — the "materialized" aggregate of history
+    (ts < min+{MERGE_CUTOFF_DAYS}d) and the aggregate of the arriving
+    delta batch — via ``merge_agg_states``. The oracle recomputes the
+    view from scratch; hash equality proves the merge is lossless,
+    the invariant that lets a production pipeline maintain a 100 TB
+    rollup by touching only the new partition (count/sum/min/max are
+    the mergeable-state subset; avg = cents/n is derived downstream,
+    never stored).
+
+    Scale shape: two partition-pruned scans (at 100 TB the cutoff
+    predicate prunes the history scan to ZERO files for the delta
+    side and vice versa — here both prune on the parquet min/max row
+    groups), each collapsing map-side to its partial state; the merge
+    is a groupBy over two already-tiny states."""
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = ev.agg(
+        (F.min("ts") + F.expr(f"INTERVAL {MERGE_CUTOFF_DAYS} DAY")).alias("c")
+    )
+    ev_c = ev.crossJoin(F.broadcast(cutoff))
+    old_state = _agg_state(ev_c.where(F.col("ts") < F.col("c")))
+    delta_state = _agg_state(ev_c.where(F.col("ts") >= F.col("c")))
+    return merge_agg_states(old_state, delta_state)

@@ -92,6 +92,13 @@ _PRIORITY = (
     "text_pmi_collocations",
     "analytics_attribution",
     "stats_chi2_independence",
+    # -- second net-new r10 block (level-synchronous BFS; exact banded
+    #    weighted median; mergeable-view maintenance; blocked fuzzy
+    #    entity resolution) --
+    "graph_bfs_distance",
+    "agg_weighted_median",
+    "incremental_agg_merge",
+    "dedup_fuzzy_blocked",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -126,17 +133,18 @@ _PRIORITY = (
     "sample_train_test_split",
     "sample_balanced_downsample",
     "skew_salted_join",
-    # -- r6 rows (6) --
+    # -- r6 rows (2 of 6; the other 4 displaced below the window by
+    #    the second net-new block — all r6-green, unchanged kernels) --
     "join_fanout_1n",
     "join_asof",
+    # ---- r10 first 50 end here ---------------------------------------
+    # (older re-confirmations displaced below the window by the
+    # eleven net-new entries above — all displaced names are r6/r7-
+    # green with unchanged kernels, so they lose nothing)
     "join_range_bucket",
     "incremental_lookback",
     "dedup_cluster_assign",
     "corpus_pack_sequences",
-    # ---- r10 first 50 end here ---------------------------------------
-    # (oldest-r7 re-confirmations displaced below the window by the
-    # seven net-new entries above — all displaced names are r7-green
-    # with unchanged kernels, so they lose nothing)
     "flagship_catalog",
     "filter_spatial_bbox",
     "filter_pixel_predicates",

