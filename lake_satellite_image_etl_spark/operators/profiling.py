@@ -673,3 +673,126 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div CAST(CAST(n AS DECIMAL(38,0)) * r * c AS DECIMAL(38,0))"
         ).alias("chi2_contrib_scaled"),
     )
+
+
+#: Mann-Whitney groups: the two event types whose value
+#: distributions are compared, and the coarse cents band width for
+#: the scale-safe cumulative rank.
+MWU_GROUP_A = "click"
+MWU_GROUP_B = "purchase"
+MWU_BAND = 100_000
+
+
+@query(
+    "stats_mann_whitney",
+    oracle=f"""
+    -- exact Mann-Whitney U (rank-sum) test between the
+    -- '{MWU_GROUP_A}' and '{MWU_GROUP_B}' event-value distributions,
+    -- the nonparametric complement to analytics_ab_ttest. Midranks
+    -- handled exactly by DOUBLING: a row of value v has
+    -- 2*midrank = 2*below(v) + eq(v) + 1 (all integers), so
+    -- 2*R_A = sum over values of cntA(v)*(2*below(v)+eq(v)+1) and
+    -- 2*U_A = 2*R_A - n_A*(n_A+1) stay in BIGINT with no .5
+    -- fractions crossing an engine boundary. Invariant:
+    -- u2_a + u2_b = 2*n_a*n_b.
+    WITH pts AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = '{MWU_GROUP_A}' THEN 1 ELSE 0 END
+                   AS is_a
+        FROM events
+        WHERE event_type IN ('{MWU_GROUP_A}', '{MWU_GROUP_B}')
+    ),
+    ct AS (
+        SELECT cents, sum(is_a)::BIGINT AS ca,
+               (count(*) - sum(is_a))::BIGINT AS cb
+        FROM pts GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, ca, cb,
+               COALESCE(sum(ca + cb) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM ct
+    ),
+    tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM ct),
+    r AS (
+        SELECT sum(ca * (2 * below + (ca + cb) + 1))::BIGINT AS r2a,
+               sum(cb * (2 * below + (ca + cb) + 1))::BIGINT AS r2b
+        FROM cum
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           (r.r2a - tot.na * (tot.na + 1))::BIGINT AS u2_a,
+           (r.r2b - tot.nb * (tot.nb + 1))::BIGINT AS u2_b
+    FROM r CROSS JOIN tot
+    """,
+)
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two event
+    types' value distributions — the distribution-shift test that
+    works when t-test normality doesn't hold, run corpus-wide with no
+    global sort. Ties use midranks, made exact by doubling
+    (2·midrank = 2·below + eq + 1 — integers all the way; the
+    u2_a + u2_b = 2·n_a·n_b identity is asserted in tests).
+
+    Scale shape: raw rows collapse map-side to a VALUE-COMPRESSED
+    (cents → per-group count) table; the cumulative below(v) count
+    runs over that compressed table. Here the compressed table is
+    small enough for one ordered window; at 100 TB cardinality the
+    same banded decomposition as agg_weighted_median drops in (per-
+    band totals + broadcast offsets + intra-band windows) — the rank
+    arithmetic is unchanged. The final U assembly is a 1-row
+    reduction."""
+    from pyspark.sql import Window as _W
+
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.where(
+        F.col("event_type").isin(MWU_GROUP_A, MWU_GROUP_B)
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == MWU_GROUP_A, 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    ct = pts.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("cb"),
+    )
+    # banded cumulative "rows strictly below v": bounded per-band
+    # totals -> broadcast running offsets -> intra-band window
+    banded = ct.withColumn("b", F.expr(f"cents div {MWU_BAND}"))
+    btot = banded.groupBy("b").agg(F.sum(F.col("ca") + F.col("cb")).alias("bw"))
+    w_off = _W.orderBy("b").rowsBetween(_W.unboundedPreceding, -1)
+    boffs = btot.select(
+        "b", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("boff")
+    )
+    w_in = (
+        _W.partitionBy("b")
+        .orderBy("cents")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = banded.join(F.broadcast(boffs), "b").select(
+        "cents",
+        "ca",
+        "cb",
+        (
+            F.col("boff")
+            + F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w_in), F.lit(0))
+        ).alias("below"),
+    )
+    mid2 = 2 * F.col("below") + (F.col("ca") + F.col("cb")) + 1
+    r = cum.agg(
+        F.sum(F.col("ca") * mid2).cast("long").alias("r2a"),
+        F.sum(F.col("cb") * mid2).cast("long").alias("r2b"),
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return r.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        (F.col("r2b") - F.col("nb") * (F.col("nb") + 1))
+        .cast("long")
+        .alias("u2_b"),
+    )

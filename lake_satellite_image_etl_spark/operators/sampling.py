@@ -298,3 +298,100 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.filter(F.col("rn") <= quota).select(
         "doc_id", "source", "n_chars", "stratum_n"
     )
+
+
+#: contrastive negatives per anchor document (before the self/
+#: same-source exclusions — slots that hit an exclusion are DROPPED,
+#: not re-drawn, keeping the draw pure and join-free)
+NEG_PER_ANCHOR = 4
+
+
+@query(
+    "sample_contrastive_negatives",
+    oracle=f"""
+    -- deterministic contrastive negative sampling: each document
+    -- draws {NEG_PER_ANCHOR} candidate negatives by slot-salted hash
+    -- mod corpus size (doc_ids are dense 0..n-1, so the mod IS the
+    -- target id); candidates that hit the anchor itself or share its
+    -- source (in-corpus false-negative guard) are dropped. Same
+    -- md5-based 60-bit hash as the sampling family, so the drawn
+    -- pairs are engine- and layout-independent.
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    cand AS (
+        SELECT d.doc_id AS anchor_id, d.source AS a_src, s.slot,
+               ('0x' || substring(
+                    md5(d.doc_id::VARCHAR || ':' || s.slot::VARCHAR),
+                    1, 15))::BIGINT % n.n AS neg_id
+        FROM documents d
+        CROSS JOIN n
+        CROSS JOIN (SELECT unnest(range(1, {NEG_PER_ANCHOR} + 1))
+                        AS slot) s
+    )
+    SELECT c.anchor_id, c.slot::BIGINT AS slot, c.neg_id
+    FROM cand c JOIN documents nd ON nd.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id AND nd.source <> c.a_src
+    """,
+)
+def sample_contrastive_negatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive-training negative sampling — each anchor document
+    deterministically draws {NEG_PER_ANCHOR} negatives by slot-salted
+    hash mod corpus size, excluding itself and same-source documents
+    (the standard in-corpus false-negative guard). Slots that hit an
+    exclusion are dropped rather than re-drawn: re-draw loops are
+    data-dependent and unbounded; a dropped slot costs one negative
+    out of {NEG_PER_ANCHOR} and keeps the draw a pure per-row
+    expression.
+
+    Scale shape: one narrow scan fans out ×{NEG_PER_ANCHOR} (inline
+    slot array, no join for the draw), the 1-row corpus count rides a
+    broadcast, and the only real join — fetching the negative's
+    source for the exclusion — is a plain equi-join on the hashed id,
+    which is UNIFORM by construction (hash output), so it cannot skew
+    regardless of the corpus's own source distribution. Downstream
+    trainers join text/embeddings onto (anchor_id, neg_id) the same
+    way."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        docs.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.col("source").alias("a_src"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "a_src",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR))
+            ).alias("slot"),
+            "n",
+        )
+        .select(
+            "anchor_id",
+            "a_src",
+            F.col("slot").cast("long").alias("slot"),
+            (
+                tok_hash60(
+                    F.concat_ws(
+                        ":",
+                        F.col("anchor_id").cast("string"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    neg_src = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("n_src")
+    )
+    return (
+        cand.join(neg_src, "neg_id")
+        .where(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("n_src") != F.col("a_src"))
+        )
+        .select("anchor_id", "slot", "neg_id")
+    )

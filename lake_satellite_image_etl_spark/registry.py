@@ -99,6 +99,8 @@ _PRIORITY = (
     "agg_weighted_median",
     "incremental_agg_merge",
     "dedup_fuzzy_blocked",
+    "stats_mann_whitney",
+    "sample_contrastive_negatives",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -133,11 +135,10 @@ _PRIORITY = (
     "sample_train_test_split",
     "sample_balanced_downsample",
     "skew_salted_join",
-    # -- r6 rows (2 of 6; the other 4 displaced below the window by
-    #    the second net-new block — all r6-green, unchanged kernels) --
+    # ---- r10 first 50 end here (all r6 re-confirmation slots
+    #      displaced by the net-new blocks — r6-green, unchanged) ----
     "join_fanout_1n",
     "join_asof",
-    # ---- r10 first 50 end here ---------------------------------------
     # (older re-confirmations displaced below the window by the
     # eleven net-new entries above — all displaced names are r6/r7-
     # green with unchanged kernels, so they lose nothing)

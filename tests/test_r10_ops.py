@@ -84,3 +84,55 @@ def test_fuzzy_blocking_bounds_candidates(spark):
     got = {r["c_custkey"]: (r["n_fuzzy"], r["nearest_key"])
            for r in dedup_fuzzy_blocked(spark, d).collect()}
     assert got == {1: (1, 2), 2: (1, 1)}
+
+
+def test_mann_whitney_identity_and_hand_case(spark, tmp_path):
+    """u2_a + u2_b = 2*n_a*n_b always; hand case with ties:
+    A = [1, 2], B = [2, 3]: midranks 1, 2.5, 2.5, 4 →
+    R_A = 3.5, U_A = R_A - n(n+1)/2 = 0.5 → u2_a = 1, u2_b = 7."""
+    from lake_satellite_image_etl_spark.operators.profiling import (
+        MWU_GROUP_A,
+        MWU_GROUP_B,
+        stats_mann_whitney,
+    )
+
+    rows = [
+        (MWU_GROUP_A, 0.01), (MWU_GROUP_A, 0.02),
+        (MWU_GROUP_B, 0.02), (MWU_GROUP_B, 0.03),
+        ("other", 99.0),   # must be ignored
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    d = str(tmp_path / "mwu")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    [r] = stats_mann_whitney(spark, d).collect()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert (r["u2_a"], r["u2_b"]) == (1, 7)
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+
+
+def test_contrastive_negatives_exclusions_and_determinism(spark, tmp_path):
+    """Every emitted negative differs from its anchor in both id and
+    source; at most NEG_PER_ANCHOR slots per anchor; two runs draw
+    the identical pair set (hash determinism)."""
+    from lake_satellite_image_etl_spark.operators.sampling import (
+        NEG_PER_ANCHOR,
+        sample_contrastive_negatives,
+    )
+
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    d = str(tmp_path / "neg")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = sample_contrastive_negatives(spark, d).collect()
+    assert got, "no negatives drawn"
+    src = {i: f"src{i % 3}" for i in range(30)}
+    per_anchor = {}
+    for r in got:
+        assert r["neg_id"] != r["anchor_id"]
+        assert src[r["neg_id"]] != src[r["anchor_id"]]
+        assert 0 <= r["neg_id"] < 30
+        per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
+    assert max(per_anchor.values()) <= NEG_PER_ANCHOR
+    again = sample_contrastive_negatives(spark, d).collect()
+    key = lambda r: (r["anchor_id"], r["slot"], r["neg_id"])
+    assert sorted(map(key, got)) == sorted(map(key, again))

@@ -93,6 +93,12 @@ ALLOWED_BNLJ = {
     #   grand-total anchor N over the constant-size cell table
     "text_pmi_collocations",
     "stats_chi2_independence",
+    # - incremental_agg_merge: crossJoin vs the 1-row broadcast
+    #   cutoff anchor (same class as incremental_lookback/new_keys)
+    "incremental_agg_merge",
+    # - sample_contrastive_negatives: crossJoin vs the 1-row
+    #   broadcast corpus-count anchor (the hash-mod modulus)
+    "sample_contrastive_negatives",
 }
 
 
