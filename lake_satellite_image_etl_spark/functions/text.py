@@ -1318,3 +1318,139 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio_scaled").desc(), "bigram"
     ).limit(PMI_TOPK)
+
+
+#: RAKE keyphrase extraction: candidate phrases are maximal stopword-
+#: free token runs of at most RAKE_MAX_WORDS words; word scores are
+#: degree/frequency as exact scaled integers.
+RAKE_MAX_WORDS = 4
+RAKE_TOPK = 50
+RAKE_SCALE = 10**6
+
+
+@query(
+    "text_rake_keyphrases",
+    oracle=f"""
+    -- RAKE keyphrase extraction (Rose et al. 2010): candidate
+    -- phrases = maximal runs of non-stopword tokens (≤
+    -- {RAKE_MAX_WORDS} words), word score = degree/freq over the
+    -- candidate set as the exact integer floor(deg*{RAKE_SCALE}/freq)
+    -- (no float division crosses engines), phrase score = sum of its
+    -- word occurrences' scores. Top-{RAKE_TOPK} with phrase
+    -- tie-break.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    p AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, pos, tok,
+               tok IN {_SQL_STOPS.replace('[', '(').replace(']', ')')}
+                   AS stop,
+               sum(CASE WHEN tok IN {_SQL_STOPS.replace('[', '(').replace(']', ')')}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM p
+    ),
+    w AS (SELECT doc_id, grp, pos, tok FROM g WHERE NOT stop),
+    ph AS (
+        SELECT doc_id, grp, count(*)::BIGINT AS len,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM w GROUP BY 1, 2
+    ),
+    cand AS (SELECT * FROM ph WHERE len <= {RAKE_MAX_WORDS}),
+    wo AS (
+        SELECT w.doc_id, w.grp, w.tok, c.len
+        FROM w JOIN cand c USING (doc_id, grp)
+    ),
+    ws AS (
+        SELECT tok, count(*)::BIGINT AS freq, sum(len)::BIGINT AS deg
+        FROM wo GROUP BY 1
+    ),
+    wscore AS (SELECT tok, (deg * {RAKE_SCALE}) // freq AS s FROM ws),
+    pscore AS (
+        SELECT wo.doc_id, wo.grp, sum(s)::BIGINT AS score
+        FROM wo JOIN wscore USING (tok) GROUP BY 1, 2
+    )
+    SELECT c.phrase, count(*)::BIGINT AS n_occurrences,
+           max(p.score)::BIGINT AS score_scaled
+    FROM cand c JOIN pscore p USING (doc_id, grp)
+    GROUP BY 1
+    ORDER BY score_scaled DESC, phrase
+    LIMIT {RAKE_TOPK}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al., "Automatic Keyword
+    Extraction from Individual Documents", 2010) — the unsupervised
+    multi-word keyphrase miner: candidate phrases are maximal
+    stopword-free token runs (capped at {RAKE_MAX_WORDS} words, the
+    standard RAKE discard), a word's score is its co-occurrence
+    degree over its candidate frequency, and a phrase scores the sum
+    of its words. Scores are exact scaled integers
+    (deg·{RAKE_SCALE} // freq), so the corpus-level top-{RAKE_TOPK}
+    ranking is bit-stable cross-engine.
+
+    Scale shape: one posexplode (narrow fan-out, no self-join); run
+    segmentation is a per-document running stopword count — the
+    window partitions by doc_id, so parallelism is per-document and a
+    partition's sort is bounded by document length; word stats are
+    two map-side-partial aggregates over the candidate word
+    occurrences; the final ranking is TakeOrderedAndProject
+    (per-partition heaps). The word-score join keys on the token —
+    Zipf-skewed, but each group collapses to ONE row in the stats
+    aggregate before the join, so the join's build side is the
+    vocabulary, not the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as _W
+
+    toks = tokens_of(F.col("text"))
+    p = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    is_stop = F.col("tok").isin(*STOPWORDS)
+    g = p.select(
+        "doc_id",
+        "pos",
+        "tok",
+        is_stop.alias("stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0))
+        .over(_W.partitionBy("doc_id").orderBy("pos"))
+        .alias("grp"),
+    )
+    w = g.where(~F.col("stop")).select("doc_id", "grp", "pos", "tok")
+    ph = w.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    cand = ph.where(F.col("len") <= RAKE_MAX_WORDS)
+    wo = w.join(cand.select("doc_id", "grp", "len"), ["doc_id", "grp"])
+    ws = wo.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("len").cast("long").alias("deg"),
+    )
+    wscore = ws.select(
+        "tok", F.expr(f"(deg * {RAKE_SCALE}) div freq").alias("s")
+    )
+    pscore = (
+        wo.join(wscore, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("s").cast("long").alias("score"))
+    )
+    return (
+        cand.join(pscore, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score").cast("long").alias("score_scaled"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "phrase")
+        .limit(RAKE_TOPK)
+    )

@@ -453,14 +453,15 @@ def bfs_distances(
     Scale shape: each of the FIXED ``max_hops`` supersteps is one
     equi-join (frontier × edges) + one anti-join against the visited
     set — per-round cost is O(frontier-degree sum), the textbook
-    Pregel BFS expressed relationally. The frontier is eagerly
+    Pregel BFS expressed relationally. Only the FRONTIER is eagerly
     localCheckpointed per round (it feeds the join, the union AND the
     next anti-join — without the cut Spark re-derives the whole
     prefix three times per round, the same lineage trap
-    ``star_contract_components`` documents). Level-synchronous
-    visiting makes first-found == minimum distance, which is what the
-    oracle's min() over the (node, d)-deduped recursive walk checks.
-    """
+    ``star_contract_components`` documents); the visited set stays a
+    lazy union OF those checkpoints, so it costs no extra
+    materialization. Level-synchronous visiting makes first-found ==
+    minimum distance, which is what the oracle's min() over the
+    (node, d)-deduped recursive walk checks."""
     canon = _canon_edges(
         edges.select(
             F.col(edges.columns[0]).alias("x"),
@@ -484,7 +485,7 @@ def bfs_distances(
             .select("node", F.lit(h).cast("long").alias("hops"))
             .localCheckpoint(eager=True)
         )
-        dist = dist.union(nxt).localCheckpoint(eager=True)
+        dist = dist.union(nxt)
         frontier = nxt.select("node")
     return dist
 

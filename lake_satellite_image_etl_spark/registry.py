@@ -101,6 +101,7 @@ _PRIORITY = (
     "dedup_fuzzy_blocked",
     "stats_mann_whitney",
     "sample_contrastive_negatives",
+    "text_rake_keyphrases",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -134,7 +135,6 @@ _PRIORITY = (
     "sample_deterministic",
     "sample_train_test_split",
     "sample_balanced_downsample",
-    "skew_salted_join",
     # ---- r10 first 50 end here (all r6 re-confirmation slots
     #      displaced by the net-new blocks — r6-green, unchanged) ----
     "join_fanout_1n",

@@ -136,3 +136,25 @@ def test_contrastive_negatives_exclusions_and_determinism(spark, tmp_path):
     again = sample_contrastive_negatives(spark, d).collect()
     key = lambda r: (r["anchor_id"], r["slot"], r["neg_id"])
     assert sorted(map(key, got)) == sorted(map(key, again))
+
+
+def test_rake_hand_case(spark, tmp_path):
+    """'x y the x a z' → candidates [x y], [x], [z]:
+    freq x=2, y=1, z=1; deg x=2+1=3, y=2, z=1 →
+    scores (×1e6): x=1.5e6, y=2e6, z=1e6;
+    phrases: 'x y'=3.5e6, 'x'=1.5e6, 'z'=1e6."""
+    from lake_satellite_image_etl_spark.functions.text import (
+        text_rake_keyphrases,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y the x a z")], "doc_id long, text string"
+    )
+    d = str(tmp_path / "rake")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = [
+        (r["phrase"], r["n_occurrences"], r["score_scaled"])
+        for r in text_rake_keyphrases(spark, d).collect()
+    ]
+    assert got == [("x y", 1, 3_500_000), ("x", 1, 1_500_000),
+                   ("z", 1, 1_000_000)]
