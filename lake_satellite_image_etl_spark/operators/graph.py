@@ -515,3 +515,117 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(pairs, seeds, BFS_MAX_HOPS).select(
         F.col("node").alias("l_partkey"), "hops"
     )
+
+
+#: Bellman-Ford supersteps (the oracle unrolls the same number) and
+#: the affinity→cost transform: strong co-purchase support = cheap
+#: edge, in exact integers.
+BF_ROUNDS = 6
+BF_COST_SCALE = 10**6
+
+_SQL_WEDGES = f"""
+        SELECT a.l_partkey AS lo, b.l_partkey AS hi,
+               {BF_COST_SCALE} // count(*) AS w
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = (SELECT min(p_brand) FROM part))
+          AND b.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_brand = (SELECT min(p_brand) FROM part))
+        GROUP BY 1, 2
+"""
+
+
+def _sql_bellman_ford() -> str:
+    src = (
+        "(SELECT min(p_partkey) FROM part WHERE p_brand = "
+        "(SELECT min(p_brand) FROM part))"
+    )
+    ctes = [
+        f"pair AS ({_SQL_WEDGES})",
+        "edges AS (SELECT lo AS src, hi AS dst, w FROM pair"
+        " UNION ALL SELECT hi, lo, w FROM pair)",
+        f"d0 AS (SELECT {src} AS node, 0::BIGINT AS d)",
+    ]
+    for i in range(BF_ROUNDS):
+        ctes.append(
+            f"""d{i + 1} AS (
+        SELECT node, min(d)::BIGINT AS d FROM (
+            SELECT node, d FROM d{i}
+            UNION ALL
+            SELECT e.dst AS node, p.d + e.w AS d
+            FROM d{i} p JOIN edges e ON e.src = p.node
+        ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS l_partkey, d AS dist_scaled FROM d{BF_ROUNDS}"
+    )
+
+
+@query("graph_shortest_path_weighted", oracle=_sql_bellman_ford())
+def graph_shortest_path_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-source weighted shortest paths by {BF_ROUNDS}
+    Bellman-Ford supersteps over the within-brand co-purchase
+    affinity graph (edge cost = {BF_COST_SCALE} // co-order support —
+    strongly-associated parts are "close"), from the brand's minimum
+    part key. Costs and distances are exact integers; the oracle
+    unrolls the identical relaxations, so any divergence in a single
+    min() breaks the hash.
+
+    Scale shape: each superstep is ONE equi-join (tentative distances
+    × edges, shuffled on the node key) + a groupBy-min whose partial
+    aggregation collapses candidates map-side — the Pregel SSSP
+    pattern expressed relationally, cousin to ``graph_pagerank``'s
+    supersteps. The round count is FIXED (bounded-horizon relaxation
+    — distances are exact for all paths of ≤ {BF_ROUNDS} edges, the
+    deliberate contract at 100 TB where true-diameter iteration is
+    unbounded); per-round eager localCheckpoint cuts the iterative
+    lineage. Negative edges cannot exist (costs are positive by
+    construction), so no negative-cycle guard is needed."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    min_brand = part.agg(F.min("p_brand").alias("mb"))
+    brand_parts = part.join(
+        F.broadcast(min_brand), part["p_brand"] == F.col("mb")
+    ).select(F.col("p_partkey").alias("pk"))
+    li_b = li.join(
+        brand_parts, li["l_partkey"] == F.col("pk"), "leftsemi"
+    ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey"))
+    a = li_b.select("ok", F.col("l_partkey").alias("pa"))
+    b = li_b.select("ok", F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.expr(f"{BF_COST_SCALE} div count(1)").alias("w")
+        )
+    )
+    edges = pair.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).union(
+        pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    src = brand_parts.agg(F.min("pk").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    dist = src.localCheckpoint(eager=True)
+    for _ in range(BF_ROUNDS):
+        cand = dist.join(edges, dist["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("node")
+            .agg(F.min("d").cast("long").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("node").alias("l_partkey"), F.col("d").alias("dist_scaled")
+    )

@@ -796,3 +796,81 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u2_b"),
     )
+
+
+@query(
+    "dq_reconcile_order_totals",
+    oracle="""
+    -- ledger reconciliation: per order, the header total vs the sum
+    -- of its line amounts, reported as a mismatch histogram over
+    -- (sign, percent band, has_lines). Sign is split out and the
+    -- band computed on ABS values because engines disagree on
+    -- NEGATIVE integer division (DuckDB // floors, Spark div
+    -- truncates) — abs keeps floor == trunc. Exact cents throughout.
+    WITH ls AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS line_cents
+        FROM lineitem GROUP BY 1
+    ),
+    rec AS (
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   - COALESCE(ls.line_cents, 0) AS diff,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS oc,
+               ls.l_orderkey IS NOT NULL AS has_lines
+        FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1 ELSE 0 END
+               AS sign,
+           ((ABS(diff) * 100) // GREATEST(oc, 1))::BIGINT AS pct_band,
+           has_lines,
+           count(*)::BIGINT AS n_orders,
+           sum(ABS(diff))::BIGINT AS sum_abs_diff_cents
+    FROM rec GROUP BY 1, 2, 3
+    """,
+)
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger reconciliation audit — header totals vs the sum of
+    their detail lines, the books-balance check every warehouse runs
+    after ingest (and which catches partial loads, double-applied
+    deltas, and unit drift). Output is a bounded histogram over
+    (mismatch sign, |mismatch| as percent-of-header band, has_lines) —
+    orphan headers (no lines at all) surface as their own rows
+    instead of hiding inside a big band.
+
+    Exactness: cents are integers; the sign is split out and the band
+    computed on ABS values because the engines disagree on negative
+    integer division (DuckDB ``//`` floors, Spark ``div`` truncates
+    toward zero) — on non-negative operands the two coincide.
+
+    Scale shape: one map-side-partial sum per order over the fact
+    table (its natural key, usually the table's bucketing key → zero
+    extra shuffle), one equi-join to headers, then a constant-width
+    groupBy over ≤ a few hundred (sign, band, has_lines) cells."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "line_cents"
+        )
+    )
+    rec = o.join(ls, o["o_orderkey"] == ls["l_orderkey"], "left").select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            - F.coalesce(F.col("line_cents"), F.lit(0))
+        ).alias("diff"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("oc"),
+        F.col("l_orderkey").isNotNull().alias("has_lines"),
+    )
+    return rec.select(
+        F.when(F.col("diff") > 0, 1)
+        .when(F.col("diff") < 0, -1)
+        .otherwise(0)
+        .alias("sign"),
+        F.expr("(ABS(diff) * 100) div GREATEST(oc, 1)").alias("pct_band"),
+        "has_lines",
+        F.col("diff"),
+    ).groupBy("sign", "pct_band", "has_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.abs(F.col("diff"))).cast("long").alias("sum_abs_diff_cents"),
+    )

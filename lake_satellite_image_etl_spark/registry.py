@@ -102,6 +102,8 @@ _PRIORITY = (
     "stats_mann_whitney",
     "sample_contrastive_negatives",
     "text_rake_keyphrases",
+    "graph_shortest_path_weighted",
+    "dq_reconcile_order_totals",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -133,10 +135,10 @@ _PRIORITY = (
     "vector_norms",
     "geo_point_in_polygon",
     "sample_deterministic",
-    "sample_train_test_split",
-    "sample_balanced_downsample",
     # ---- r10 first 50 end here (all r6 re-confirmation slots
     #      displaced by the net-new blocks — r6-green, unchanged) ----
+    "sample_train_test_split",
+    "sample_balanced_downsample",
     "join_fanout_1n",
     "join_asof",
     # (older re-confirmations displaced below the window by the

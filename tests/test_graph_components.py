@@ -172,3 +172,96 @@ def test_bfs_disconnected_and_isolated_seed(spark):
 
 # note: cycle shortcuts (both directions explored) are covered by
 # test_bfs_min_over_multiple_seeds' undirected symmetric expansion.
+
+
+def test_bellman_ford_oracle_unroll_matches_second_fixture(spark):
+    """The SSSP query and its unrolled oracle agree on sf0.001 too
+    (different brand slice than the gate's sf0.01 — exercises the
+    derived source/seed logic on a second fixture)."""
+    from lake_satellite_image_etl_spark.operators.graph import (
+        graph_shortest_path_weighted,
+    )
+    from lake_satellite_image_etl_spark.registry import load_all
+    from tests.conftest import SF_SMOKE
+    from tools.compare import compare_frames, duckdb_con
+
+    _, oracles = load_all()
+    spark_pdf = graph_shortest_path_weighted(spark, SF_SMOKE).toPandas()
+    assert len(spark_pdf) >= 1   # at least the source itself
+    duck = duckdb_con(SF_SMOKE)
+    oracle_pdf = duck.execute(
+        oracles["graph_shortest_path_weighted"]
+    ).fetchdf()
+    res = compare_frames("bf_smoke", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
+# -------- randomized cross-checks vs pure-python brute force ----------
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    es = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        lo, hi = min(a, b), max(a, b)
+        es.add((lo, hi))
+    for lo, hi in es:
+        adj.setdefault(lo, set()).add(hi)
+        adj.setdefault(hi, set()).add(lo)
+    out = {}
+    for lo, hi in es:
+        for c in adj[lo] & adj[hi]:
+            for node in (lo, hi, c):
+                out[node] = out.get(node, 0) + 1
+    # each triangle visits a corner via its 3 edges → counted 3× per node
+    return {k: v // 3 for k, v in out.items() if v}
+
+
+def _brute_bfs(pairs, seeds, hops):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_triangles_random_graphs_match_bruteforce(spark):
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n, m = 30, 80
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        want = _brute_triangles(pairs)
+        assert _tri(spark, pairs) == want, f"seed {seed}"
+
+
+def test_bfs_random_graphs_match_bruteforce(spark):
+    import random
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        n, m = 40, 70
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        seeds = [0, 1]
+        want = _brute_bfs(pairs, seeds, 3)
+        assert _bfs(spark, pairs, seeds, hops=3) == want, f"seed {seed}"
