@@ -874,3 +874,80 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.abs(F.col("diff"))).cast("long").alias("sum_abs_diff_cents"),
     )
+
+
+#: k-anonymity threshold and the quasi-identifier generalization:
+#: account balance coarsened to 1000-unit bands (the generalization
+#: step that trades precision for anonymity).
+KANON_K = 5
+KANON_BAL_BAND = 100_000  # cents
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    -- k-anonymity audit (k = {KANON_K}) over the quasi-identifier
+    -- (nation, market segment, balance band): per equivalence-class
+    -- size, how many classes and customers sit at that size, and
+    -- whether the size meets k. A release is k-anonymous iff no row
+    -- with is_anonymous = false exists; the histogram shows HOW FAR
+    -- off it is (classes of size 1 are re-identifiable outright).
+    -- Balance banded on exact cents (ABS before the floor-divide —
+    -- DuckDB // floors, Spark div truncates on negatives).
+    WITH qi AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS seg,
+               CASE WHEN c_acctbal < 0 THEN -1 ELSE 1 END
+                 * (CAST(ABS(round(c_acctbal * 100)) AS BIGINT)
+                    // {KANON_BAL_BAND}) AS bal_band
+        FROM customer
+    ),
+    classes AS (
+        SELECT nation, seg, bal_band, count(*)::BIGINT AS class_size
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           count(*)::BIGINT AS n_classes,
+           (class_size * count(*))::BIGINT AS n_customers,
+           class_size >= {KANON_K} AS is_anonymous
+    FROM classes GROUP BY 1
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a generalized
+    quasi-identifier — the privacy gate a dataset release runs before
+    publication: group by (nation, market segment, balance band),
+    then report the equivalence-class SIZE distribution and whether
+    each size clears k = {KANON_K}. Classes of size 1 are outright
+    re-identifiable; the histogram quantifies the suppression or
+    further generalization still needed.
+
+    Exactness: the balance generalization runs on integer cents with
+    ABS before the floor-divide (sign re-applied), sidestepping the
+    floor-vs-truncate divergence on negative integer division.
+
+    Scale shape: two map-side-partial aggregations (rows → classes →
+    size histogram); output width is bounded by the largest class
+    size, not data volume. No joins, no windows — the audit costs one
+    scan at any scale."""
+    cust = read_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.when(F.col("c_acctbal") < 0, -1).otherwise(1)
+            * F.expr(
+                f"CAST(ABS(round(c_acctbal * 100)) AS BIGINT)"
+                f" div {KANON_BAL_BAND}"
+            )
+        ).alias("bal_band"),
+    )
+    classes = qi.groupBy("nation", "seg", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        (F.col("class_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_customers"),
+        (F.col("class_size") >= KANON_K).alias("is_anonymous"),
+    )

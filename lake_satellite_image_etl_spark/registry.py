@@ -104,6 +104,7 @@ _PRIORITY = (
     "text_rake_keyphrases",
     "graph_shortest_path_weighted",
     "dq_reconcile_order_totals",
+    "dq_k_anonymity",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -134,9 +135,9 @@ _PRIORITY = (
     "text_edit_distance",
     "vector_norms",
     "geo_point_in_polygon",
-    "sample_deterministic",
     # ---- r10 first 50 end here (all r6 re-confirmation slots
     #      displaced by the net-new blocks — r6-green, unchanged) ----
+    "sample_deterministic",
     "sample_train_test_split",
     "sample_balanced_downsample",
     "join_fanout_1n",

@@ -158,3 +158,32 @@ def test_rake_hand_case(spark, tmp_path):
     ]
     assert got == [("x y", 1, 3_500_000), ("x", 1, 1_500_000),
                    ("z", 1, 1_000_000)]
+
+
+def test_k_anonymity_negative_balance_banding(spark, tmp_path):
+    """-0.5 and +0.5 balance bands must differ (sign carried), and the
+    class-size histogram must account for every customer exactly
+    once."""
+    from lake_satellite_image_etl_spark.operators.profiling import (
+        dq_k_anonymity,
+    )
+
+    rows = [
+        # nation 1, seg X: 6 customers at ~+1500.00 → one class of 6
+        *[(i, 1, 1500.0 + i * 0.001, "X") for i in range(6)],
+        # nation 1, seg X but NEGATIVE ~-1500 → separate class of 2
+        (10, 1, -1500.0, "X"), (11, 1, -1500.5, "X"),
+        # singleton
+        (12, 2, 10.0, "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string"
+    )
+    d = str(tmp_path / "kanon")
+    df.write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    got = {r["class_size"]: (r["n_classes"], r["n_customers"],
+                             r["is_anonymous"])
+           for r in dq_k_anonymity(spark, d).collect()}
+    assert got == {6: (1, 6, True), 2: (1, 2, False), 1: (1, 1, False)}
+    assert sum(nc for _, nc, _ in got.values()) == len(rows)
