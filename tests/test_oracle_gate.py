@@ -30,6 +30,18 @@ MUST_BE_NONEMPTY = {
     "similarity_lsh_bucketed",
     "geo_point_in_polygon",
     "text_edit_distance",
+    # r10 net-new entries where an empty result would be a vacuous
+    # pass (a broken blocking key, brand slice, or window produces 0
+    # rows and 0-row == 0-row still hashes equal)
+    "graph_triangle_count",
+    "text_pmi_collocations",
+    "analytics_attribution",
+    "graph_bfs_distance",
+    "dedup_fuzzy_blocked",
+    "sample_contrastive_negatives",
+    "text_rake_keyphrases",
+    "graph_shortest_path_weighted",
+    "dq_k_anonymity",
 }
 
 
