@@ -1249,8 +1249,12 @@ PMI_SCALE = 10**6
     c2 AS (SELECT w2, count(*)::BIGINT AS n_w2 FROM bgw GROUP BY 1),
     tot AS (SELECT count(*)::BIGINT AS n FROM bgw)
     SELECT cb.bigram, cb.n_pair,
-           ((cb.n_pair * tot.n * {PMI_SCALE}) // (c1.n_w1 * c2.n_w2))
-               ::BIGINT AS pmi_ratio_scaled
+           -- numerator in 128-bit: n_pair*N*SCALE reaches ~N²·10⁶,
+           -- which silently wraps BIGINT once N passes ~3·10⁶ —
+           -- the RESULT (≤ N·10⁶) always fits BIGINT
+           ((cb.n_pair::HUGEINT * tot.n * {PMI_SCALE})
+               // (c1.n_w1::HUGEINT * c2.n_w2))::BIGINT
+               AS pmi_ratio_scaled
     FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
     WHERE cb.n_pair >= {PMI_MIN_COUNT}
     ORDER BY pmi_ratio_scaled DESC, cb.bigram
@@ -1310,9 +1314,18 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bigram",
             "n_pair",
-            F.expr(f"(n_pair * n * {PMI_SCALE}) div (n_w1 * n_w2)").alias(
-                "pmi_ratio_scaled"
-            ),
+            # numerator widened to DECIMAL(38,0): n_pair·N·SCALE
+            # reaches ~N²·10⁶, which silently wraps LongType once the
+            # corpus passes ~3·10⁶ bigrams; the quotient (≤ N·10⁶)
+            # always fits back in a long
+            F.expr(
+                f"CAST(CAST(n_pair AS DECIMAL(38,0)) * n * {PMI_SCALE}"
+                f" AS DECIMAL(38,0))"
+                f" div CAST(CAST(n_w1 AS DECIMAL(38,0)) * n_w2"
+                f" AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("pmi_ratio_scaled"),
         )
     )
     return scored.orderBy(

@@ -837,7 +837,10 @@ def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact integer cents and the touch→purchase gap in exact epoch
     MICROSECONDS (unix_micros / epoch_us — whole-second truncation
     would silently disagree on sub-second fixtures), so the small
-    aggregate is bit-stable cross-engine.
+    aggregate is bit-stable cross-engine. Numeric envelope: the
+    per-channel gap SUM holds ~9·10¹⁸ µs ≈ 10¹³ purchases at a 1-day
+    mean gap; a corpus past that reports mean gap (sum widened to
+    DECIMAL(38,0)) rather than the raw total.
 
     Scale shape: ONE shuffle — the user-partitioned sort for the
     running window (the same partitioning a sessionizer uses; at

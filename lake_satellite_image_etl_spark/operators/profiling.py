@@ -636,6 +636,13 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-divide run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so
     no float summation order can split the engines.
 
+    Numeric envelope: diff ≤ N², so BIGINT diff needs N ≤ ~3·10⁹
+    observations and DECIMAL(38,0) diff² needs N ≤ ~10⁹·√10. Past
+    that (a 10¹²-row contingency base), switch to the rescaled form —
+    E_scaled = r·c·SCALE // N first, then (obs·SCALE − E_scaled)² //
+    (E_scaled·SCALE) — whose squares stay ≤ 10³⁶; the floor lands in
+    a different place, so the oracle must be rewritten in lockstep.
+
     Scale shape: one shuffle to the (priority, mode) cell table
     (partial map-side agg collapses the fact join's output early);
     the margins are two aggregates OVER THE CELL TABLE (≤ |pri|·|mode|
@@ -733,6 +740,11 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort. Ties use midranks, made exact by doubling
     (2·midrank = 2·below + eq + 1 — integers all the way; the
     u2_a + u2_b = 2·n_a·n_b identity is asserted in tests).
+
+    Numeric envelope: the doubled rank sum reaches ~2n², so BIGINT
+    holds exactly for n ≤ ~2·10⁹ compared rows per test; beyond that,
+    widen the two rank-sum aggregates to DECIMAL(38,0) (safe to
+    ~10¹⁸ rows) with the oracle's HUGEINT already matching.
 
     Scale shape: raw rows collapse map-side to a VALUE-COMPRESSED
     (cents → per-group count) table; the cumulative below(v) count
