@@ -435,7 +435,8 @@ def _mkv_oracle() -> str:
     for k in range(MKV_ITERS):
         rounds.append(
             f"""r{k + 1} AS (
-        SELECT e.dst AS node, sum((r{k}.r * e.c) // o.co)::BIGINT AS r
+        SELECT e.dst AS node,
+               sum((r{k}.r::HUGEINT * e.c) // o.co)::BIGINT AS r
         FROM r{k} JOIN e ON e.src = r{k}.node JOIN o USING (src)
         GROUP BY 1
     )"""
@@ -513,7 +514,13 @@ def analytics_markov_steady_state(
             ranks.join(eo, ranks["node"] == eo["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.expr("(r * c) div co").alias("m"),
+                # 128-bit product: r ≤ {MKV_SCALE} and c is a raw
+                # transition count, so r·c wraps LongType once any
+                # cell passes ~9·10⁶ transitions — silent at scale
+                F.expr(
+                    "CAST(CAST(r AS DECIMAL(38,0)) * c AS DECIMAL(38,0))"
+                    " div CAST(co AS DECIMAL(38,0))"
+                ).alias("m"),
             )
             .groupBy("node")
             .agg(F.sum("m").cast("long").alias("r"))

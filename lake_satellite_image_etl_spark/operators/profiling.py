@@ -614,7 +614,7 @@ CHI2_SCALE = 10**6
     ct AS (SELECT mode, sum(n_obs)::BIGINT AS c FROM obs GROUP BY 1),
     tot AS (SELECT sum(n_obs)::BIGINT AS n FROM obs)
     SELECT o.pri AS o_orderpriority, o.mode AS l_returnflag, o.n_obs,
-           ((rt.r * ct.c * {CHI2_SCALE}) // tot.n)::BIGINT
+           ((rt.r::HUGEINT * ct.c * {CHI2_SCALE}) // tot.n)::BIGINT
                AS expected_scaled,
            (((o.n_obs * tot.n - rt.r * ct.c)::HUGEINT
              * (o.n_obs * tot.n - rt.r * ct.c)::HUGEINT
@@ -673,7 +673,12 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pri").alias("o_orderpriority"),
         F.col("mode").alias("l_returnflag"),
         "n_obs",
-        F.expr(f"(r * c * {CHI2_SCALE}) div n").alias("expected_scaled"),
+        # widened: r·c·SCALE wraps LongType once r·c passes ~9·10¹²
+        # (a tighter bound than the diff envelope in the docstring)
+        F.expr(
+            f"CAST(CAST(r AS DECIMAL(38,0)) * c * {CHI2_SCALE}"
+            f" AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))"
+        ).alias("expected_scaled"),
         F.expr(
             f"CAST(CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0))"
             f" * {CHI2_SCALE} AS DECIMAL(38,0))"
