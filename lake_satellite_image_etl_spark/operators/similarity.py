@@ -1522,11 +1522,14 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: neighbors per vector in the kNN graph
 KNN_K = 3
 #: cells each vector PROBES for graph neighbors (its own cell plus
-#: its runner-up): multi-probe assignment — the recall patch for
+#: the next ranks): multi-probe assignment — the recall patch for
 #: cross-cell near-neighbors that single-cell restriction misses by
 #: construction (VERDICT r9 item 1b). Probe work scales linearly in
-#: this dial: pair cost is n·KNN_PROBES·(n/cells).
-KNN_PROBES = 2
+#: this dial: pair cost is n·KNN_PROBES·(n/cells). Measured on the
+#: sf0.01 fixture: recall 0.279 (1) → 0.458 (2) → 0.583 (3) →
+#: 0.690 (4); 4 spends 2× the pair work of r9's 2 for +0.23 recall —
+#: the right trade while pair cost stays n·4·(n/cells) « n².
+KNN_PROBES = 4
 #: hot-cell OOM guard (VERDICT r9 item 1a): the per-cell gram is
 #: computed in ROW BLOCKS of at most this many float64 elements
 #: (4M ≈ 32 MB), so one skewed/hot cell of m members costs

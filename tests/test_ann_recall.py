@@ -172,16 +172,17 @@ def exact_graph_edges(spark):
 def test_knn_graph_multiprobe_recall_floor(spark, exact_graph_edges):
     """Graph recall vs the exact all-pairs kNN graph, pinned (r9
     item 1b closed — previously no floor existed for this entry).
-    Measured: 0.458 with KNN_PROBES=2 vs 0.279 single-probe on the
-    sf0.01 fixture — multi-probe recovers the cross-cell neighbors
-    single-cell restriction misses by construction. The absolute
-    level is the documented weak-neighbor physics (true fixture
-    neighbors sit at cos 0.2-0.4 and scatter across the 10-cell
-    codebook near-randomly, same regime as the LSH floor test
-    above); the floor pins the multi-probe gain with margin."""
+    Measured on the sf0.01 fixture: 0.279 single-probe → 0.458
+    (probes=2) → 0.690 (probes=4, the registered dial) — multi-probe
+    recovers the cross-cell neighbors single-cell restriction misses
+    by construction. The absolute level is the documented
+    weak-neighbor physics (true fixture neighbors sit at cos 0.2-0.4
+    and scatter across the 10-cell codebook near-randomly, same
+    regime as the LSH floor test above); the floor pins the
+    multi-probe gain with margin."""
     got = _topk_pairs_graph(spark)
     recall = len(got & exact_graph_edges) / len(exact_graph_edges)
-    assert recall >= 0.40, f"kNN-graph recall below floor: {recall:.3f}"
+    assert recall >= 0.60, f"kNN-graph recall below floor: {recall:.3f}"
 
 
 def _topk_pairs_graph(spark):
