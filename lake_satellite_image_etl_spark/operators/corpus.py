@@ -1504,3 +1504,106 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: inverted index: minimum document frequency to index a term, the
+#: postings cap per term, and the salt fan-in for the two-phase
+#: per-term top-k.
+INVIDX_MIN_DF = 5
+INVIDX_TOPK = 5
+INVIDX_SALT = 8
+
+
+@query(
+    "corpus_inverted_index",
+    oracle=f"""
+    -- inverted-index build: per term (df >= {INVIDX_MIN_DF}), its
+    -- document frequency, total term frequency, and the top-
+    -- {INVIDX_TOPK} postings by (tf DESC, doc_id) serialized as
+    -- 'doc:tf|doc:tf|...' — the IR-layout artifact retrieval and
+    -- BM25-style scorers consume. Deterministic: the postings order
+    -- is a total order, the serialization fixes the comparison.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    tf AS (
+        SELECT doc_id, unnest(toks) AS term
+        FROM t
+    ),
+    ctf AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM tf GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY term) AS df,
+               sum(tf) OVER (PARTITION BY term) AS total_tf
+        FROM ctf
+    )
+    SELECT term, max(df)::BIGINT AS df, max(total_tf)::BIGINT AS total_tf,
+           string_agg(doc_id || ':' || tf, '|' ORDER BY rnk)
+               AS top_postings
+    FROM ranked
+    WHERE rnk <= {INVIDX_TOPK}
+    GROUP BY term
+    HAVING max(df) >= {INVIDX_MIN_DF}
+    """,
+)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — per term: document frequency,
+    total term frequency, and the top-{INVIDX_TOPK} postings by
+    (tf desc, doc_id), serialized deterministically. The layout
+    artifact a retrieval stack (BM25 scoring, candidate generation
+    for contamination checks) materializes from a corpus.
+
+    Scale shape: the per-term top-k is TWO-PHASE against Zipf skew —
+    phase 1 ranks within (term, salt = hash(doc) mod {INVIDX_SALT})
+    so a head term's postings sort is split across {INVIDX_SALT}
+    tasks (each a spill-safe sort-based window, never a collect_list
+    buffer); phase 2 merges the ≤ {INVIDX_SALT}·{INVIDX_TOPK}
+    survivors per term — top-k of unioned partial top-ks is exact.
+    df/total_tf are plain partial-agg sums; the tf table itself is
+    one map-side-collapsed shuffle of (term, doc) pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_of(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    salted = tf.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(INVIDX_SALT))
+    )
+    w1 = Window.partitionBy("term", "salt").orderBy(
+        F.col("tf").desc(), "doc_id"
+    )
+    phase1 = salted.withColumn("r1", F.row_number().over(w1)).where(
+        F.col("r1") <= INVIDX_TOPK
+    )
+    w2 = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    phase2 = phase1.withColumn("rnk", F.row_number().over(w2)).where(
+        F.col("rnk") <= INVIDX_TOPK
+    )
+    postings = phase2.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rnk", "doc_id", "tf"))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("top_postings")
+    )
+    return (
+        stats.where(F.col("df") >= INVIDX_MIN_DF)
+        .join(postings, "term")
+        .select("term", "df", "total_tf", "top_postings")
+    )

@@ -105,6 +105,8 @@ _PRIORITY = (
     "graph_shortest_path_weighted",
     "dq_reconcile_order_totals",
     "dq_k_anonymity",
+    "skew_null_safe_join",
+    "corpus_inverted_index",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -131,20 +133,20 @@ _PRIORITY = (
     "join_dim_enrich",
     "join_cross_configs",
     "agg_tpch_q1",
-    # -- r5 rows (7) --
+    # -- r5 rows (1 of 7) --
     "text_edit_distance",
+    # ---- r10 first 50 end here ----------------------------------------
+    # (all r5/r6 re-confirmation slots below were displaced out of the
+    # window by the twenty net-new entries above — every displaced
+    # name is r5/r6/r7-green with an unchanged kernel, so the window
+    # trades redundant re-confirmations for first driver rows)
     "vector_norms",
     "geo_point_in_polygon",
-    # ---- r10 first 50 end here (all r6 re-confirmation slots
-    #      displaced by the net-new blocks — r6-green, unchanged) ----
     "sample_deterministic",
     "sample_train_test_split",
     "sample_balanced_downsample",
     "join_fanout_1n",
     "join_asof",
-    # (older re-confirmations displaced below the window by the
-    # eleven net-new entries above — all displaced names are r6/r7-
-    # green with unchanged kernels, so they lose nothing)
     "join_range_bucket",
     "incremental_lookback",
     "dedup_cluster_assign",

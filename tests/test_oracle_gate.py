@@ -42,6 +42,8 @@ MUST_BE_NONEMPTY = {
     "text_rake_keyphrases",
     "graph_shortest_path_weighted",
     "dq_k_anonymity",
+    "skew_null_safe_join",
+    "corpus_inverted_index",
 }
 
 
