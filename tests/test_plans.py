@@ -427,3 +427,40 @@ def test_pq_adc_construction_runs_zero_jobs(spark):
     finally:
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+def test_null_safe_join_null_branch_has_no_exchange(spark):
+    """The null-key branch of skew_null_safe_join must be exchange-
+    free: NULL keys take the metadata-only padding path (filter +
+    project over the scan), never the shuffled join. Assert by
+    planning the padding branch alone — the whole point is that
+    those rows never reach hash(NULL)'s reducer."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.skew import (
+        null_safe_left_join,
+    )
+
+    o = read_table(spark, SF_SMOKE, "orders")
+    cust = read_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    f = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+    )
+    joined = null_safe_left_join(f, cust, "fk", "c_custkey")
+    # the union's second child is the padded null branch; isolate it
+    # by re-deriving it the way the operator does
+    nulls = f.where(F.col("fk").isNull())
+    for c in cust.columns:
+        nulls = nulls.withColumn(c, F.lit(None).cast(dict(cust.dtypes)[c]))
+    p = _plan(nulls)
+    assert "Exchange" not in p, p
+    # and the composed output still contains exactly one shuffled join
+    # (the non-null branch) — the split didn't silently drop the join
+    full = _plan(joined)
+    assert "Join" in full
