@@ -897,3 +897,79 @@ def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("revenue_cents"),
         F.sum("gap_us").cast("long").alias("total_gap_us"),
     )
+
+
+#: HHI fixed-point scale: the index is reported as
+#: floor(HHI * 10^8) where HHI = sum of squared revenue shares.
+HHI_SCALE = 10**8
+
+
+@query(
+    "analytics_hhi_concentration",
+    oracle=f"""
+    -- Herfindahl-Hirschman concentration of customer revenue within
+    -- each market segment (the antitrust / account-concentration
+    -- metric: 1/n = perfectly even, 1 = single account). HHI =
+    -- sum(x_i^2)/X^2 computed exactly: per-customer cents sums in
+    -- BIGINT, squares and the final scaled divide in HUGEINT —
+    -- floor(sum(x^2)*{HHI_SCALE}/X^2) is bit-stable cross-engine.
+    WITH cust_rev AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT seg AS c_mktsegment,
+           count(*)::BIGINT AS n_customers,
+           sum(cents)::BIGINT AS total_cents,
+           ((sum(cents::HUGEINT * cents) * {HHI_SCALE})
+               // (sum(cents)::HUGEINT * sum(cents)))::BIGINT
+               AS hhi_scaled
+    FROM cust_rev GROUP BY 1
+    """,
+)
+def analytics_hhi_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman revenue concentration per market segment —
+    the account-concentration metric behind "how dependent is this
+    segment on its biggest customers" (1/n = even, 10^8-scaled 1 =
+    single account). Everything exact: per-customer revenue in integer
+    cents, Σx² and the scaled divide in DECIMAL(38,0)/HUGEINT.
+
+    Scale shape: one (segment, customer) partial-agg shuffle collapses
+    the fact table; the segment rollup is a second partial-agg over
+    |customers| rows; output is |segments| rows. Numeric envelope:
+    Σx² ≤ X² and X·√SCALE must fit DECIMAL(38,0) → X ≤ 10¹⁵ cents
+    (10 trillion dollars per segment) before the rescaled form is
+    needed."""
+    o = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    cust_rev = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_custkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("seg", "k")
+        .agg(F.sum("c").alias("cents"))
+    )
+    return cust_rev.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            f"CAST(sum(CAST(cents AS DECIMAL(38,0)) * cents)"
+            f" * {HHI_SCALE} AS DECIMAL(38,0))"
+            f" div CAST(CAST(sum(cents) AS DECIMAL(38,0)) * sum(cents)"
+            f" AS DECIMAL(38,0))"
+        )
+        .cast("long")
+        .alias("hhi_scaled"),
+    ).select(
+        F.col("seg").alias("c_mktsegment"),
+        "n_customers",
+        "total_cents",
+        "hhi_scaled",
+    )

@@ -72,9 +72,11 @@ _PRIORITY = (
     # lazy salted-cogroup PQ assignment; multi-probe blocked-gram kNN
     # graph; the new derived-geometry IVF entry; the
     # tolerance-embedded GK-percentile oracle; the thumbnail
-    # pixel-moment oracle). Slots 7-50: the stalest still-green
-    # driver rows (r2/r3/r5/r6 + the oldest r7s), re-confirmed —
-    # every other entry's latest row is r7+ and its kernel unchanged.
+    # pixel-moment oracle). Slots 7-28: the twenty-two NET-NEW r10
+    # entries (no driver row exists yet — first confirmation beats any
+    # re-confirmation). Remaining slots: the stalest still-green
+    # driver rows (r2/r3), re-confirmed — every entry displaced below
+    # the line is r5+/r6+ green with an unchanged kernel.
     "similarity_pq_adc",
     "similarity_ivf_pq",
     "similarity_knn_graph",
@@ -107,6 +109,8 @@ _PRIORITY = (
     "dq_k_anonymity",
     "skew_null_safe_join",
     "corpus_inverted_index",
+    "graph_clustering_coefficient",
+    "analytics_hhi_concentration",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -132,12 +136,11 @@ _PRIORITY = (
     "filter_membership_array",
     "join_dim_enrich",
     "join_cross_configs",
-    "agg_tpch_q1",
-    # -- r5 rows (1 of 7) --
-    "text_edit_distance",
     # ---- r10 first 50 end here ----------------------------------------
+    "agg_tpch_q1",
+    "text_edit_distance",
     # (all r5/r6 re-confirmation slots below were displaced out of the
-    # window by the twenty net-new entries above — every displaced
+    # window by the twenty-two net-new entries above — every displaced
     # name is r5/r6/r7-green with an unchanged kernel, so the window
     # trades redundant re-confirmations for first driver rows)
     "vector_norms",

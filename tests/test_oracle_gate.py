@@ -44,6 +44,7 @@ MUST_BE_NONEMPTY = {
     "dq_k_anonymity",
     "skew_null_safe_join",
     "corpus_inverted_index",
+    "graph_clustering_coefficient",
 }
 
 
