@@ -968,3 +968,99 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_customers"),
         (F.col("class_size") >= KANON_K).alias("is_anonymous"),
     )
+
+
+@query(
+    "stats_cusum_drift",
+    oracle="""
+    -- one-sided CUSUM drift detector over the daily purchase-count
+    -- series, in exact integers WITHOUT a mean division: with nd
+    -- days and total events T, the classic S_t = max(0, S_{t-1} +
+    -- (x_t - mean)) rescales by nd to S'_t = max(0, S'_{t-1} +
+    -- x_t*nd - T) (units: count-days). Drift flags when S' exceeds
+    -- T (i.e., one full mean-day of accumulated excess). The
+    -- recursion runs over the CALENDAR (nd rows), never the event
+    -- data — a recursive CTE here, a JVM fold on the engine side.
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x,
+               row_number() OVER (ORDER BY day) AS rn,
+               count(*) OVER ()::BIGINT AS nd,
+               sum(x) OVER ()::BIGINT AS t
+        FROM daily
+    ),
+    run(rn, day, x, s, nd, t) AS (
+        SELECT rn, day, x, greatest(0, x * nd - t), nd, t
+        FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.rn, i.day, i.x,
+               greatest(0, r.s + i.x * i.nd - i.t), i.nd, i.t
+        FROM run r JOIN idx i ON i.rn = r.rn + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+           s::BIGINT AS cusum_count_days,
+           s > t AS is_drift
+    FROM run
+    """,
+)
+def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over the daily purchase-count
+    series — the sequential change detector monitoring pipelines run
+    on ingest volumes. Division-free exact form: S'_t = max(0,
+    S'_{t-1} + x_t·nd − T) (the classic deviation-from-mean CUSUM
+    rescaled by the day count), drift when S' > T.
+
+    Scale shape: the event data collapses to the CALENDAR first (one
+    partial-agg shuffle to ≤ nd daily rows); the inherently-serial
+    CUSUM recursion then folds over that bounded series inside ONE
+    JVM higher-order `aggregate` (array ≤ nd elements — bounded by
+    elapsed days, never by data volume). This is the general pattern
+    for recursive time-series ops (EWMA, state machines) on Spark:
+    reduce relationally, recurse over the reduction. The oracle runs
+    the same recursion as a recursive CTE over the same nd rows.
+
+    Numeric envelope: x·nd ≤ T·nd and S' ≤ T·nd, so BIGINT holds to
+    T·nd ≈ 9·10¹⁸ — e.g. 10¹⁴ events over 30 000 days."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("ds"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("t"),
+    )
+    folded = series.select(
+        "t",
+        F.expr(
+            """
+            aggregate(
+                ds,
+                struct(CAST(0 AS BIGINT) AS s,
+                       CAST(array() AS array<struct<day:string,
+                            x:bigint, s:bigint>>) AS out),
+                (acc, d) -> struct(
+                    greatest(CAST(0 AS BIGINT), acc.s + d.x * nd - t) AS s,
+                    array_append(acc.out,
+                        struct(d.day AS day, d.x AS x,
+                               greatest(CAST(0 AS BIGINT),
+                                        acc.s + d.x * nd - t) AS s))
+                        AS out),
+                acc -> acc.out
+            )
+            """
+        ).alias("run"),
+    )
+    return folded.select(
+        F.explode("run").alias("r"), F.col("t")
+    ).select(
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("n_events"),
+        F.col("r.s").alias("cusum_count_days"),
+        (F.col("r.s") > F.col("t")).alias("is_drift"),
+    )

@@ -45,6 +45,7 @@ MUST_BE_NONEMPTY = {
     "skew_null_safe_join",
     "corpus_inverted_index",
     "graph_clustering_coefficient",
+    "stats_cusum_drift",
 }
 
 

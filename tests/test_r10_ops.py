@@ -187,3 +187,43 @@ def test_k_anonymity_negative_balance_banding(spark, tmp_path):
            for r in dq_k_anonymity(spark, d).collect()}
     assert got == {6: (1, 6, True), 2: (1, 2, False), 1: (1, 1, False)}
     assert sum(nc for _, nc, _ in got.values()) == len(rows)
+
+
+def test_cusum_hand_case(spark, tmp_path):
+    """Series [1, 5, 1, 5] over 4 days (T=12, nd=4):
+    deviations x*4-12 = [-8, 8, -8, 8] → S' = [0, 8, 0, 8];
+    drift iff S' > 12 → never here. A spike day [1,1,1,13] (T=16):
+    deviations [-12,-12,-12,36] → S' = [0,0,0,36] → 36 > 16 →
+    drift on day 4."""
+    import datetime
+
+    from lake_satellite_image_etl_spark.operators.profiling import (
+        stats_cusum_drift,
+    )
+
+    def run(counts, sub):
+        rows = []
+        eid = 0
+        for i, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid,
+                     datetime.datetime(2024, 1, 1 + i, 12, 0, 0),
+                     1, "purchase", 1.0)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double",
+        )
+        d = str(tmp_path / sub)
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = stats_cusum_drift(spark, d).orderBy("day").collect()
+        return [(r["n_events"], r["cusum_count_days"], r["is_drift"])
+                for r in out]
+
+    assert run([1, 5, 1, 5], "a") == [
+        (1, 0, False), (5, 8, False), (1, 0, False), (5, 8, False)]
+    assert run([1, 1, 1, 13], "b") == [
+        (1, 0, False), (1, 0, False), (1, 0, False), (13, 36, True)]
