@@ -973,3 +973,116 @@ def analytics_hhi_concentration(
         "total_cents",
         "hhi_scaled",
     )
+
+
+@query(
+    "analytics_attribution_linear",
+    oracle=f"""
+    -- linear (equal-split) multi-touch attribution: every purchase's
+    -- revenue is split equally across ALL of the user's click/view
+    -- touches in the preceding {ATTR_LOOKBACK_DAYS} days; integer
+    -- division leaves a remainder of at most n_touches-1 cents,
+    -- assigned to the EARLIEST touch (ties by event_id) so credit is
+    -- exactly conserved: sum(credited) == sum(purchase cents),
+    -- asserted in tests. Purchases with no touch credit
+    -- 'unattributed' in full.
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id AS tid, user_id, ts, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT p.pid, p.cents, t.tid, t.event_type,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY t.ts, t.tid) AS rnk,
+               count(*) OVER (PARTITION BY p.pid) AS n
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND epoch_us(p.ts) - epoch_us(t.ts)
+             <= {ATTR_LOOKBACK_DAYS}::BIGINT * 86400000000
+    ),
+    credits AS (
+        SELECT event_type AS channel,
+               cents // n + CASE WHEN rnk = 1
+                                 THEN cents % n ELSE 0 END AS credit
+        FROM j
+        UNION ALL
+        SELECT 'unattributed', cents
+        FROM p WHERE pid NOT IN (SELECT pid FROM j)
+    )
+    SELECT channel, count(*)::BIGINT AS n_credits,
+           sum(credit)::BIGINT AS credited_cents
+    FROM credits GROUP BY 1
+    """,
+)
+def analytics_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution — the
+    complementary model to ``analytics_attribution``'s last-touch:
+    every click/view inside the {ATTR_LOOKBACK_DAYS}-day lookback
+    shares the purchase's revenue equally. Exact by construction:
+    integer cents split with the ≤ n−1-cent remainder assigned to the
+    earliest touch (ties by event_id), so total credited cents equal
+    total purchase cents — conservation is asserted in tests, not
+    hoped for (naive float splits leak cents).
+
+    Scale shape: ONE equi-join on user_id with the lookback as a
+    residual range predicate (the as-of-join family's plan), then two
+    windows partitioned by purchase id — bounded by a purchase's
+    touch count, never by data volume; the channel rollup is a
+    constant-width aggregate. The anti-join for unattributed
+    purchases reuses the join's left side."""
+    ev = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    j = p.join(
+        t,
+        (F.col("tu") == F.col("pu"))
+        & (F.col("tts") <= F.col("pts"))
+        & (
+            F.unix_micros("pts") - F.unix_micros("tts")
+            <= ATTR_LOOKBACK_DAYS * 86400 * 1_000_000
+        ),
+    )
+    w_rnk = _W.partitionBy("pid").orderBy("tts", "tid")
+    w_n = _W.partitionBy("pid")
+    ranked = j.select(
+        "pid",
+        "cents",
+        "channel",
+        F.row_number().over(w_rnk).alias("rnk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credits = ranked.select(
+        "channel",
+        (
+            F.expr("cents div n")
+            + F.when(F.col("rnk") == 1, F.expr("cents % n")).otherwise(0)
+        ).alias("credit"),
+    )
+    unattributed = (
+        p.join(j.select("pid").distinct(), "pid", "left_anti")
+        .select(F.lit("unattributed").alias("channel"),
+                F.col("cents").alias("credit"))
+    )
+    return credits.unionByName(unattributed).groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+        F.sum("credit").cast("long").alias("credited_cents"),
+    )

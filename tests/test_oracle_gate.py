@@ -46,6 +46,7 @@ MUST_BE_NONEMPTY = {
     "corpus_inverted_index",
     "graph_clustering_coefficient",
     "stats_cusum_drift",
+    "analytics_attribution_linear",
 }
 
 

@@ -227,3 +227,24 @@ def test_cusum_hand_case(spark, tmp_path):
         (1, 0, False), (5, 8, False), (1, 0, False), (5, 8, False)]
     assert run([1, 1, 1, 13], "b") == [
         (1, 0, False), (1, 0, False), (1, 0, False), (13, 36, True)]
+
+
+def test_linear_attribution_conserves_cents(spark):
+    """Total credited cents must equal total purchase cents exactly
+    (integer remainders assigned, never dropped)."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.analytics import (
+        analytics_attribution_linear,
+    )
+
+    out = analytics_attribution_linear(spark, SF_ORACLE)
+    credited = out.agg(F.sum("credited_cents")).collect()[0][0]
+    ev = read_table(spark, SF_ORACLE, "events")
+    total = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")))
+        .collect()[0][0]
+    )
+    assert credited == total, (credited, total)
