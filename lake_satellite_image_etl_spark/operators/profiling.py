@@ -1064,3 +1064,89 @@ def stats_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.s").alias("cusum_count_days"),
         (F.col("r.s") > F.col("t")).alias("is_drift"),
     )
+
+
+#: EWMA smoothing factor as an exact rational: alpha = 1/EWMA_DEN.
+EWMA_DEN = 4
+
+
+@query(
+    "stats_ewma_trend",
+    oracle=f"""
+    -- integer EWMA baseline over the daily purchase-count series:
+    -- s_1 = x_1; s_t = (({EWMA_DEN} - 1) * s_(t-1) + x_t) // {EWMA_DEN}
+    -- (alpha = 1/{EWMA_DEN}; floor at every step, all values
+    -- non-negative so floor == trunc on both engines). Reported per
+    -- day with the residual x_t - s_t — the trend/seasonality
+    -- baseline monitoring pipelines subtract before alerting. Same
+    -- reduce-then-recurse contract as stats_cusum_drift: the
+    -- recursion runs over the CALENDAR, never the event data.
+    WITH RECURSIVE daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS x
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ),
+    run(rn, day, x, s) AS (
+        SELECT rn, day, x, x FROM idx WHERE rn = 1
+        UNION ALL
+        SELECT i.rn, i.day, i.x,
+               (({EWMA_DEN} - 1) * r.s + i.x) // {EWMA_DEN}
+        FROM run r JOIN idx i ON i.rn = r.rn + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+           s::BIGINT AS ewma, (x - s)::BIGINT AS residual
+    FROM run
+    """,
+)
+def stats_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA trend baseline over the daily purchase-count
+    series (α = 1/{EWMA_DEN}, floor at each step — exact and
+    engine-identical since every value is non-negative), with the
+    per-day residual that anomaly alerting thresholds. Pairs with
+    `stats_cusum_drift` as the two standard sequential monitors.
+
+    Scale shape: identical reduce-then-recurse contract — the event
+    data collapses relationally to ≤ nd calendar rows, then the
+    inherently-serial smoothing folds over that bounded series in one
+    JVM `aggregate`; the oracle runs the same recursion as a
+    recursive CTE. The recursion NEVER touches event-scale data."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    series = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("ds")
+    )
+    folded = series.select(
+        F.expr(
+            f"""
+            aggregate(
+                ds,
+                struct(CAST(-1 AS BIGINT) AS s,
+                       CAST(array() AS array<struct<day:string,
+                            x:bigint, s:bigint>>) AS out),
+                (acc, d) -> struct(
+                    CASE WHEN acc.s < 0 THEN d.x
+                         ELSE (({EWMA_DEN} - 1) * acc.s + d.x)
+                              div {EWMA_DEN} END AS s,
+                    array_append(acc.out,
+                        struct(d.day AS day, d.x AS x,
+                               CASE WHEN acc.s < 0 THEN d.x
+                                    ELSE (({EWMA_DEN} - 1) * acc.s + d.x)
+                                         div {EWMA_DEN} END AS s)) AS out),
+                acc -> acc.out
+            )
+            """
+        ).alias("run")
+    )
+    return folded.select(F.explode("run").alias("r")).select(
+        F.col("r.day").alias("day"),
+        F.col("r.x").alias("n_events"),
+        F.col("r.s").alias("ewma"),
+        (F.col("r.x") - F.col("r.s")).alias("residual"),
+    )

@@ -72,7 +72,7 @@ _PRIORITY = (
     # lazy salted-cogroup PQ assignment; multi-probe blocked-gram kNN
     # graph; the new derived-geometry IVF entry; the
     # tolerance-embedded GK-percentile oracle; the thumbnail
-    # pixel-moment oracle). Slots 7-30: the twenty-four NET-NEW r10
+    # pixel-moment oracle). Slots 7-31: the twenty-five NET-NEW r10
     # entries (no driver row exists yet — first confirmation beats any
     # re-confirmation). Remaining slots: the stalest still-green
     # driver rows (r2/r3), re-confirmed — every entry displaced below
@@ -113,6 +113,7 @@ _PRIORITY = (
     "analytics_hhi_concentration",
     "stats_cusum_drift",
     "analytics_attribution_linear",
+    "stats_ewma_trend",
     # -- stalest re-confirmations: r2 rows (16) --
     "set_intersect",
     "set_except_all",
@@ -135,14 +136,14 @@ _PRIORITY = (
     "filter_range_numeric",
     "filter_temporal_interval",
     "filter_metadata_threshold",
-    "filter_membership_array",
     # ---- r10 first 50 end here ----------------------------------------
+    "filter_membership_array",
     "join_dim_enrich",
     "join_cross_configs",
     "agg_tpch_q1",
     "text_edit_distance",
     # (all r5/r6 re-confirmation slots below were displaced out of the
-    # window by the twenty-four net-new entries above — every displaced
+    # window by the twenty-five net-new entries above — every displaced
     # name is r5/r6/r7-green with an unchanged kernel, so the window
     # trades redundant re-confirmations for first driver rows)
     "vector_norms",

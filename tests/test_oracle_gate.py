@@ -47,6 +47,7 @@ MUST_BE_NONEMPTY = {
     "graph_clustering_coefficient",
     "stats_cusum_drift",
     "analytics_attribution_linear",
+    "stats_ewma_trend",
 }
 
 
