@@ -65,15 +65,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # .schema() skips inference entirely — the first read of a
         # path pays the one inference job, every later read is
         # jobless. Session-scoped (marker attr dies with the
-        # session), keyed by full path so sf_dirs don't collide; the
-        # fixtures are immutable for a session's lifetime.
+        # session), keyed by (path, mtime, size) so an OVERWRITTEN
+        # path re-infers instead of silently serving the stale schema
+        # (ADVICE r10: tests write tmp dirs with mode('overwrite');
+        # a dataset rewrite renames new part files into the dir, so
+        # the stat changes even when the path string does not).
         memo = getattr(spark, "_lse_schema_memo", None)
         if memo is None:
             memo = {}
             spark._lse_schema_memo = memo
-        if path not in memo:
-            memo[path] = spark.read.parquet(path).schema
-        return spark.read.schema(memo[path]).parquet(path)
+        try:
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+        except OSError:
+            key = (path, None, None)
+        if key not in memo:
+            memo[key] = spark.read.parquet(path).schema
+        return spark.read.schema(memo[key]).parquet(path)
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

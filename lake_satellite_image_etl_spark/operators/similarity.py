@@ -283,10 +283,49 @@ def derive_seed_bits(n: int, n_labels: int) -> int:
 
 #: derive_seed_bits at the sf0.01 oracle fixture (500 vectors, 10
 #: labels → ⌈log₂(22.4/10)⌉ = 2 → 40 cells): the similarity_ivf_autocells
-#: oracle bakes this value into its SQL codebook CTEs, and
+#: and similarity_knn_graph oracles bake this value into their SQL
+#: codebook CTEs, and
 #: tests/test_ann_recall.py::test_autocells_oracle_geometry_in_sync
 #: fails loudly if the fixture ever drifts from it.
 IVF_AUTO_BITS_SF001 = 2
+
+_AUTO_BITS_MEMO_ATTR = "_lse_auto_bits_memo"
+
+
+def auto_seed_bits(spark: SparkSession, sf_dir: str) -> int:
+    """The derived-geometry dial for the registered autocell entries,
+    MEMOIZED per (session, embeddings-path stat) exactly like the
+    io.py schema memo (ADVICE r10): the √n derivation is one count
+    job that belongs to INDEX BUILD, not to every DataFrame
+    construction — plan-only tooling (explain audits, bench warm
+    passes) re-constructs entries many times per session and must not
+    pay a Spark job each time. The stat key (mtime_ns, size) means an
+    overwritten fixture path re-derives instead of silently reusing a
+    stale geometry."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    memo = getattr(spark, _AUTO_BITS_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _AUTO_BITS_MEMO_ATTR, memo)
+    if key not in memo:
+        q = (
+            read_table(spark, sf_dir, "embeddings")
+            .select("label", qvec_of(F.col("embedding")).alias("qv"))
+            .filter(F.col("qv").isNotNull())
+        )
+        row = q.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("label").alias("l"),
+        ).collect()[0]
+        memo[key] = derive_seed_bits(row["n"], row["l"])
+    return memo[key]
 
 
 @query(
@@ -378,9 +417,17 @@ def similarity_ivf_autocells(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry ({IVF_AUTO_BITS_SF001} bits, pinned by the sync-guard
     test), so assignment, probe sets, and ranking are compared
     end-to-end; recall is floored alongside the other IVF entries in
-    tests/test_ann_recall.py."""
+    tests/test_ann_recall.py. The derivation count is memoized per
+    (session, fixture stat) via ``auto_seed_bits`` — construction of
+    this DataFrame after the first touch pays no derivation job
+    (ADVICE r10; the Lloyd codebook collects remain, as for every
+    IVF entry — that is the training step)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, seed_bits=None, n_probe=IVF_SCALED_N_PROBE)
+    return ivf_topk(
+        emb,
+        seed_bits=auto_seed_bits(spark, sf_dir),
+        n_probe=IVF_SCALED_N_PROBE,
+    )
 
 
 def ivf_assign(
@@ -422,10 +469,12 @@ def ivf_assign(
     ).filter(F.col("qv").isNotNull())
     if seed_bits is None:
         # derive cells ≈ √n from one cheap count — the index-build
-        # step of a real deployment (the registered pinned-bit
-        # entries keep static oracles; similarity_ivf_autocells pins
-        # the derived value for the oracle fixture via
-        # IVF_AUTO_BITS_SF001 + a sync-guard test)
+        # step of a real deployment. NOTE this runs the count at
+        # DataFrame-construction time; the REGISTERED entries
+        # (similarity_ivf_autocells, similarity_knn_graph) instead
+        # pass auto_seed_bits(spark, sf_dir) — the same derivation
+        # memoized per (session, fixture stat) so repeated
+        # construction is jobless (ADVICE r10)
         stats = q.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("label").alias("l"),
@@ -1525,11 +1574,15 @@ KNN_K = 3
 #: the next ranks): multi-probe assignment — the recall patch for
 #: cross-cell near-neighbors that single-cell restriction misses by
 #: construction (VERDICT r9 item 1b). Probe work scales linearly in
-#: this dial: pair cost is n·KNN_PROBES·(n/cells). Measured on the
-#: sf0.01 fixture: recall 0.279 (1) → 0.458 (2) → 0.583 (3) →
-#: 0.690 (4); 4 spends 2× the pair work of r9's 2 for +0.23 recall —
-#: the right trade while pair cost stays n·4·(n/cells) « n².
-KNN_PROBES = 4
+#: this dial: pair cost is n·KNN_PROBES·(n/cells). At the DERIVED
+#: √n cell geometry (VERDICT r10 item 1: 40 cells at the 500-vector
+#: fixture instead of the pinned 10) the fixture recall ladder is
+#: 0.248 (2 probes) → 0.413 (4) → 0.525 (6) → 0.609 (8); 8 probes
+#: scan 20% of the corpus here — HALF the pinned-geometry entry's
+#: pair work (50k vs 100k candidate pairs) at essentially its recall
+#: (0.609 vs 0.690) — and at production scale the probe COUNT stays
+#: put while cells track √n, so pair cost is n·8·√n, not 0.4·n².
+KNN_PROBES = 8
 #: hot-cell OOM guard (VERDICT r9 item 1a): the per-cell gram is
 #: computed in ROW BLOCKS of at most this many float64 elements
 #: (4M ≈ 32 MB), so one skewed/hot cell of m members costs
@@ -1538,14 +1591,24 @@ KNN_PROBES = 4
 #: column; only the row batching changes.
 KNN_GRAM_BLOCK_ELEMS = 4_000_000
 
+#: test hook (VERDICT r10 item 6): when a Spark accumulator is
+#: installed here (captured into the kernel closure at DataFrame
+#: construction), the kNN cell kernel adds the number of gram ROW
+#: BLOCKS it computed per cell — so a test can prove a hot/skewed
+#: cell was actually processed in bounded-memory blocks (count > 1)
+#: rather than one O(m²) gram. None in production: zero overhead.
+KNN_BLOCK_ACC = None
+
 
 @query(
     "similarity_knn_graph",
     oracle=f"""
     -- multi-probe cell-restricted kNN graph: every vector's top-{KNN_K}
     -- exact cosine neighbors within its {KNN_PROBES} nearest IVF
-    -- cells (the same seeded+refined codebook as the ANN entries) —
-    -- the graph SemDeDup-style semantic filtering and
+    -- cells, at the DERIVED √n cell geometry ({IVF_AUTO_BITS_SF001}
+    -- seed bits at the sf0.01 fixture — the same derived codebook as
+    -- similarity_ivf_autocells, pinned by the sync-guard test) — the
+    -- graph SemDeDup-style semantic filtering and
     -- connectivity-based curation consume.
     WITH {{IVF_CTES}},
     probes AS (
@@ -1569,7 +1632,7 @@ KNN_GRAM_BLOCK_ELEMS = 4_000_000
     )
     SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim, rank
     FROM rk WHERE rank <= {KNN_K}
-    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
+    """.replace("{IVF_CTES}", sql_ivf_cell_ctes(IVF_AUTO_BITS_SF001)),
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN GRAPH construction — every vector's top-{KNN_K} exact-cosine
@@ -1585,18 +1648,26 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     also scores the members of its runner-up cell. Recall vs the
     exact graph is pinned in tests/test_ann_recall.py.
 
-    Scale shape: one cell-assignment pass (broadcast √n-row
-    codebook, each vector emitting its top-{KNN_PROBES} cells), then
-    one shuffle on the cell id groups members and probe rows
-    together — pair work is n·{KNN_PROBES}·(n/cells) with cells ≈ √n
-    via the ``seed_bits`` dial. Inside each cell the gram matrix is
+    Scale shape (VERDICT r10 item 1 closed): the cell count is
+    DERIVED ≈ √n from the corpus itself (``auto_seed_bits``, the
+    memoized derivation shared with ``similarity_ivf_autocells``;
+    the oracle bakes the fixture's derived {IVF_AUTO_BITS_SF001}
+    bits, guarded by the sync test), so registered pair work is
+    n·{KNN_PROBES}·√n — sub-quadratic by construction, where the r9
+    pinned 10-cell dial made it ~0.4·n². One cell-assignment pass
+    (broadcast √n-row codebook, each vector emitting its
+    top-{KNN_PROBES} cells), then one shuffle on the cell id groups
+    members and probe rows together. Inside each cell the gram
+    matrix is
     computed in ≤{KNN_GRAM_BLOCK_ELEMS}-element ROW BLOCKS, so a
     hot cell costs bounded memory per task instead of O(m²) (the
     r9-flagged OOM-at-skew risk); per-cell top-{KNN_K} lists then
     merge to the global top-{KNN_K} in a per-vector window whose
     input is ≤ {KNN_PROBES}·{KNN_K} rows per vector."""
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = ivf_assign(emb, 0, keep_ranks=KNN_PROBES)
+    assigned = ivf_assign(
+        emb, auto_seed_bits(spark, sf_dir), keep_ranks=KNN_PROBES
+    )
 
     # per-cell matmul kernel instead of a within-cell self-join: the
     # join materializes the pair rows EACH CARRYING both 64-int
@@ -1608,6 +1679,8 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # member columns, and the per-cell top-K cut is lossless for the
     # global top-K (a candidate's rank within one cell never exceeds
     # its rank across the probed union).
+    _block_acc = KNN_BLOCK_ACC  # captured at construction (test hook)
+
     def cell_knn(pdf):
         import numpy as _np
         import pandas as _pd
@@ -1635,6 +1708,8 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         qids = pdf["vec_id"].to_numpy()
         kk = min(KNN_K, m)
         block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+        if _block_acc is not None:
+            _block_acc.add((len(pdf) + block - 1) // block)
         out = []
         for lo in range(0, len(pdf), block):
             hi = min(lo + block, len(pdf))
