@@ -400,6 +400,47 @@ def bicubic_resize(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
 
 
+#: fixed-point weight scale for the ORACLE-compared thumbnail moments
+#: (ADVICE r10): float bicubic accumulates in different orders across
+#: engines (numpy BLAS matmul vs DuckDB SUM — ~30% of intermediates
+#: differ by 1 ulp) and floor(x+0.5) hard-thresholds the difference,
+#: so a bit-equal float oracle is environment-fragile. The fixed-point
+#: twin quantizes the weights ONCE (inlined as integer literals into
+#: the SQL), after which both engines do pure int64 arithmetic —
+#: associative, order-free, bit-identical by construction. 2^24 keeps
+#: the two-pass accumulator ≤ ~1.2e17 « int64 max at 16-tap/255.
+BICUBIC_FP_SHIFT = 24
+
+
+def bicubic_weights_fp(in_size: int, out_size: int) -> np.ndarray:
+    """``bicubic_weights`` quantized to int64 at 2^BICUBIC_FP_SHIFT —
+    the single float→int rounding step; everything downstream is
+    exact integer arithmetic."""
+    return np.rint(
+        bicubic_weights(in_size, out_size) * (1 << BICUBIC_FP_SHIFT)
+    ).astype(np.int64)
+
+
+def bicubic_fp_pixels(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Exact fixed-point twin of ``bicubic_resize`` for the hashable
+    thumbnail moments: same separable two-pass structure, integer
+    weights, half-up rounding via integer floor-div (a truncating
+    divide gives the same pixel after the [0,255] clip, so any
+    engine's BIGINT division works). int64 matmul/einsum never touch
+    BLAS — integer addition is associative, so the result is
+    bit-identical regardless of accumulation order. Agreement with
+    the float kernel's pixels on the fixture is pinned by
+    tests/test_raster.py::test_bicubic_fixedpoint_twin_matches_float."""
+    nb, h, w = img.shape
+    wx = bicubic_weights_fp(w, tw)  # (tw, w) int64
+    wy = bicubic_weights_fp(h, th)  # (th, h) int64
+    tmp = img.astype(np.int64) @ wx.T  # (nb, h, tw)
+    acc = np.einsum("ij,bjk->bik", wy, tmp)  # (nb, th, tw)
+    half = 1 << (2 * BICUBIC_FP_SHIFT - 1)
+    px = np.floor_divide(acc + half, 1 << (2 * BICUBIC_FP_SHIFT))
+    return np.clip(px, 0, 255).astype(np.int64)
+
+
 def thumbnail(stacked: DataFrame) -> DataFrame:
     """U6: downsample by THUMBNAIL_SCALE_FACTOR with int-truncated
     dims (main.py:290-292: int(width/7)), a BICUBIC resample
@@ -423,10 +464,18 @@ def thumbnail(stacked: DataFrame) -> DataFrame:
             else:
                 tw = th = 0
                 t = np.zeros((nb, 0, 0), dtype=np.uint8)
-            # per-channel integer pixel sums of the BICUBIC output:
-            # the hashable moment the oracle regenerates relationally
-            # (r10 — closes the last kernel verified only by goldens)
-            csum = t.reshape(nb, -1).astype(np.int64).sum(axis=1)
+            # per-channel integer pixel sums of the FIXED-POINT
+            # bicubic twin: the hashable moment the oracle
+            # regenerates relationally with the same integer weights
+            # (ADVICE r10 — the float kernel's sums were 1-ulp
+            # environment-fragile under hard rounding; the fp twin is
+            # bit-identical in any engine, and its pixels are pinned
+            # equal to the float kernel's on this fixture by pytest)
+            if tw and th:
+                tf = bicubic_fp_pixels(img, tw, th)
+            else:
+                tf = np.zeros((nb, 0, 0), dtype=np.int64)
+            csum = tf.reshape(nb, -1).sum(axis=1)
             csum = np.pad(csum, (0, max(0, 3 - nb)))
             rows.append(
                 (
@@ -563,48 +612,60 @@ _SQL_RASTER_PX = f"""
     )"""
 
 
-def _sql_bicubic_w16_2() -> str:
-    """The 16→2 bicubic weight matrix as a DuckDB nested-list literal
-    (2 rows × 16 taps). ``repr(float)`` round-trips doubles exactly,
-    so the SQL parses to bit-identical weights; the same matrix
-    serves both axes (square fixture). Lets the oracle REGENERATE the
-    kernel's separable resample relationally."""
-    w = bicubic_weights(16, 2)
+def _sql_bicubic_w16_2_fp() -> str:
+    """The 16→2 FIXED-POINT bicubic weight matrix as a DuckDB
+    nested-list literal (2 rows × 16 integer taps at
+    2^BICUBIC_FP_SHIFT scale) — quantized ONCE in Python and inlined,
+    so both engines run pure int64 arithmetic on identical weights
+    (ADVICE r10: the former float-weight oracle depended on
+    accumulation order through floor(x+0.5)). The same matrix serves
+    both axes (square fixture)."""
+    w = bicubic_weights_fp(16, 2)
     return (
         "["
         + ", ".join(
-            "[" + ", ".join(repr(float(v)) for v in row) + "]"
+            "[" + ", ".join(str(int(v)) for v in row) + "]"
             for row in w
         )
         + "]"
     )
 
 
-#: thumbnail pixel-moment CTEs (r10): horizontal pass → vertical pass
-#: + half-up round + clip → per-channel integer pixel sums — the same
-#: two-pass separable structure ``bicubic_resize`` computes, spelled
-#: over the px rows, so the driver hash covers the BICUBIC OUTPUT
-#: integers (previously pinned by goldens only).
+#: thumbnail pixel-moment CTEs (r10, integer since r11): horizontal
+#: pass → vertical pass + half-up round + clip → per-channel integer
+#: pixel sums — the same two-pass separable structure the kernel's
+#: ``bicubic_fp_pixels`` twin computes, spelled over the px rows in
+#: pure BIGINT arithmetic (weights are 2^BICUBIC_FP_SHIFT fixed-point
+#: integer literals; rounding is an integer divide), so the compared
+#: value is accumulation-order-free in BOTH engines (ADVICE r10: the
+#: float spelling was 1-ulp fragile under floor(x+0.5)). The divide's
+#: truncation direction is irrelevant: any negative accumulator lands
+#: below 0 either way and the [0,255] clip absorbs it.
+_FP_HALF = 1 << (2 * BICUBIC_FP_SHIFT - 1)
+_FP_POW = 1 << (2 * BICUBIC_FP_SHIFT)
 _SQL_THUMB_SUMS = f"""
     hx AS (
         SELECT entity_id, y, j,
-               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * red)   AS hred,
-               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * green) AS hgreen,
-               sum(({{W}}::DOUBLE[][])[j + 1][x + 1] * blue)  AS hblue
+               sum(({{W}}::BIGINT[][])[j + 1][x + 1] * red)::BIGINT
+                   AS hred,
+               sum(({{W}}::BIGINT[][])[j + 1][x + 1] * green)::BIGINT
+                   AS hgreen,
+               sum(({{W}}::BIGINT[][])[j + 1][x + 1] * blue)::BIGINT
+                   AS hblue
         FROM px, range(2) rj(j)
         GROUP BY 1, 2, 3
     ),
     tpx AS (
         SELECT entity_id, i, j,
                least(255, greatest(0,
-                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hred) + 0.5)))::BIGINT
-                   AS tred,
+                   (sum(({{W}}::BIGINT[][])[i + 1][y + 1] * hred)::BIGINT
+                    + {_FP_HALF}) // {_FP_POW}))::BIGINT AS tred,
                least(255, greatest(0,
-                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hgreen) + 0.5)))::BIGINT
-                   AS tgreen,
+                   (sum(({{W}}::BIGINT[][])[i + 1][y + 1] * hgreen)::BIGINT
+                    + {_FP_HALF}) // {_FP_POW}))::BIGINT AS tgreen,
                least(255, greatest(0,
-                   floor(sum(({{W}}::DOUBLE[][])[i + 1][y + 1] * hblue) + 0.5)))::BIGINT
-                   AS tblue
+                   (sum(({{W}}::BIGINT[][])[i + 1][y + 1] * hblue)::BIGINT
+                    + {_FP_HALF}) // {_FP_POW}))::BIGINT AS tblue
         FROM hx, range(2) ri(i)
         GROUP BY 1, 2, 3
     ),
@@ -643,7 +704,7 @@ _SQL_THUMB_SUMS = f"""
     SELECT st.*, ts.thumb_red_sum, ts.thumb_green_sum, ts.thumb_blue_sum
     FROM st JOIN tsum ts USING (entity_id)
     ORDER BY entity_id
-    """.replace("{W}", _sql_bicubic_w16_2()),
+    """.replace("{W}", _sql_bicubic_w16_2_fp()),
 )
 def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1→U2→U4/U5→U6 end-to-end: synth bands → stack → channel means
@@ -655,12 +716,16 @@ def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical pixels relationally (A2/A3 formulas) and the value hash
     verifies the binary-column kernels bit-for-bit — the strongest
     check a non-SQL kernel can get. Since r10 that includes the
-    bicubic RESAMPLE output (VERDICT r9 item 5, the last
-    goldens-only kernel): the oracle re-runs the separable two-pass
-    convolution relationally (weight literals exact via repr
-    round-trip, same half-up round + clip) and compares the
-    thumbnail's per-channel integer pixel sums. Golden 4×4 tests
-    still cover the numpy edge cases (tests/test_raster.py)."""
+    bicubic RESAMPLE output (VERDICT r9 item 5, the last goldens-only
+    kernel); since r11 the compared moments come from the FIXED-POINT
+    twin ``bicubic_fp_pixels`` (ADVICE r10: the float spelling's
+    bit-equal compare was 1-ulp accumulation-order fragile) — the
+    oracle re-runs the two-pass convolution in pure BIGINT with the
+    identical inlined integer weights, so the hash is
+    environment-independent by construction. The float kernel still
+    produces the PNG artifact, and its pixels are pinned equal to
+    the fp twin's on this fixture plus goldens in
+    tests/test_raster.py."""
     stacked = stack_bands(synth_band_rows(spark, sf_dir))
     stats = stacked.select(
         "entity_id",

@@ -939,6 +939,30 @@ PQ_K = 1 << PQ_BITS
 PQ_SCALE = 256
 #: ADC shortlist size fed to the exact re-rank stage.
 PQ_RERANK = 40
+
+#: bounded registry of persisted PQ codebook frames (ADVICE r10):
+#: persist() is the right lazy shape for the two-consumer codebook,
+#: but in a long-lived shared session each DISTINCT embedding source
+#: would otherwise accumulate a cache entry until someone called
+#: clearCache. Keep the newest few and unpersist evicted ones —
+#: unpersisting is always safe (a consumer of an evicted plan just
+#: recomputes).
+_PQ_CENT_PERSISTED: list[DataFrame] = []
+_PQ_CENT_MAX = 4
+
+
+def _persist_bounded(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PQ_CENT_PERSISTED.append(df)
+    while len(_PQ_CENT_PERSISTED) > _PQ_CENT_MAX:
+        old = _PQ_CENT_PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be stopped
+    return df
+
+
 def _pq_assign_salt(spark: SparkSession) -> int:
     """Salt fan-out for the cogrouped code-assignment kernel: bounds
     any one task to n/SALT vectors' subrows and lifts kernel
@@ -1186,18 +1210,20 @@ def pq_adc_topk(
             ).alias("cq")
         )
         .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
-        .persist()
     )
+    cent = _persist_bounded(cent)
     # NOTE persist(), NOT localCheckpoint(eager=False): under AQE a
     # localCheckpoint materializes the frame's shuffle stages at
     # CONSTRUCTION (toRdd finalizes query stages) — exactly the
     # plan-time job leak r9 flagged. persist() is plan-lazy (zero
     # jobs until the first action) and computes the ~PQ_M·PQ_K-row
     # codebook once for its two consumers (code assignment + the
-    # per-query lookup tables). No accumulation in shared sessions:
-    # the CacheManager keys entries by canonicalized plan, so
-    # re-constructing the same query reuses the same entry instead
-    # of stacking new ones (and it is clearable via clearCache).
+    # per-query lookup tables). Identical re-constructions reuse one
+    # CacheManager entry (keyed by canonicalized plan), and DISTINCT
+    # sources can no longer accumulate unboundedly: _persist_bounded
+    # keeps the newest _PQ_CENT_MAX codebooks and unpersists evicted
+    # ones (ADVICE r10 — a long-lived shared session previously
+    # stacked one entry per sf_dir until someone called clearCache).
     # ---- code assignment: salted-cogroup numpy argmax -------------
     # (r10, VERDICT item 3) The previous form collected the trained
     # codebook at DataFrame-CONSTRUCTION time — two Spark jobs before

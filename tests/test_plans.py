@@ -464,3 +464,23 @@ def test_null_safe_join_null_branch_has_no_exchange(spark):
     # (the non-null branch) — the split didn't silently drop the join
     full = _plan(joined)
     assert "Join" in full
+
+
+def test_pq_persist_registry_is_bounded(spark):
+    """ADVICE r10: the PQ codebook persist() must not accumulate one
+    cache entry per distinct source in a long-lived session. The
+    bounded registry keeps the newest _PQ_CENT_MAX frames and
+    unpersists evicted ones."""
+    import lake_satellite_image_etl_spark.operators.similarity as S
+
+    frames = [
+        S._persist_bounded(spark.range(i + 1, numPartitions=1))
+        for i in range(S._PQ_CENT_MAX + 3)
+    ]
+    assert len(S._PQ_CENT_PERSISTED) == S._PQ_CENT_MAX
+    for df in frames[: -S._PQ_CENT_MAX]:
+        assert not df.storageLevel.useMemory, "evicted frame still cached"
+    for df in frames[-S._PQ_CENT_MAX :]:
+        assert df.storageLevel.useMemory
+        df.unpersist()
+    S._PQ_CENT_PERSISTED.clear()

@@ -227,6 +227,32 @@ def test_bicubic_gradient_monotone_and_mirror_symmetric():
     assert np.array_equal(flipped[0, 0], out[0, 0][::-1])
 
 
+def test_bicubic_fixedpoint_twin_matches_float():
+    """The ORACLE-compared thumbnail moments come from the exact
+    fixed-point twin (ADVICE r10); this pins the twin's PIXELS equal
+    to the float kernel's on every fixture entity (the 25 synthetic
+    16x16 rasters the driver hashes) plus seeded random images — so
+    the environment-robust integer moment remains an honest proxy
+    for the real PNG pixels. A divergence (a pre-rounding value
+    within weight-quantization distance of a .5 boundary) would fail
+    here loudly instead of flaking the driver hash; the fix is
+    raising BICUBIC_FP_SHIFT."""
+    for eid in range(25):
+        img = np.stack(
+            [rk.synth_band_array(eid, b, 16, 16) for b in range(3)]
+        )
+        ff = rk.bicubic_resize(img, 2, 2).astype(np.int64)
+        fp = rk.bicubic_fp_pixels(img, 2, 2)
+        assert np.array_equal(ff, fp), f"entity {eid}"
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        img = rng.integers(0, 256, size=(3, 16, 16), dtype=np.uint8)
+        assert np.array_equal(
+            rk.bicubic_resize(img, 2, 2).astype(np.int64),
+            rk.bicubic_fp_pixels(img, 2, 2),
+        )
+
+
 def test_raster_pipeline_end_to_end(spark):
     from lake_satellite_image_etl_spark.multimodal.raster import (
         raster_clip_pipeline,
