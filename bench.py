@@ -4,10 +4,16 @@
 summary — the slowest 20 entries inline under ``"slowest"``, the full
 per-query map under ``"queries"`` in ``BENCH_DETAIL.json``; harness
 stdout capture keeps only a ~2000-char tail, which a 186-entry line
-overflows). Queries run in ALPHABETICAL order split into fixed-size
-fresh-JVM batches, so batch composition — part of each query's
-measured time — is stable round-over-round regardless of registry
-order.
+overflows). Queries run in md5(name) order split into fixed-size
+fresh-JVM batches: stable round-over-round regardless of registry
+order (the r9 requirement) AND family-interleaved — alphabetical
+order packed ``dedup_*``/``similarity_*``/``graph_*`` into all-heavy
+JVMs whose in-batch GC/codegen accumulation inflated late entries by
+up to ~2x (VERDICT r10 item 2 / adjudication: the r10 "regressions"
+were ~90% this placement artifact). After the batched run, the
+slowest 10 entries re-run ISOLATED (one query per fresh JVM) and the
+results land under ``"isolated"`` in BENCH_DETAIL.json, so a verdict
+can separate plan cost from batch placement without re-running.
 
 Each query is warmed once (plan compile + scan setup) and then timed on
 a ``noop``-format write — the full plan executes on the executors and
@@ -59,12 +65,18 @@ def _query_names() -> list[str]:
     bench_names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if bench_names:
         return [n for n in bench_names.split(",") if n in queries]
-    # ALPHABETICAL, not registry order: batch composition (which 8
-    # queries share a fresh JVM) is part of each query's measured
-    # time, so it must be stable across rounds even when the registry
-    # reorders entries — r9's registry rotation made every per-query
-    # delta placement-shaped (VERDICT r9 item 4).
-    return sorted(queries)
+    # md5(name) order, not registry order and not alphabetical: batch
+    # composition (which 8 queries share a fresh JVM) is part of each
+    # query's measured time, so it must be stable across rounds even
+    # when the registry reorders entries (VERDICT r9 item 4) — and it
+    # must INTERLEAVE heavy families, which alphabetical order packed
+    # into all-heavy batches (VERDICT r10 item 2: dedup_*/similarity_*
+    # filled whole JVMs and late entries read up to ~2x their isolated
+    # time). md5 is both: deterministic in the name alone, and
+    # family-scattering because prefixes don't survive hashing.
+    import hashlib
+
+    return sorted(queries, key=lambda n: hashlib.md5(n.encode()).hexdigest())
 
 
 def run_batch(names: list[str]) -> None:
@@ -154,11 +166,54 @@ def main() -> None:
         timings.update(batch_timings)
 
     total = sum(t for t in timings.values() if t == t)
+
+    # isolated re-run of the slowest 10 (VERDICT r10 item 2): one
+    # query per FRESH JVM, so every future verdict can split "the
+    # plan is expensive" from "the batch placement inflated it"
+    # without re-running. Skipped when the run is already filtered
+    # (smoke invocations) or via SPARK_GRAFT_BENCH_ISOLATED=0.
+    isolated: dict[str, float] = {}
+    run_isolated = (
+        os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
+        and not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    )
+    if run_isolated:
+        slow_names = [
+            k
+            for k, v in sorted(
+                timings.items(), key=lambda kv: -(kv[1] if kv[1] == kv[1] else -1)
+            )
+            if v == v
+        ][:10]
+        for si, name in enumerate(slow_names):
+            print(
+                f"bench isolated [{si + 1}/{len(slow_names)}] {name}",
+                file=sys.stderr,
+                flush=True,
+            )
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--run-batch",
+                    name,
+                ],
+                capture_output=True,
+                text=True,
+            )
+            sys.stderr.write(proc.stderr)
+            try:
+                iso_payload = json.loads(proc.stdout.strip().splitlines()[-1])
+                isolated[name] = iso_payload["queries"][name]
+            except (IndexError, ValueError, KeyError):
+                isolated[name] = float("nan")
+
     payload = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "isolated": isolated,
         "streaming_split": streaming_split,
         "sf": _sf_label(SF_DIR),
         "batch_size": BATCH,
@@ -192,6 +247,7 @@ def main() -> None:
                 # "queries" as the full map would silently see a
                 # subset — VERDICT r9 item 4)
                 "slowest": slowest,
+                "isolated": {k: round(v, 2) for k, v in isolated.items()},
                 "n_queries": len(timings),
                 "n_errors": len(errors),
                 "errors": errors[:10],
