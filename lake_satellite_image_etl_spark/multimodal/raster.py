@@ -837,3 +837,176 @@ def raster_clip_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity_id")
     )
+
+
+# --------------------------------------------------- U3 × U7 composed
+
+_SAMPLE_OFF_X = 1.0 / 64
+_SAMPLE_OFF_Y = 1.0 / 128
+
+
+@query(
+    "raster_clip_vector_boundary",
+    oracle=f"""
+    -- closes the loop between the raster clip path (U3) and the
+    -- exact vector-union kernel (operators/clipping.py, VERDICT r10
+    -- item 7): the Spark side masks pixels with the KERNEL'S OUTPUT
+    -- boundary rings (total crossing parity — the kernel's region
+    -- semantics); this oracle masks with the INPUT diamonds directly
+    -- (even-odd OR). Equal masked stats = "the computed boundary
+    -- encloses exactly the union region", verified on real pixel
+    -- data rather than the 30×30 parity grid the geo_* entries use.
+    -- Sample points carry a (1/64, 1/128) offset: diamond edge lines
+    -- are x±y = integer and crossing-split points sit on the same
+    -- lines, so the offsets keep every sample ≥ ~0.005 away from any
+    -- edge — both engines' float ray-casts are tie-free.
+    WITH {{PX}},
+    geom AS (
+        SELECT entity_id,
+               3 + entity_id % 3 AS r1,
+               3 + (entity_id * 2) % 3 AS r2
+        FROM ids
+    ),
+    rings AS (
+        SELECT entity_id,
+               [[(7 - r1)::DOUBLE, 8.0], [7.0, (8 - r1)::DOUBLE],
+                [(7 + r1)::DOUBLE, 8.0], [7.0, (8 + r1)::DOUBLE],
+                [(7 - r1)::DOUBLE, 8.0]] AS d1,
+               [[(10 - r2)::DOUBLE, 8.0], [10.0, (8 - r2)::DOUBLE],
+                [(10 + r2)::DOUBLE, 8.0], [10.0, (8 + r2)::DOUBLE],
+                [(10 - r2)::DOUBLE, 8.0]] AS d2
+        FROM geom
+    ),
+    m AS (
+        SELECT p.entity_id, red, green, blue,
+               ({{PIP1}} OR {{PIP2}}) AS inside
+        FROM px p JOIN rings g USING (entity_id)
+    )
+    SELECT entity_id, 1::BIGINT AS n_rings,
+           sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS inside_count,
+           round(avg(CASE WHEN inside AND red != 0 THEN red END), 6)
+               AS red_average,
+           round(avg(CASE WHEN inside AND green != 0 THEN green END), 6)
+               AS green_average,
+           round(avg(CASE WHEN inside AND blue != 0 THEN blue END), 6)
+               AS blue_average,
+           TRUE AS area_ok
+    FROM m GROUP BY entity_id ORDER BY entity_id
+    """.replace("{PX}", _SQL_RASTER_PX)
+    .replace(
+        "{PIP1}",
+        _sql_pip(
+            f"(p.x + 0.5 + {_SAMPLE_OFF_X!r})",
+            f"(p.y + 0.5 + {_SAMPLE_OFF_Y!r})",
+            "g.d1",
+        ),
+    )
+    .replace(
+        "{PIP2}",
+        _sql_pip(
+            f"(p.x + 0.5 + {_SAMPLE_OFF_X!r})",
+            f"(p.y + 0.5 + {_SAMPLE_OFF_Y!r})",
+            "g.d2",
+        ),
+    ),
+)
+def raster_clip_vector_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 × U7 composed (VERDICT r10 item 7): mask the synthetic
+    raster with the exact vector-union BOUNDARY from
+    ``operators/clipping.py`` instead of the input polygons — per
+    entity, two overlapping diamonds union through the exact
+    rational slab kernel inside the task, the OUTPUT rings mask the
+    pixels by total crossing parity, and the masked channel stats
+    are oracled against an input-side mask. This is the e2e bridge
+    between the two geometry stacks: a boundary error at any pixel
+    flips a mean and the driver hash.
+
+    Also emitted: ``n_rings`` (two overlapping convex diamonds must
+    union to exactly ONE boundary ring — the oracle pins the
+    literal) and ``area_ok``, a tolerance verdict tying the kernel's
+    EXACT area to the pixel count (|cells − area| ≤ 2·perimeter + 8,
+    the standard discretization envelope — boundary-crossed cells
+    are ≤ ~2·perimeter of them at unit pixel pitch).
+
+    Scale shape: one applyInPandas over entity groups; each task
+    unions a bounded ring set (the per-key model-artifact contract
+    of the clipping module) and scans only its own pixels — no
+    collect, no construction jobs, parallel in the number of
+    entities exactly like the other raster pipelines."""
+    stacked = stack_bands(synth_band_rows(spark, sf_dir))
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction as _Fr
+
+        from lake_satellite_image_etl_spark.operators.clipping import (
+            union_boundary,
+        )
+
+        def diamond(cx: int, cy: int, r: int):
+            return [
+                (_Fr(cx - r), _Fr(cy)),
+                (_Fr(cx), _Fr(cy - r)),
+                (_Fr(cx + r), _Fr(cy)),
+                (_Fr(cx), _Fr(cy + r)),
+                (_Fr(cx - r), _Fr(cy)),
+            ]
+
+        rows = []
+        for eid, w, h, nb, data in zip(
+            pdf["entity_id"], pdf["width"], pdf["height"], pdf["bands"],
+            pdf["data"],
+        ):
+            eid, w, h, nb = int(eid), int(w), int(h), int(nb)
+            img = np.frombuffer(data, dtype=np.uint8).reshape(nb, h, w)
+            r1 = 3 + eid % 3
+            r2 = 3 + (eid * 2) % 3
+            rings, area, perim = union_boundary(
+                [[diamond(7, 8, r1)], [diamond(10, 8, r2)]]
+            )
+            fr = [[(float(x), float(y)) for x, y in ring] for ring in rings]
+            yy, xx = np.mgrid[0:h, 0:w]
+            sx = xx + 0.5 + _SAMPLE_OFF_X
+            sy = yy + 0.5 + _SAMPLE_OFF_Y
+            inside = np.zeros(sx.shape, dtype=bool)
+            for ring in fr:  # total crossing parity across rings
+                inside ^= _point_in_polygon(sx, sy, ring)
+            cnt = int(inside.sum())
+            means = []
+            for b in range(min(nb, 3)):
+                ch = img[b][inside].astype(np.float64)
+                nz = ch[ch != 0]
+                # ≤256 ints ≤255: the sum is exact in double and the
+                # divide is one IEEE op — identical to DuckDB's avg
+                means.append(float(nz.sum() / len(nz)) if len(nz) else None)
+            area_ok = abs(cnt - float(area)) <= 2.0 * perim + 8.0
+            rows.append(
+                (eid, len(fr), cnt, means[0], means[1], means[2],
+                 bool(area_ok))
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "entity_id", "n_rings", "inside_count", "red_average",
+                "green_average", "blue_average", "area_ok",
+            ],
+        )
+
+    return (
+        stacked.groupBy("entity_id")
+        .applyInPandas(
+            _stats,
+            schema="entity_id long, n_rings long, inside_count long, "
+            "red_average double, green_average double, "
+            "blue_average double, area_ok boolean",
+        )
+        .select(
+            "entity_id",
+            "n_rings",
+            "inside_count",
+            F.round("red_average", 6).alias("red_average"),
+            F.round("green_average", 6).alias("green_average"),
+            F.round("blue_average", 6).alias("blue_average"),
+            "area_ok",
+        )
+        .orderBy("entity_id")
+    )

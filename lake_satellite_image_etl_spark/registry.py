@@ -67,6 +67,73 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: at the first ~50 entries, so this list front-loads by verification
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
+    # ================= r11 driver window (50 slots) ================
+    # Rotation policy (VERDICT r10 item 3, now standing): any entry
+    # whose KERNEL or ORACLE changed since its last driver row enters
+    # the next window, ahead of everything else. Slots 1-8 = r11
+    # changes (derived-geometry kNN graph + memoized autocells; the
+    # tolerance-embedded HLL oracle; fixed-point thumbnail moments;
+    # the net-new U3×U7 vector-clip bridge; the PQ entries whose
+    # persist path changed; markov, whose r10 DECIMAL widening
+    # landed after its last driver row — the judge's item 3).
+    # Slots 9-25 = the stalest still-green rows (r3/r5/r6).
+    # Slots 26-50 = r7 rows, complex kernels first.
+    "raster_clip_vector_boundary",
+    "similarity_knn_graph",
+    "similarity_ivf_autocells",
+    "agg_approx_distinct",
+    "raster_stats_pipeline",
+    "analytics_markov_steady_state",
+    "similarity_pq_adc",
+    "similarity_ivf_pq",
+    # -- stalest re-confirmations: r3 (4) --
+    "agg_tpch_q1",
+    "filter_membership_array",
+    "join_cross_configs",
+    "join_dim_enrich",
+    # -- r5 (7) --
+    "geo_point_in_polygon",
+    "sample_balanced_downsample",
+    "sample_deterministic",
+    "sample_train_test_split",
+    "skew_salted_join",
+    "text_edit_distance",
+    "vector_norms",
+    # -- r6 (6) --
+    "corpus_pack_sequences",
+    "dedup_cluster_assign",
+    "incremental_lookback",
+    "join_asof",
+    "join_fanout_1n",
+    "join_range_bucket",
+    # -- r7 (25 of 48; complex kernels first) --
+    "pipeline_corpus_dedup",
+    "pipeline_image_records",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_semantic_cells",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_exact_hash",
+    "dedup_span_exact",
+    "dedup_primary_key",
+    "similarity_ivf_probe",
+    "similarity_lsh_bucketed",
+    "similarity_topk_bruteforce",
+    "stream_dedup_batch",
+    "stream_sessionize_batch",
+    "stream_window_batch",
+    "geo_polygon_union_exact",
+    "jdbc_scan",
+    "flagship_catalog",
+    "agg_core_composite",
+    "corpus_chunk_documents",
+    "corpus_contamination_flag",
+    "corpus_quality_filter",
+    "scd2_event_state",
+    # ---- r11 first 50 end here ----------------------------------------
+
     # ================= r10 driver window (50 slots) ================
     # Slots 1-6: entries whose kernels or oracles CHANGED in r10 (the
     # lazy salted-cogroup PQ assignment; multi-probe blocked-gram kNN
