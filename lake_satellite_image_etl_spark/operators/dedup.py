@@ -989,6 +989,76 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_canonical_keep",
+    oracle=f"""
+    -- the KEEP-LIST a dedup pipeline actually ships: one row per
+    -- document, its near-dup cluster, and whether it is the cluster's
+    -- canonical representative under the keep-LONGEST policy
+    -- (Gopher/RefinedWeb-style: among near-duplicates retain the
+    -- longest text, tie-break lowest doc_id). Same recursive-closure
+    -- components as dedup_cluster_assign; singletons are their own
+    -- cluster and trivially kept.
+    WITH RECURSIVE {{PAIR_CTES}},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(v, u) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+    ),
+    comp AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+    alldocs AS (SELECT doc_id, length(text)::BIGINT AS doc_len
+                FROM documents),
+    lab AS (
+        SELECT a.doc_id, COALESCE(c.cluster_id, a.doc_id) AS cluster_id,
+               a.doc_len
+        FROM alldocs a LEFT JOIN comp c USING (doc_id)
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY doc_len DESC, doc_id) AS rn
+        FROM lab
+    )
+    SELECT doc_id, cluster_id, doc_len, rn = 1 AS keep FROM rk
+    """.replace("{PAIR_CTES}", sql_minhash_pair_ctes("documents")),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative SELECTION — the deliverable after
+    clustering: a full keep-list (every document, not just clustered
+    ones) under the keep-LONGEST policy production pipelines use
+    (among near-duplicates retain the longest text — the
+    Gopher/RefinedWeb heuristic — tie-break lowest doc_id;
+    ``dedup_cluster_assign``'s min-id convention answers "which
+    cluster", this answers "which copy survives"). Downstream is one
+    ``filter(keep)``.
+
+    Scale: components from the bucketed MinHash graph (never
+    all-pairs), one left join to carry cluster ids onto the full
+    corpus (near-dup clusters are sparse, so the join's right side is
+    small), one per-cluster window whose groups are near-dup cluster
+    sizes — bounded by construction."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("doc_len")
+    )
+    comp = dedup_cluster_assign(spark, sf_dir)
+    lab = docs.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("doc_len"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "doc_len",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.4
 
 #: hard cap on rows the exact block-matrix baseline may collect to the

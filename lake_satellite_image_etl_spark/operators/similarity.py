@@ -430,6 +430,69 @@ def similarity_ivf_autocells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the demonstration metadata predicate for filtered ANN: even label
+#: (≈50% selectivity at the fixture — enough to change every top-k
+#: list without starving any query's probe set).
+ANN_FILTER_PRED = "label % 2 = 0"
+
+
+@query(
+    "similarity_ann_filtered",
+    oracle=f"""
+    -- FILTERED vector search (pre-filter strategy): top-{TOP_K} among
+    -- candidates satisfying a metadata predicate ({ANN_FILTER_PRED}),
+    -- probing the same label-seeded IVF codebook as
+    -- similarity_ivf_probe. The predicate applies to the inverted
+    -- LIST scan — before any distance work — so results always
+    -- satisfy it and cost shrinks with selectivity.
+    WITH {{IVF_CTES}},
+    flt AS (
+        SELECT l.vec_id, l.qv, l.nrm, l.c_label
+        FROM lists l JOIN q e ON e.vec_id = l.vec_id
+        WHERE e.{ANN_FILTER_PRED}
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               {sql_dot("qn.qv", "l.qv")}::DOUBLE / (qn.nrm * l.nrm) AS cos_sim
+        FROM probes p
+        JOIN flt l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
+)
+def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN — similarity search under a metadata predicate
+    (the production-common case: 'nearest neighbors among docs in
+    this language / after this date / in this license class'). The
+    PRE-FILTER strategy: ``ivf_topk(candidate_ids=...)`` semi-joins
+    the predicate against the inverted-list scan before any distance
+    arithmetic, so (a) every returned row satisfies the predicate,
+    (b) per-query cost is predicate-selectivity × probe cost, and
+    (c) one index serves every predicate (no per-filter rebuild).
+    Post-filtering (score, then discard) would return < k rows at low
+    selectivity and waste the discarded distance work — the known
+    filtered-search trap this entry exists to demonstrate around.
+
+    The oracle rebuilds codebook, predicate semi-join, probe sets and
+    ranking end-to-end; recall vs the exact FILTERED brute force is
+    pinned in tests/test_ann_recall.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.expr(ANN_FILTER_PRED)).select("vec_id")
+    return ivf_topk(emb, candidate_ids=allowed)
+
+
 def ivf_assign(
     emb: DataFrame,
     seed_bits: int | None = 0,
@@ -614,11 +677,21 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     query_stride: int = QUERY_STRIDE,
     top_k: int = TOP_K,
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over a (vec_id, label, embedding) DataFrame, IVF
     shape: ``ivf_assign`` codebook → inverted lists → probe the
     n_probe nearest lists → exact re-rank. The parameterized kernel
     behind similarity_ivf_probe.
+
+    ``candidate_ids`` (one ``vec_id`` column) restricts the CANDIDATE
+    side to a metadata predicate — filtered vector search, the
+    PRE-FILTER strategy: the predicate lands on the inverted-list
+    scan BEFORE any distance work, so every returned row satisfies it
+    and the per-query cost shrinks with selectivity (the post-filter
+    alternative scores first and discards after, returning < k rows
+    at low selectivity). One index serves every predicate — the
+    filter is a semi-join against the list scan, not a rebuild.
 
     Scale: a query probes n_probe/cells of the corpus; the probe join
     shuffles on the centroid id (bounded, near-uniform after the
@@ -635,6 +708,12 @@ def ivf_topk(
         F.col("nrm").alias("c_nrm"),
         "c_label",
     )
+    if candidate_ids is not None:
+        lists = lists.join(
+            candidate_ids.select(F.col("vec_id").alias("candidate_id")),
+            "candidate_id",
+            "left_semi",
+        )
     probes = (
         assigned.filter(
             (F.col("crank") <= n_probe) & (F.col("vec_id") % query_stride == 0)

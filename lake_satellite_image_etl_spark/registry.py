@@ -70,15 +70,17 @@ _PRIORITY = (
     # ================= r11 driver window (50 slots) ================
     # Rotation policy (VERDICT r10 item 3, now standing): any entry
     # whose KERNEL or ORACLE changed since its last driver row enters
-    # the next window, ahead of everything else. Slots 1-8 = r11
-    # changes (derived-geometry kNN graph + memoized autocells; the
+    # the next window, ahead of everything else. Slots 1-9 = r11
+    # changes (the net-new U3×U7 vector-clip bridge and filtered-ANN
+    # entries; derived-geometry kNN graph + memoized autocells; the
     # tolerance-embedded HLL oracle; fixed-point thumbnail moments;
-    # the net-new U3×U7 vector-clip bridge; the PQ entries whose
-    # persist path changed; markov, whose r10 DECIMAL widening
-    # landed after its last driver row — the judge's item 3).
-    # Slots 9-25 = the stalest still-green rows (r3/r5/r6).
-    # Slots 26-50 = r7 rows, complex kernels first.
+    # the PQ entries whose persist path changed; markov, whose r10
+    # DECIMAL widening landed after its last driver row — the
+    # judge's item 3). Then the stalest still-green rows (r3/r5/r6),
+    # then r7 rows, complex kernels first.
     "raster_clip_vector_boundary",
+    "similarity_ann_filtered",
+    "dedup_canonical_keep",
     "similarity_knn_graph",
     "similarity_ivf_autocells",
     "agg_approx_distinct",
@@ -130,9 +132,9 @@ _PRIORITY = (
     "agg_core_composite",
     "corpus_chunk_documents",
     "corpus_contamination_flag",
+    # ---- r11 first 50 end here ----------------------------------------
     "corpus_quality_filter",
     "scd2_event_state",
-    # ---- r11 first 50 end here ----------------------------------------
 
     # ================= r10 driver window (50 slots) ================
     # Slots 1-6: entries whose kernels or oracles CHANGED in r10 (the

@@ -402,3 +402,53 @@ def test_knn_graph_hot_cell_blocks(spark, tmp_path, monkeypatch):
         f"expected >= {min_hot_blocks}"
     )
     assert blocked == default
+
+
+def test_ann_filtered_recall_and_predicate(spark):
+    """Filtered ANN: (a) every returned candidate satisfies the
+    metadata predicate (the pre-filter contract — a post-filter
+    implementation that ran out of passing candidates would break
+    this), and (b) recall vs the exact FILTERED brute force (top-5
+    among even-label vectors only) holds the IVF floor — measured
+    0.82 at 5 probes of the 10-cell codebook."""
+    from pyspark.sql import functions as F
+
+    from lake_satellite_image_etl_spark.functions.vectors import QUANT
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        QUERY_STRIDE,
+        TOP_K,
+        similarity_ann_filtered,
+    )
+
+    rows = (
+        read_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    labs = np.array([r["label"] for r in rows])
+    x = np.rint(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    nrm = np.sqrt((x * x).sum(1).astype(np.float64))
+    cos = (x @ x.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    allowed = labs % 2 == 0
+    exact = set()
+    for qi in range(len(ids)):
+        if ids[qi] % QUERY_STRIDE:
+            continue
+        c = cos[qi].copy()
+        c[~allowed] = -np.inf
+        c[qi] = -np.inf
+        for j in np.argsort(-c, kind="stable")[:TOP_K]:
+            exact.add((ids[qi], ids[j]))
+
+    got = {
+        (r["query_id"], r["candidate_id"])
+        for r in similarity_ann_filtered(spark, SF_ORACLE).collect()
+    }
+    allowed_ids = set(ids[allowed].tolist())
+    assert all(c in allowed_ids for _, c in got), "predicate violated"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.75, f"filtered ANN recall below floor: {recall:.3f}"

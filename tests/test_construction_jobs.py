@@ -33,6 +33,8 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "(the former per-construction derivation count is now memoized)",
     "similarity_ivf_pq": "training: IVF codebook collect (PQ side lazy)",
     "similarity_knn_graph": "training: Lloyd codebook collect",
+    "similarity_ann_filtered": "training: Lloyd codebook collect "
+    "(ivf_topk with a candidate-side predicate)",
     "dedup_semantic_cells": "training: Lloyd codebook collect",
     "dedup_embedding_cosine": "training: corpus-size guard + candidate "
     "matrix broadcast (capped by EMBEDDING_BROADCAST_CAP)",
@@ -63,7 +65,9 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "degree checkpointed build",
     "analytics_markov_steady_state": "iterative: power-method rounds "
     "after relational reduction",
-    "dedup_cluster_assign": "iterative: semantic-cell refinement rounds",
+    "dedup_cluster_assign": "iterative: label-propagation rounds",
+    "dedup_canonical_keep": "iterative: composes dedup_cluster_assign's "
+    "label-propagation rounds",
     # -- mechanics: streaming runners / external round-trips --
     "stream_cdc_batch": "mechanics: AvailableNow micro-batch executes",
     "stream_dedup_batch": "mechanics: AvailableNow micro-batch executes",
