@@ -493,10 +493,80 @@ def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, candidate_ids=allowed)
 
 
+#: the "new tranche" stride for the incremental-assignment entry:
+#: vec_id % 5 == 4 plays the nightly ingest batch; the rest is the
+#: already-indexed corpus the codebook was trained on.
+INCR_TRANCHE_MOD = 5
+
+
+@query(
+    "similarity_incremental_assign",
+    oracle=f"""
+    -- incremental index maintenance: the codebook (seed + one Lloyd
+    -- round) is trained on the EXISTING corpus only (vec_id %
+    -- {INCR_TRANCHE_MOD} != {INCR_TRANCHE_MOD - 1}); the NEW tranche
+    -- then ranks against that frozen codebook — assignment without
+    -- retraining, exactly what a nightly embedding ingest does.
+    WITH {{CTES}},
+    qn AS (SELECT vec_id, {SQL_QVEC} AS qv FROM embeddings
+           WHERE vec_id % {INCR_TRANCHE_MOD} = {INCR_TRANCHE_MOD - 1}),
+    nn AS (SELECT vec_id, qv, {sql_norm("qv")} AS nrm FROM qn),
+    aff AS (
+        SELECT nn.vec_id, cent1.c_label,
+               {sql_dot("nn.qv", "cent1.cq")}::DOUBLE
+                   / (nn.nrm * {sql_norm("cent1.cq")}) AS c_cos
+        FROM nn CROSS JOIN cent1
+    ),
+    rk AS (
+        SELECT vec_id, c_label, c_cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c_cos DESC, c_label) AS r
+        FROM aff
+    )
+    SELECT vec_id, c_label AS cell, round(c_cos, 6) AS cell_cos
+    FROM rk WHERE r = 1
+    """.replace(
+        "{CTES}",
+        sql_ivf_cell_ctes(0).replace(
+            "FROM embeddings",
+            "FROM embeddings "
+            f"WHERE vec_id % {INCR_TRANCHE_MOD} != {INCR_TRANCHE_MOD - 1}",
+            1,
+        ),
+    ),
+)
+def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — assign a NEW vector
+    tranche to the EXISTING trained codebook without retraining (the
+    nightly-ingest path every production vector index needs: rebuild
+    is an offline, occasional event; ingest is continuous). The
+    ``train=`` split in ``ivf_assign`` freezes the codebook on the
+    already-indexed corpus; the new tranche only pays the
+    broadcast-codebook matmul — one map-side pass, no shuffle of the
+    existing corpus, no Lloyd re-run.
+
+    The oracle trains the identical codebook on the old tranche in
+    SQL and cross-ranks the new tranche against its refined
+    centroids, so the frozen-codebook contract (new data must never
+    move a centroid) is hash-verified: any leakage of new vectors
+    into training shifts a centroid and flips the driver row."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % INCR_TRANCHE_MOD == INCR_TRANCHE_MOD - 1
+    a = ivf_assign(
+        emb.filter(is_new), 0, keep_ranks=1, train=emb.filter(~is_new)
+    )
+    return a.filter(F.col("crank") == 1).select(
+        "vec_id",
+        F.col("c_label").alias("cell"),
+        F.round("c_cos", 6).alias("cell_cos"),
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     seed_bits: int | None = 0,
     keep_ranks: int | None = None,
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """Build the IVF codebook and rank every vector against every
     cell: coarse quantizer seeded by per-label integer centroids —
@@ -559,6 +629,23 @@ def ivf_assign(
                 "#", F.col("label"), _bucket_expr(F.col("qv"), seed_bits)
             ),
         )
+    # ``train`` decouples codebook TRAINING from assignment (the
+    # incremental-ingest path: nightly vector tranches assign to the
+    # existing index without retraining — similarity_incremental_
+    # assign). Default: train on the assignment corpus itself.
+    if train is None:
+        tq = q
+    else:
+        tq = train.select(
+            "vec_id", "label", qvec_of(F.col("embedding")).alias("qv")
+        ).filter(F.col("qv").isNotNull())
+        if seed_bits:
+            tq = tq.withColumn(
+                "label",
+                F.concat_ws(
+                    "#", F.col("label"), _bucket_expr(F.col("qv"), seed_bits)
+                ),
+            )
 
     def centroids(rows: DataFrame, key: str) -> DataFrame:
         """Exact integer centroid (component-wise sum) per cell."""
@@ -577,9 +664,14 @@ def ivf_assign(
         )
 
     n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
+    tn = n if train is None else tq.select(
+        "vec_id", "qv", norm(F.col("qv")).alias("nrm")
+    )
     spark = emb.sparkSession
 
-    def assign(cent: DataFrame, keep: int | None = None) -> DataFrame:
+    def assign(
+        cent: DataFrame, rows: DataFrame, keep: int | None = None
+    ) -> DataFrame:
         # The FAISS coarse-quantizer shape: the trained codebook is a
         # MODEL ARTIFACT of √n rows, so it is materialized once
         # (structurally capped at IVF_CODEBOOK_CAP cells ≈ 32 MB —
@@ -648,27 +740,27 @@ def ivf_assign(
                     }
                 )
 
-        ranked = n.mapInPandas(
+        ranked = rows.mapInPandas(
             rank_batches,
             schema=(
                 f"vec_id long, c_label {label_type}, "
                 "c_cos double, crank int"
             ),
         )
-        return ranked.join(n, "vec_id").select(
+        return ranked.join(rows, "vec_id").select(
             "vec_id", "qv", "nrm", "c_label", "c_cos", "crank"
         )
 
     # seed codebook: per-label integer sums; one Lloyd refinement:
     # nearest-seed assignment → recompute centroids per assigned cell
-    cent0 = centroids(q, "label")
+    cent0 = centroids(tq, "label")
     cells = (
-        assign(cent0, keep=1)
+        assign(cent0, tn, keep=1)
         .filter(F.col("crank") == 1)
         .select("vec_id", "qv", "c_label")
     )
     cent1 = centroids(cells, "c_label")
-    return assign(cent1, keep=keep_ranks)
+    return assign(cent1, n, keep=keep_ranks)
 
 
 def ivf_topk(

@@ -80,6 +80,7 @@ _PRIORITY = (
     # then r7 rows, complex kernels first.
     "raster_clip_vector_boundary",
     "similarity_ann_filtered",
+    "similarity_incremental_assign",
     "dedup_canonical_keep",
     "similarity_knn_graph",
     "similarity_ivf_autocells",
@@ -131,8 +132,8 @@ _PRIORITY = (
     "flagship_catalog",
     "agg_core_composite",
     "corpus_chunk_documents",
-    "corpus_contamination_flag",
     # ---- r11 first 50 end here ----------------------------------------
+    "corpus_contamination_flag",
     "corpus_quality_filter",
     "scd2_event_state",
 

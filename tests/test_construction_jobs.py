@@ -35,6 +35,8 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "similarity_knn_graph": "training: Lloyd codebook collect",
     "similarity_ann_filtered": "training: Lloyd codebook collect "
     "(ivf_topk with a candidate-side predicate)",
+    "similarity_incremental_assign": "training: frozen codebook collect "
+    "(trained on the old tranche, assigned to the new)",
     "dedup_semantic_cells": "training: Lloyd codebook collect",
     "dedup_embedding_cosine": "training: corpus-size guard + candidate "
     "matrix broadcast (capped by EMBEDDING_BROADCAST_CAP)",
