@@ -48,6 +48,11 @@ MUST_BE_NONEMPTY = {
     "stats_cusum_drift",
     "analytics_attribution_linear",
     "stats_ewma_trend",
+    # r11 net-new entries (same rationale)
+    "raster_clip_vector_boundary",
+    "similarity_ann_filtered",
+    "similarity_incremental_assign",
+    "dedup_canonical_keep",
 }
 
 

@@ -62,3 +62,51 @@ def test_cross_cell_recall(semantic, baseline_pairs):
     assert caught <= dup_high
     recall = len(caught) / len(dup_high)
     assert recall >= 0.3, f"semantic recall collapsed: {recall:.3f}"
+
+
+def test_canonical_keep_policy_nonvacuous(spark):
+    """dedup_canonical_keep must actually drop something on the
+    fixture (a broken pair graph would mark everything keep=True and
+    still hash-match a broken oracle) and must keep the LONGEST
+    member of every non-trivial cluster."""
+    from tests.conftest import SF_ORACLE
+
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_canonical_keep,
+    )
+
+    rows = dedup_canonical_keep(spark, SF_ORACLE).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    dropped = [r for r in rows if not r["keep"]]
+    assert dropped, "no document dropped — pair graph vacuous"
+    for members in by_cluster.values():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1
+        best = max(members, key=lambda r: (r["doc_len"], -r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_incremental_assign_frozen_codebook(spark):
+    """The frozen-codebook contract: assigning the new tranche must
+    not change what the OLD corpus' codebook is — re-running the
+    full-corpus assignment and the incremental one must agree on the
+    new vectors' cells whenever the full-corpus codebook was trained
+    on everything EXCEPT that the incremental one excludes them from
+    training. Here we assert the cheap invariants: every new vector
+    gets exactly one cell, cells span > 1 distinct label (geometry
+    engaged), and no old vector appears in the output."""
+    from tests.conftest import SF_ORACLE
+
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        INCR_TRANCHE_MOD,
+        similarity_incremental_assign,
+    )
+
+    rows = similarity_incremental_assign(spark, SF_ORACLE).collect()
+    assert len(rows) == len({r["vec_id"] for r in rows})
+    assert all(
+        r["vec_id"] % INCR_TRANCHE_MOD == INCR_TRANCHE_MOD - 1 for r in rows
+    )
+    assert len({r["cell"] for r in rows}) > 1
