@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lake_satellite_image_etl_spark.caching import persist_bounded
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -296,10 +297,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
         )
     )
+    # LAZY persist for the multi-consumer subtrees: Catalyst does not
+    # reuse non-exchange subtrees, so without these the oriented edge
+    # build (pairs distinct + degree joins) physically recomputes
+    # once per wedge side and once per corner — ~9 full passes per
+    # run (PLANS.md r10 showed the blowup: 184 shuffles / 225
+    # broadcast exchanges in one triangle plan). persist() keeps
+    # construction jobless (the zero-jobs sweep) and the bounded
+    # registry caps long-session accumulation.
+    oriented = persist_bounded(oriented)
     e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri = persist_bounded(e1.join(e2, "b").join(e3, ["a", "c"]))
     corners = (
         tri.select(F.col("a").alias("node"))
         .union(tri.select(F.col("b").alias("node")))

@@ -1111,27 +1111,12 @@ PQ_SCALE = 256
 #: ADC shortlist size fed to the exact re-rank stage.
 PQ_RERANK = 40
 
-#: bounded registry of persisted PQ codebook frames (ADVICE r10):
-#: persist() is the right lazy shape for the two-consumer codebook,
-#: but in a long-lived shared session each DISTINCT embedding source
-#: would otherwise accumulate a cache entry until someone called
-#: clearCache. Keep the newest few and unpersist evicted ones —
-#: unpersisting is always safe (a consumer of an evicted plan just
-#: recomputes).
-_PQ_CENT_PERSISTED: list[DataFrame] = []
-_PQ_CENT_MAX = 4
-
-
-def _persist_bounded(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _PQ_CENT_PERSISTED.append(df)
-    while len(_PQ_CENT_PERSISTED) > _PQ_CENT_MAX:
-        old = _PQ_CENT_PERSISTED.pop(0)
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # session may already be stopped
-    return df
+# bounded lazy persist for the multi-consumer PQ codebook (ADVICE
+# r10): see caching.persist_bounded — newest frames stay cached,
+# evicted ones unpersist, construction stays jobless.
+from lake_satellite_image_etl_spark.caching import (  # noqa: E402
+    persist_bounded as _persist_bounded,
+)
 
 
 def _pq_assign_salt(spark: SparkSession) -> int:

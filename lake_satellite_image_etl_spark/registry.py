@@ -89,6 +89,9 @@ _PRIORITY = (
     "analytics_markov_steady_state",
     "similarity_pq_adc",
     "similarity_ivf_pq",
+    "similarity_ivf_scaled",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
     # -- stalest re-confirmations: r3 (4) --
     "agg_tpch_q1",
     "filter_membership_array",
@@ -129,10 +132,12 @@ _PRIORITY = (
     "stream_window_batch",
     "geo_polygon_union_exact",
     "jdbc_scan",
+    # ---- r11 first 50 end here ----------------------------------------
+    # (flagship_catalog displaced by the two changed graph kernels —
+    # the flagship plan is smoke-checked every round via entry())
     "flagship_catalog",
     "agg_core_composite",
     "corpus_chunk_documents",
-    # ---- r11 first 50 end here ----------------------------------------
     "corpus_contamination_flag",
     "corpus_quality_filter",
     "scd2_event_state",

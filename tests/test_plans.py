@@ -466,21 +466,21 @@ def test_null_safe_join_null_branch_has_no_exchange(spark):
     assert "Join" in full
 
 
-def test_pq_persist_registry_is_bounded(spark):
-    """ADVICE r10: the PQ codebook persist() must not accumulate one
-    cache entry per distinct source in a long-lived session. The
-    bounded registry keeps the newest _PQ_CENT_MAX frames and
-    unpersists evicted ones."""
-    import lake_satellite_image_etl_spark.operators.similarity as S
+def test_persist_registry_is_bounded(spark):
+    """ADVICE r10: multi-consumer persist() (PQ codebook, oriented
+    triangle edges) must not accumulate one cache entry per distinct
+    source in a long-lived session. The shared bounded registry keeps
+    the newest _MAX frames and unpersists evicted ones."""
+    import lake_satellite_image_etl_spark.caching as C
 
     frames = [
-        S._persist_bounded(spark.range(i + 1, numPartitions=1))
-        for i in range(S._PQ_CENT_MAX + 3)
+        C.persist_bounded(spark.range(i + 1, numPartitions=1))
+        for i in range(C._MAX + 3)
     ]
-    assert len(S._PQ_CENT_PERSISTED) == S._PQ_CENT_MAX
-    for df in frames[: -S._PQ_CENT_MAX]:
+    assert len(C._PERSISTED) == C._MAX
+    for df in frames[: -C._MAX]:
         assert not df.storageLevel.useMemory, "evicted frame still cached"
-    for df in frames[-S._PQ_CENT_MAX :]:
+    for df in frames[-C._MAX :]:
         assert df.storageLevel.useMemory
         df.unpersist()
-    S._PQ_CENT_PERSISTED.clear()
+    C._PERSISTED.clear()
