@@ -219,12 +219,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(read_table(spark, sf_dir, "documents"))
 
 
-def minhash_pairs(docs: DataFrame) -> DataFrame:
+def minhash_pairs(
+    docs: DataFrame, min_jaccard: float | None = JACCARD_THRESHOLD
+) -> DataFrame:
     """The MinHash+LSH pair pipeline over any (doc_id, text) relation
     (see dedup_minhash_lsh for the algorithm and scale notes) —
-    returns (doc_a, doc_b, jaccard) with jaccard ≥ JACCARD_THRESHOLD.
+    returns (doc_a, doc_b, jaccard) with jaccard ≥ ``min_jaccard``.
     Reused by dedup_cluster_assign (raw documents) and
-    pipeline_corpus_dedup (exact-dedup survivor set)."""
+    pipeline_corpus_dedup (exact-dedup survivor set).
+    ``min_jaccard=None`` returns EVERY banded candidate with its
+    unrounded exact jaccard — the dq_dedup_recall_eval harness needs
+    the pre-verification candidate set to measure banding recall."""
     sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
         "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
@@ -262,9 +267,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    if min_jaccard is None:
+        return pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
     return (
         pairs.withColumn("jac", jac)
-        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .filter(F.col("jac") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
     )
 
@@ -1056,6 +1063,146 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "doc_len",
         (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
+@query(
+    "dq_dedup_recall_eval",
+    oracle=f"""
+    -- dedup-pipeline EVALUATION harness: candidate-generation recall
+    -- and precision of the banded MinHash stage vs the exact-Jaccard
+    -- ground truth (inverted shingle index — every pair with any
+    -- shared shingle scored exactly, no banding). "Measure, don't
+    -- guess": this is the number the LSH_BANDS×LSH_ROWS dial is
+    -- tuned against.
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {{HSH}} AS hsh FROM t),
+    d AS (SELECT doc_id, list_distinct(hsh) AS ds FROM sh),
+    ex AS (SELECT doc_id, unnest(ds) AS s FROM d),
+    ip AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT p.doc_a, p.doc_b
+        FROM ip p
+        JOIN d da ON da.doc_id = p.doc_a
+        JOIN d db ON db.doc_id = p.doc_b
+        WHERE p.inter::DOUBLE / (len(da.ds) + len(db.ds) - p.inter)
+              >= {JACCARD_THRESHOLD}
+    ),
+    sig AS (SELECT doc_id, hsh, {{MINH}} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, band,
+               sig[band * {LSH_ROWS} + 1] * {MINHASH_P}::BIGINT
+                   + sig[band * {LSH_ROWS} + 2] AS band_key
+        FROM sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    cj AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.hsh, sb.hsh))::DOUBLE
+                   / len(list_distinct(sa.hsh || sb.hsh)) AS jac
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM truth)::BIGINT AS truth_pairs,
+               (SELECT count(*) FROM cj)::BIGINT AS candidate_pairs,
+               (SELECT count(*) FROM cj
+                WHERE jac >= {JACCARD_THRESHOLD})::BIGINT
+                   AS true_positives
+    )
+    SELECT truth_pairs, candidate_pairs, true_positives,
+           truth_pairs - true_positives AS missed_pairs,
+           round(true_positives::DOUBLE / candidate_pairs, 6)
+               AS candidate_precision,
+           round(true_positives::DOUBLE / truth_pairs, 6)
+               AS banding_recall
+    FROM m
+    """.replace("{HSH}", _SQL_HSHINGLES)
+    .replace("{MINH}", _SQL_MINHASH),
+)
+def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline EVALUATION ("measure, don't guess"): how much
+    of the TRUE near-dup pair set does the banded MinHash stage
+    surface, and how much of what it surfaces is real? Ground truth =
+    exact Jaccard ≥ {JACCARD_THRESHOLD} over the inverted shingle
+    index (every pair sharing ≥ 1 shingle scored exactly — no
+    banding, no sketch); candidates = the LSH band buckets before
+    verification. Emits one row: truth/candidate/TP/missed counts +
+    candidate_precision + banding_recall — the measurement the
+    LSH_BANDS×LSH_ROWS dial is tuned against (the r = (1/b)^(1/r)
+    S-curve theory made empirical on the actual corpus).
+
+    Scale: the exact ground truth costs Σ df² over shingles — this
+    harness runs on a SAMPLE at 100 TB (the standard eval practice);
+    the candidate side is the production banded path unchanged. Both
+    sides stay relational: inverted-index equi-join + per-pair
+    aggregate, never an all-pairs product."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
+    )
+    d = sh.select("doc_id", F.array_distinct("hsh").alias("ds"))
+    ex_a = d.select(
+        F.col("doc_id").alias("doc_a"), F.explode("ds").alias("s")
+    )
+    ex_b = d.select(
+        F.col("doc_id").alias("doc_b"), F.explode("ds").alias("s")
+    )
+    ip = (
+        ex_a.join(ex_b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes_a = d.select(
+        F.col("doc_id").alias("doc_a"), F.size("ds").alias("na")
+    )
+    sizes_b = d.select(
+        F.col("doc_id").alias("doc_b"), F.size("ds").alias("nb")
+    )
+    truth = (
+        ip.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .where(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= JACCARD_THRESHOLD
+        )
+    )
+    cand = minhash_pairs(docs, min_jaccard=None)
+    tr = truth.agg(F.count(F.lit(1)).alias("truth_pairs"))
+    cd = cand.agg(
+        F.count(F.lit(1)).alias("candidate_pairs"),
+        F.sum(
+            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+        ).alias("true_positives"),
+    )
+    return tr.crossJoin(cd).select(
+        "truth_pairs",
+        "candidate_pairs",
+        "true_positives",
+        (F.col("truth_pairs") - F.col("true_positives")).alias(
+            "missed_pairs"
+        ),
+        F.round(
+            F.col("true_positives").cast("double")
+            / F.col("candidate_pairs"),
+            6,
+        ).alias("candidate_precision"),
+        F.round(
+            F.col("true_positives").cast("double") / F.col("truth_pairs"), 6
+        ).alias("banding_recall"),
     )
 
 

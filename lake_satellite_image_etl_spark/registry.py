@@ -82,6 +82,7 @@ _PRIORITY = (
     "similarity_ann_filtered",
     "similarity_incremental_assign",
     "dedup_canonical_keep",
+    "dq_dedup_recall_eval",
     "similarity_knn_graph",
     "similarity_ivf_autocells",
     "agg_approx_distinct",
@@ -131,8 +132,8 @@ _PRIORITY = (
     "stream_sessionize_batch",
     "stream_window_batch",
     "geo_polygon_union_exact",
-    "jdbc_scan",
     # ---- r11 first 50 end here ----------------------------------------
+    "jdbc_scan",
     # (flagship_catalog displaced by the two changed graph kernels —
     # the flagship plan is smoke-checked every round via entry())
     "flagship_catalog",

@@ -110,3 +110,22 @@ def test_incremental_assign_frozen_codebook(spark):
         r["vec_id"] % INCR_TRANCHE_MOD == INCR_TRANCHE_MOD - 1 for r in rows
     )
     assert len({r["cell"] for r in rows}) > 1
+
+
+def test_dedup_recall_eval_meaningful(spark):
+    """The eval harness must measure a non-degenerate corpus: ground
+    truth exists (else recall divides by zero and the entry is
+    vacuous) and the 12x2 banding geometry holds its theoretical
+    S-curve floor on it — at jac >= 0.8 the candidate probability is
+    1-(1-0.8^2)^12 ~ 0.995, so measured banding recall must be high
+    (measured 1.0 on the fixture; floor 0.9 with margin)."""
+    from tests.conftest import SF_ORACLE
+
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dq_dedup_recall_eval,
+    )
+
+    row = dq_dedup_recall_eval(spark, SF_ORACLE).collect()[0]
+    assert row["truth_pairs"] > 0, "no ground-truth pairs — vacuous eval"
+    assert row["banding_recall"] >= 0.9, row
+    assert 0 < row["candidate_precision"] <= 1.0
