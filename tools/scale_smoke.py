@@ -56,6 +56,10 @@ DOC_QUERIES = [
     "text_bigram_lm_score",
     "text_wordpiece_tokenize",
     "pipeline_training_prep",
+    # r11 additions: the keep-list and the banding-recall eval both
+    # ride the bucketed MinHash machinery (10x docs)
+    "dedup_canonical_keep",
+    "dq_dedup_recall_eval",
 ]
 #: banded-rank family (VERDICT r7 item 6): exact order statistics via
 #: bounded count-table shuffles instead of global sorts. These read
@@ -67,6 +71,10 @@ BANDED_QUERIES = [
     "stats_equidepth_histogram",
     "agg_abc_pareto",
     "agg_gini_inequality",
+    # r11: lineitem-based graph kernels after the lazy-persist fix
+    # (the oriented edge build now computes once, not ~9x)
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
 ]
 BANDED_BASE_DIR = "/root/testdata/sf0.01"
 BANDED_SCALE_DIR = "/root/testdata/sf0.1"
@@ -84,6 +92,9 @@ SIM_QUERIES = [
     # lands on 6 bits -> 640 cells with no code change; the per-query
     # cost column is the flat-ms/query evidence for the derivation
     "similarity_ivf_autocells",
+    # r11: the filtered and incremental-ingest variants
+    "similarity_ann_filtered",
+    "similarity_incremental_assign",
 ]
 
 
