@@ -3,7 +3,7 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line (a compact
 summary — the slowest 20 entries inline under ``"slowest"``, the full
 per-query map under ``"queries"`` in ``BENCH_DETAIL.json``; harness
-stdout capture keeps only a ~2000-char tail, which a 186-entry line
+stdout capture keeps only a ~2000-char tail, which a 200+-entry line
 overflows). Queries run in md5(name) order split into fixed-size
 fresh-JVM batches: stable round-over-round regardless of registry
 order (the r9 requirement) AND family-interleaved — alphabetical

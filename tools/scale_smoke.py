@@ -294,6 +294,25 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    # dq_dedup_recall_eval emits ONE summary row, but its work is
+    # Θ(scored pairs) — exactly the quantities that row carries (the
+    # scale fixture is deliberately duplication-denser, so true pairs
+    # grow ~24× on 10× docs). Judge its linearity against pair
+    # growth, the same normalization the ANN entries get per query —
+    # wall/out_ratio(=1 row) would flag a harness whose per-pair
+    # throughput actually held.
+    if "dq_dedup_recall_eval" in table:
+        ev = table["dq_dedup_recall_eval"]
+        fn = queries["dq_dedup_recall_eval"]
+        rb = fn(spark, BASE_DIR).collect()[0]
+        rs = fn(spark, SCALE_DIR).collect()[0]
+        pair_b = rb["candidate_pairs"] + rb["truth_pairs"]
+        pair_s = rs["candidate_pairs"] + rs["truth_pairs"]
+        ev["pairs_scored"] = {"sf0.1": pair_b, "sfscale": pair_s}
+        ev["out_ratio"] = (
+            round(pair_s / pair_b, 1) if pair_b else float("nan")
+        )
+
     # banded-rank family at the fixtures' natural 10×: exactness
     # without a global sort must not cost super-linear wall time.
     for name in BANDED_QUERIES:
