@@ -18,6 +18,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lake_satellite_image_etl_spark.functions.text import tok_hash60
+from lake_satellite_image_etl_spark.operators.dedup import (
+    sql_minhash_pair_ctes,
+)
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -71,6 +74,78 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = tok_hash60(F.col("doc_id").cast("string")) % 100
     return docs.select(
         "doc_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "sample_cluster_safe_split",
+    oracle=f"""
+    -- LEAKAGE-FREE train/val/test split: the split bucket hashes the
+    -- near-dup CLUSTER id, not the document id, so no near-duplicate
+    -- pair ever straddles train and eval (the doc-hash split
+    -- sample_train_test_split puts ~{100 - TRAIN_PCT}% of each
+    -- cluster's members into eval — training-set leakage into the
+    -- benchmark, the decontamination failure cluster-aware splitting
+    -- exists to prevent). Same recursive-closure components as
+    -- dedup_cluster_assign; singletons are their own cluster.
+    WITH RECURSIVE {{PAIR_CTES}},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM dup_pairs
+    ),
+    reach(v, u) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u
+    ),
+    comp AS (SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v),
+    lab AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_sql_key_hash("cluster_id")} % 100 < {TRAIN_PCT}
+                    THEN 'train'
+                WHEN {_sql_key_hash("cluster_id")} % 100
+                         < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """.replace("{PAIR_CTES}", sql_minhash_pair_ctes("documents")),
+)
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE {TRAIN_PCT}/{VAL_PCT}/{100 - TRAIN_PCT - VAL_PCT}
+    split — the decontaminated form of ``sample_train_test_split``:
+    the hash bucket keys on the near-dup CLUSTER id, so a document
+    and its near-duplicates always land in the SAME split and the
+    eval set cannot contain paraphrases of training documents (the
+    leakage class document-level splitting cannot prevent — a real
+    LLM-pipeline failure mode, cf. decontamination practice in
+    Gopher/GPT-3 appendix analyses). Deterministic forever on any
+    engine, same hash contract as the flat split.
+
+    Scale: components from the bucketed MinHash graph (never
+    all-pairs), one left join onto the corpus (the cluster side is
+    sparse), then a narrow hash projection — the split itself adds
+    no shuffle beyond the cluster assignment it reuses."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dedup_cluster_assign,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    comp = dedup_cluster_assign(spark, sf_dir)
+    lab = docs.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    bucket = tok_hash60(F.col("cluster_id").cast("string")) % 100
+    return lab.select(
+        "doc_id",
+        "cluster_id",
         F.when(bucket < TRAIN_PCT, "train")
         .when(bucket < TRAIN_PCT + VAL_PCT, "val")
         .otherwise("test")

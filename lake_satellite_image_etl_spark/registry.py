@@ -83,6 +83,7 @@ _PRIORITY = (
     "similarity_incremental_assign",
     "dedup_canonical_keep",
     "dq_dedup_recall_eval",
+    "sample_cluster_safe_split",
     "similarity_knn_graph",
     "similarity_ivf_autocells",
     "agg_approx_distinct",
@@ -131,8 +132,8 @@ _PRIORITY = (
     "stream_dedup_batch",
     "stream_sessionize_batch",
     "stream_window_batch",
-    "geo_polygon_union_exact",
     # ---- r11 first 50 end here ----------------------------------------
+    "geo_polygon_union_exact",
     "jdbc_scan",
     # (flagship_catalog displaced by the two changed graph kernels —
     # the flagship plan is smoke-checked every round via entry())

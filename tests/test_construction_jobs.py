@@ -70,6 +70,8 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "dedup_cluster_assign": "iterative: label-propagation rounds",
     "dedup_canonical_keep": "iterative: composes dedup_cluster_assign's "
     "label-propagation rounds",
+    "sample_cluster_safe_split": "iterative: composes "
+    "dedup_cluster_assign's label-propagation rounds",
     # -- mechanics: streaming runners / external round-trips --
     "stream_cdc_batch": "mechanics: AvailableNow micro-batch executes",
     "stream_dedup_batch": "mechanics: AvailableNow micro-batch executes",

@@ -129,3 +129,42 @@ def test_dedup_recall_eval_meaningful(spark):
     assert row["truth_pairs"] > 0, "no ground-truth pairs — vacuous eval"
     assert row["banding_recall"] >= 0.9, row
     assert 0 < row["candidate_precision"] <= 1.0
+
+
+def test_cluster_safe_split_prevents_leakage(spark):
+    """The point of sample_cluster_safe_split: (a) every near-dup
+    cluster lives wholly inside one split; (b) the flat doc-hash
+    split WOULD have torn at least one cluster across train and eval
+    on this fixture — i.e. the operator prevents a leakage that
+    actually occurs, not a hypothetical one; (c) proportions stay
+    near the 80/10/10 contract."""
+    from tests.conftest import SF_ORACLE
+
+    from lake_satellite_image_etl_spark.operators.sampling import (
+        sample_cluster_safe_split,
+        sample_train_test_split,
+    )
+
+    rows = sample_cluster_safe_split(spark, SF_ORACLE).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    flat = {
+        r["doc_id"]: r["split"]
+        for r in sample_train_test_split(spark, SF_ORACLE).collect()
+    }
+    members = {}
+    for r in rows:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    multi = [m for m in members.values() if len(m) > 1]
+    assert multi, "no multi-member clusters — fixture vacuous"
+    torn = [m for m in multi if len({flat[d] for d in m}) > 1]
+    assert torn, (
+        "flat doc-hash split tore no cluster — the cluster-safe "
+        "operator would be demonstrating nothing on this fixture"
+    )
+
+    frac_train = sum(r["split"] == "train" for r in rows) / len(rows)
+    assert 0.6 <= frac_train <= 0.95
