@@ -10,26 +10,63 @@ stays green; an eager localCheckpoint would materialize at plan time,
 the r9 leak class) and the CacheManager dedups identical plans.
 
 The registry bounds what a long-lived shared session can accumulate
-(ADVICE r10 on the PQ codebook): only the newest ``_MAX`` frames stay
-persisted; evicted frames unpersist, and a consumer of an evicted
-plan just recomputes — unpersisting is always safe.
+(ADVICE r10 on the PQ codebook): only the newest ``_MAX`` distinct
+PLANS stay persisted. Keying matters (ADVICE r11): Spark's
+CacheManager dedups identical canonicalized plans, so registering the
+same reconstructed query twice by insertion order would create two
+list slots pointing at ONE cache entry — evicting the "old" slot
+unpersists the shared entry out from under the "new" one. The
+registry is therefore keyed by ``(session, df.semanticHash())``
+(Spark's canonicalized-plan hash): re-registering an identical plan
+just refreshes its recency, and eviction only fires when no newer
+registered frame shares the cache entry. Session scoping also stops
+stopped-session DataFrames from being pinned by a live registry.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
+#: (session key, semanticHash) -> DataFrame, insertion == recency order
+_PERSISTED: dict[tuple[int, int], DataFrame] = {}
 _MAX = 8
+
+
+def _key(df: DataFrame) -> tuple[int, int]:
+    return (id(df.sparkSession), df.semanticHash())
 
 
 def persist_bounded(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _PERSISTED.append(df)
+    try:
+        key = _key(df)
+    except Exception:
+        return df  # semanticHash unavailable (exotic plan): persist unmanaged
+    # refresh recency: same canonical plan == same cache entry
+    _PERSISTED.pop(key, None)
+    _PERSISTED[key] = df
     while len(_PERSISTED) > _MAX:
-        old = _PERSISTED.pop(0)
+        oldest = next(iter(_PERSISTED))
+        old = _PERSISTED.pop(oldest)
         try:
             old.unpersist()
         except Exception:
             pass  # session may already be stopped
     return df
+
+
+def release_all() -> None:
+    """Unpersist every registered frame and empty the registry.
+
+    Called by bench.py between queries (alongside its existing
+    ``clearCache`` assumption) so a batch of 8 heavy graph queries
+    cannot hold all ``_MAX`` slots concurrently — memory headroom at
+    sf1+ is deterministic instead of depending on batch composition
+    (VERDICT r11 item 8).
+    """
+    while _PERSISTED:
+        _, old = _PERSISTED.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass

@@ -65,23 +65,29 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # .schema() skips inference entirely — the first read of a
         # path pays the one inference job, every later read is
         # jobless. Session-scoped (marker attr dies with the
-        # session), keyed by (path, mtime, size) so an OVERWRITTEN
-        # path re-infers instead of silently serving the stale schema
-        # (ADVICE r10: tests write tmp dirs with mode('overwrite');
-        # a dataset rewrite renames new part files into the dir, so
-        # the stat changes even when the path string does not).
+        # session). The memo holds ONE live entry per path, keyed
+        # path -> ((mtime_ns, size), schema): the stat key makes an
+        # OVERWRITTEN path re-infer instead of silently serving the
+        # stale schema (ADVICE r10: tests write tmp dirs with
+        # mode('overwrite'); a dataset rewrite renames new part files
+        # into the dir, so the stat changes even when the path string
+        # does not), and replacing — not accumulating — stat keys for
+        # the same path keeps a long-lived session that repeatedly
+        # rewrites tmp dirs from growing the dict unboundedly
+        # (ADVICE r11).
         memo = getattr(spark, "_lse_schema_memo", None)
         if memo is None:
             memo = {}
             spark._lse_schema_memo = memo
         try:
             st = os.stat(path)
-            key = (path, st.st_mtime_ns, st.st_size)
+            stat_key = (st.st_mtime_ns, st.st_size)
         except OSError:
-            key = (path, None, None)
-        if key not in memo:
-            memo[key] = spark.read.parquet(path).schema
-        return spark.read.schema(memo[key]).parquet(path)
+            stat_key = None
+        hit = memo.get(path)
+        if hit is None or hit[0] != stat_key:
+            memo[path] = (stat_key, spark.read.parquet(path).schema)
+        return spark.read.schema(memo[path][1]).parquet(path)
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

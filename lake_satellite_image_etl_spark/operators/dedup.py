@@ -1123,9 +1123,9 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT truth_pairs, candidate_pairs, true_positives,
            truth_pairs - true_positives AS missed_pairs,
-           round(true_positives::DOUBLE / candidate_pairs, 6)
+           round(true_positives::DOUBLE / NULLIF(candidate_pairs, 0), 6)
                AS candidate_precision,
-           round(true_positives::DOUBLE / truth_pairs, 6)
+           round(true_positives::DOUBLE / NULLIF(truth_pairs, 0), 6)
                AS banding_recall
     FROM m
     """.replace("{HSH}", _SQL_HSHINGLES)
@@ -1188,15 +1188,28 @@ def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_truth"),
         F.lit(None).cast("double").alias("jaccard"),
     ).unionByName(cand.select(F.lit(0).alias("is_truth"), "jaccard"))
+    # coalesce the summed counts to 0 and NULL-out the ratios when a
+    # denominator is 0 (ADVICE r11): sum() over an EMPTY union is NULL
+    # while the oracle's count(*) scalar subqueries are 0, and bare
+    # division on a degenerate corpus (no candidates / no truth
+    # pairs) would let the two engines' divide-by-zero semantics
+    # diverge — the oracle uses NULLIF so both sides emit identical
+    # (0-count, NULL-ratio) rows on any corpus, not just the asserted
+    # non-degenerate fixture.
     counts = tagged.agg(
-        F.sum("is_truth").alias("truth_pairs"),
-        F.sum(1 - F.col("is_truth")).alias("candidate_pairs"),
-        F.sum(
-            F.when(
-                (F.col("is_truth") == 0)
-                & (F.col("jaccard") >= JACCARD_THRESHOLD),
-                1,
-            ).otherwise(0)
+        F.coalesce(F.sum("is_truth"), F.lit(0)).alias("truth_pairs"),
+        F.coalesce(F.sum(1 - F.col("is_truth")), F.lit(0)).alias(
+            "candidate_pairs"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("is_truth") == 0)
+                    & (F.col("jaccard") >= JACCARD_THRESHOLD),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("true_positives"),
     )
     return counts.select(
@@ -1208,11 +1221,13 @@ def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(
             F.col("true_positives").cast("double")
-            / F.col("candidate_pairs"),
+            / F.when(F.col("candidate_pairs") > 0, F.col("candidate_pairs")),
             6,
         ).alias("candidate_precision"),
         F.round(
-            F.col("true_positives").cast("double") / F.col("truth_pairs"), 6
+            F.col("true_positives").cast("double")
+            / F.when(F.col("truth_pairs") > 0, F.col("truth_pairs")),
+            6,
         ).alias("banding_recall"),
     )
 

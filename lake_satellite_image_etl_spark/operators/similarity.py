@@ -301,20 +301,23 @@ def auto_seed_bits(spark: SparkSession, sf_dir: str) -> int:
     passes) re-constructs entries many times per session and must not
     pay a Spark job each time. The stat key (mtime_ns, size) means an
     overwritten fixture path re-derives instead of silently reusing a
-    stale geometry."""
+    stale geometry; keeping ONE live entry per path (replace, don't
+    accumulate stat keys — ADVICE r11) bounds the memo in long-lived
+    sessions that rewrite tmp fixture dirs."""
     import os
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        stat_key = (st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (path, None, None)
+        stat_key = None
     memo = getattr(spark, _AUTO_BITS_MEMO_ATTR, None)
     if memo is None:
         memo = {}
         setattr(spark, _AUTO_BITS_MEMO_ATTR, memo)
-    if key not in memo:
+    hit = memo.get(path)
+    if hit is None or hit[0] != stat_key:
         q = (
             read_table(spark, sf_dir, "embeddings")
             .select("label", qvec_of(F.col("embedding")).alias("qv"))
@@ -324,8 +327,8 @@ def auto_seed_bits(spark: SparkSession, sf_dir: str) -> int:
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("label").alias("l"),
         ).collect()[0]
-        memo[key] = derive_seed_bits(row["n"], row["l"])
-    return memo[key]
+        memo[path] = (stat_key, derive_seed_bits(row["n"], row["l"]))
+    return memo[path][1]
 
 
 @query(

@@ -484,3 +484,28 @@ def test_persist_registry_is_bounded(spark):
         assert df.storageLevel.useMemory
         df.unpersist()
     C._PERSISTED.clear()
+
+
+def test_persist_registry_keys_by_plan(spark):
+    """ADVICE r11: Spark's CacheManager dedups identical canonicalized
+    plans, so an insertion-ordered registry holding two slots for ONE
+    cache entry would unpersist the shared entry when the older slot
+    ages out — even though the newer slot is still inside the window.
+    The registry is keyed by semanticHash: re-registering an identical
+    plan refreshes recency instead of adding a second evictable slot."""
+    import lake_satellite_image_etl_spark.caching as C
+
+    C.release_all()
+    shared_a = C.persist_bounded(spark.range(7, numPartitions=1))
+    shared_b = C.persist_bounded(spark.range(7, numPartitions=1))
+    assert len(C._PERSISTED) == 1, "identical plans must share one slot"
+    # fill the REST of the window; under the old list registry this
+    # evicted shared_a's slot and unpersisted the shared cache entry
+    for i in range(C._MAX - 1):
+        C.persist_bounded(spark.range(100 + i, numPartitions=1))
+    assert len(C._PERSISTED) == C._MAX
+    assert shared_a.storageLevel.useMemory, "shared entry evicted early"
+    assert shared_b.storageLevel.useMemory
+    C.release_all()
+    assert len(C._PERSISTED) == 0
+    assert not shared_a.storageLevel.useMemory, "release_all left a frame"

@@ -131,6 +131,44 @@ def test_dedup_recall_eval_meaningful(spark):
     assert 0 < row["candidate_precision"] <= 1.0
 
 
+def test_dedup_recall_eval_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r11: on a DEGENERATE corpus — a single document, so no
+    truth pairs AND no candidate pairs exist — the Spark kernel and
+    the DuckDB oracle must emit the identical row: counts 0 (not the
+    NULL that sum() over an empty union returns) and ratios NULL on
+    both sides (NULLIF / guarded division), instead of hash-diverging
+    on sum-vs-count(*) and divide-by-zero semantics. Run as a real
+    differential comparison, not just a Spark-side shape check."""
+    from tools.compare import compare_frames, duckdb_con
+
+    from lake_satellite_image_etl_spark import registry
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dq_dedup_recall_eval,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a solitary document with no duplicate partner anywhere")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "degen")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    spark_pdf = dq_dedup_recall_eval(spark, d).toPandas()
+    [r] = spark_pdf.to_dict("records")
+    assert (r["truth_pairs"], r["candidate_pairs"], r["true_positives"]) == (
+        0,
+        0,
+        0,
+    ), r
+
+    _, oracles = registry.load_all()
+    oracle_pdf = (
+        duckdb_con(d).execute(oracles["dq_dedup_recall_eval"]).fetchdf()
+    )
+    res = compare_frames("dq_dedup_recall_eval[degenerate]", spark_pdf, oracle_pdf)
+    assert res.ok, res.detail
+
+
 def test_cluster_safe_split_prevents_leakage(spark):
     """The point of sample_cluster_safe_split: (a) every near-dup
     cluster lives wholly inside one split; (b) the flat doc-hash

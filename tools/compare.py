@@ -35,10 +35,16 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "documents embeddings".split()
     ):
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):
+            # Spark-written datasets are directories of part files;
+            # the driver fixtures are single files. Glob the former so
+            # tmp fixtures written by tests are oracle-comparable too.
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+        )
     return con
 
 
