@@ -4,16 +4,25 @@
 summary — the slowest 20 entries inline under ``"slowest"``, the full
 per-query map under ``"queries"`` in ``BENCH_DETAIL.json``; harness
 stdout capture keeps only a ~2000-char tail, which a 200+-entry line
-overflows). Queries run in md5(name) order split into fixed-size
-fresh-JVM batches: stable round-over-round regardless of registry
-order (the r9 requirement) AND family-interleaved — alphabetical
-order packed ``dedup_*``/``similarity_*``/``graph_*`` into all-heavy
-JVMs whose in-batch GC/codegen accumulation inflated late entries by
-up to ~2x (VERDICT r10 item 2 / adjudication: the r10 "regressions"
-were ~90% this placement artifact). After the batched run, the
-slowest 10 entries re-run ISOLATED (one query per fresh JVM) and the
-results land under ``"isolated"`` in BENCH_DETAIL.json, so a verdict
-can separate plan cost from batch placement without re-running.
+overflows). Queries are assigned to fresh-JVM batches by
+``md5(name) mod n_batches`` — a HASH BUCKET, not a position in a
+sorted list (VERDICT r11 item 3): positional chunking of the
+md5-sorted list meant ONE added registry entry shifted every later
+name into a different batch, so in-batch timings were not comparable
+across rounds whenever the registry grew. Bucketing is both
+family-interleaved (prefixes don't survive hashing — the r10 fix
+stands: alphabetical order had packed ``dedup_*``/``similarity_*``
+into all-heavy JVMs whose GC/codegen accumulation inflated late
+entries ~2x) and insertion-stable: an added entry perturbs only the
+one bucket it hashes into, and every other query keeps its exact JVM
+cohort until the registry crosses the next multiple of ``BATCH``
+(n_batches bumps — rare and visible in the artifact's
+``n_batches``). Bucket sizes are Poisson around ``BATCH`` rather
+than exact; within-bucket order stays md5. After the batched run,
+the slowest 10 entries re-run ISOLATED (one query per fresh JVM) and
+the results land under ``"isolated"`` in BENCH_DETAIL.json, so a
+verdict can separate plan cost from batch placement without
+re-running.
 
 Each query is warmed once (plan compile + scan setup) and then timed on
 a ``noop``-format write — the full plan executes on the executors and
@@ -129,6 +138,13 @@ def run_batch(names: list[str]) -> None:
                 }
             except Exception as e:  # noqa: BLE001
                 print(f"bench twin error in {name}: {e}", file=sys.stderr)
+        # release every registry-managed persist() between queries
+        # (VERDICT r11 item 8): a batch of heavy graph/ANN queries can
+        # otherwise hold all _MAX persist slots concurrently, making
+        # memory headroom depend on batch composition at sf1+.
+        from lake_satellite_image_etl_spark.caching import release_all
+
+        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
@@ -136,8 +152,29 @@ def run_batch(names: list[str]) -> None:
 
 
 def main() -> None:
+    import hashlib
+    import math
+
     names = _query_names()
-    chunks = [names[i : i + BATCH] for i in range(0, len(names), BATCH)]
+    # hash-bucket batch assignment (insertion-stable; see module
+    # docstring) — names are already md5-sorted, so each bucket keeps
+    # md5 order internally
+    n_buckets = max(1, math.ceil(len(names) / BATCH))
+    buckets: list[list[str]] = [[] for _ in range(n_buckets)]
+    for n in names:
+        h = int(hashlib.md5(n.encode()).hexdigest(), 16)
+        buckets[h % n_buckets].append(n)
+    # hashing makes bucket sizes Poisson around BATCH (observed 1-15
+    # at 217 entries) — split any bucket past BATCH so the in-JVM
+    # accumulation bound the batch size exists for still holds; the
+    # split is positional WITHIN the one bucket, so an added entry
+    # still perturbs only the bucket it hashes into.
+    chunks = [
+        b[i : i + BATCH]
+        for b in buckets
+        for i in range(0, len(b), BATCH)
+        if b
+    ]
     timings: dict[str, float] = {}
     streaming_split: dict[str, dict[str, float]] = {}
     for ci, chunk in enumerate(chunks):
