@@ -174,15 +174,18 @@ def test_knn_graph_multiprobe_recall_floor(spark, exact_graph_edges):
     DERIVED √n cell geometry (VERDICT r10 item 1: 40 cells at this
     fixture instead of the r9 pinned 10). Measured ladder at 40
     cells: 0.248 (2 probes) → 0.413 (4) → 0.525 (6) → 0.609 (8, the
-    registered dial) — 8 probes scan 20% of the corpus, HALF the old
-    pinned-geometry pair work, at essentially its recall (0.690).
-    The absolute level is the documented weak-neighbor physics (true
+    registered dial), and 0.807 with the SYMMETRIZED pair set
+    (VERDICT r11 item 2: every scored pair also counts in reverse —
+    zero extra gram work, candidate-pair count unchanged, proven by
+    test_knn_graph_pair_work_subquadratic below) — now ABOVE the
+    old pinned-geometry entry's 0.690 at half its pair work. The
+    sub-0.9 level is the documented weak-neighbor physics (true
     fixture neighbors sit at cos 0.2-0.4 and scatter across cells
     near-randomly, same regime as the LSH floor test above); the
-    floor pins the multi-probe gain with margin."""
+    floor pins symmetrization's gain with margin."""
     got = _topk_pairs_graph(spark)
     recall = len(got & exact_graph_edges) / len(exact_graph_edges)
-    assert recall >= 0.55, f"kNN-graph recall below floor: {recall:.3f}"
+    assert recall >= 0.75, f"kNN-graph recall below floor: {recall:.3f}"
 
 
 def _topk_pairs_graph(spark):
