@@ -30,6 +30,7 @@ from lake_satellite_image_etl_spark.functions.vectors import (
     sql_dot,
     sql_norm,
 )
+from lake_satellite_image_etl_spark.caching import persist_bounded
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -247,7 +248,7 @@ def similarity_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes on the refined codebook is pinned ≥ 0.8 in
     tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb)
+    return ivf_topk(emb, memo_path=_emb_path(sf_dir))
 
 
 #: scale-geometry IVF dials (VERDICT r7 item 2): 2^5 sign-LSH
@@ -374,6 +375,7 @@ def similarity_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         seed_bits=IVF_SCALED_SEED_BITS,
         n_probe=IVF_SCALED_N_PROBE,
+        memo_path=_emb_path(sf_dir),
     )
 
 
@@ -430,6 +432,7 @@ def similarity_ivf_autocells(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         seed_bits=auto_seed_bits(spark, sf_dir),
         n_probe=IVF_SCALED_N_PROBE,
+        memo_path=_emb_path(sf_dir),
     )
 
 
@@ -493,7 +496,9 @@ def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     allowed = emb.filter(F.expr(ANN_FILTER_PRED)).select("vec_id")
-    return ivf_topk(emb, candidate_ids=allowed)
+    return ivf_topk(
+        emb, candidate_ids=allowed, memo_path=_emb_path(sf_dir)
+    )
 
 
 #: the "new tranche" stride for the incremental-assignment entry:
@@ -565,11 +570,26 @@ def similarity_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _emb_path(sf_dir: str) -> str:
+    """Codebook-memo key path for the registered entries (the
+    embeddings fixture the codebook trains on)."""
+    import os
+
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+#: session-attr memo for TRAINED codebook artifacts, keyed
+#: (fixture path, seed_bits) → ((mtime_ns, size), arrays); one live
+#: entry per key, stale stat replaced (the auto_seed_bits pattern)
+_CODEBOOK_MEMO_ATTR = "_lse_codebook_memo"
+
+
 def ivf_assign(
     emb: DataFrame,
     seed_bits: int | None = 0,
     keep_ranks: int | None = None,
     train: DataFrame | None = None,
+    memo_path: str | None = None,
 ) -> DataFrame:
     """Build the IVF codebook and rank every vector against every
     cell: coarse quantizer seeded by per-label integer centroids —
@@ -599,7 +619,16 @@ def ivf_assign(
     Scale: assignment is n × cells broadcast-map work (the codebook
     broadcasts — it is √n rows of DIM ints); with √n cells the
     downstream inverted-list ops are the classic n·√n cost instead of
-    n²; more Lloyd rounds would chain the same two DataFrame blocks."""
+    n²; more Lloyd rounds would chain the same two DataFrame blocks.
+
+    ``memo_path`` (VERDICT r11 item 4): when set (the fixture's
+    embeddings path) and ``train`` is None, the TRAINED codebook
+    arrays memoize per (session, path stat, seed_bits) exactly like
+    ``auto_seed_bits`` — training is a first-touch index-build event,
+    so repeated DataFrame construction (plan audits, bench warm
+    passes, the driver's schema probe) after the first touch runs
+    ZERO Spark jobs. The stat key re-trains on an overwritten path;
+    one live entry per (path, seed_bits)."""
     q = emb.select(
         "vec_id", "label", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
@@ -672,27 +701,27 @@ def ivf_assign(
     )
     spark = emb.sparkSession
 
-    def assign(
-        cent: DataFrame, rows: DataFrame, keep: int | None = None
-    ) -> DataFrame:
-        # The FAISS coarse-quantizer shape: the trained codebook is a
-        # MODEL ARTIFACT of √n rows, so it is materialized once
-        # (structurally capped at IVF_CODEBOOK_CAP cells ≈ 32 MB —
-        # √n cells covers n ≈ 4×10⁹ vectors before the cap trips,
-        # and past it the guard names the dial) and broadcast; every
-        # vector batch then ranks against it as ONE int64 numpy
-        # matmul inside mapInPandas. Relational spellings of the
-        # n × cells affinity were measured 17.6 s (HOF fold per
-        # pair), 12.1 s (Arrow pair dot — ships the codebook row per
-        # pair), 6.8 s (unrolled 64-term codegen) on the 320-cell
-        # sf0.1 geometry; the matmul form is ~1 s and transfers each
-        # vector ONCE. Exactness is preserved end to end: integer
-        # dots are exact in int64 (the equivalence rule pinned by
-        # tests/test_properties.py::test_pdot_matches_hof_dot), the
-        # norms stay JVM-computed (collected with the codebook /
-        # carried on n), the divide is one IEEE op in either engine,
-        # and the (-cos, label) tie order is a stable argsort over
-        # label-presorted columns.
+    def materialize(cent: DataFrame):
+        """Collect one codebook into broadcast-ready arrays.
+
+        The FAISS coarse-quantizer shape: the trained codebook is a
+        MODEL ARTIFACT of √n rows, so it is materialized once
+        (structurally capped at IVF_CODEBOOK_CAP cells ≈ 32 MB —
+        √n cells covers n ≈ 4×10⁹ vectors before the cap trips,
+        and past it the guard names the dial) and broadcast; every
+        vector batch then ranks against it as ONE int64 numpy
+        matmul inside mapInPandas. Relational spellings of the
+        n × cells affinity were measured 17.6 s (HOF fold per
+        pair), 12.1 s (Arrow pair dot — ships the codebook row per
+        pair), 6.8 s (unrolled 64-term codegen) on the 320-cell
+        sf0.1 geometry; the matmul form is ~1 s and transfers each
+        vector ONCE. Exactness is preserved end to end: integer
+        dots are exact in int64 (the equivalence rule pinned by
+        tests/test_properties.py::test_pdot_matches_hof_dot), the
+        norms stay JVM-computed (collected with the codebook /
+        carried on n), the divide is one IEEE op in either engine,
+        and the (-cos, label) tie order is a stable argsort over
+        label-presorted columns."""
         cn = cent.withColumn("c_nrm", norm(F.col("cq")))
         # cell labels keep the source label's type (bigint for the
         # plain per-label codebook, string for the seed_bits split);
@@ -709,6 +738,10 @@ def ivf_assign(
         labels = np.array([r["c_label"] for r in cb])
         cmat = np.array([r["cq"] for r in cb], dtype=np.int64)
         cnrm = np.array([r["c_nrm"] for r in cb], dtype=np.float64)
+        return labels, cmat, cnrm, label_type
+
+    def assign(art, rows: DataFrame, keep: int | None = None) -> DataFrame:
+        labels, cmat, cnrm, label_type = art
         bc = spark.sparkContext.broadcast((labels, cmat, cnrm))
 
         def rank_batches(batches):
@@ -754,16 +787,40 @@ def ivf_assign(
             "vec_id", "qv", "nrm", "c_label", "c_cos", "crank"
         )
 
-    # seed codebook: per-label integer sums; one Lloyd refinement:
-    # nearest-seed assignment → recompute centroids per assigned cell
-    cent0 = centroids(tq, "label")
-    cells = (
-        assign(cent0, tn, keep=1)
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "qv", "c_label")
-    )
-    cent1 = centroids(cells, "c_label")
-    return assign(cent1, n, keep=keep_ranks)
+    # trained-codebook memo (VERDICT r11 item 4): frozen-geometry
+    # registered entries pass memo_path so repeated construction
+    # after first touch reuses the collected arrays — zero jobs
+    memo = None
+    stat_key = None
+    art = None
+    if memo_path is not None and train is None:
+        import os as _os
+
+        memo = getattr(spark, _CODEBOOK_MEMO_ATTR, None)
+        if memo is None:
+            memo = {}
+            setattr(spark, _CODEBOOK_MEMO_ATTR, memo)
+        try:
+            st = _os.stat(memo_path)
+            stat_key = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            stat_key = None
+        hit = memo.get((memo_path, seed_bits))
+        if hit is not None and hit[0] == stat_key:
+            art = hit[1]
+    if art is None:
+        # seed codebook: per-label integer sums; one Lloyd refinement:
+        # nearest-seed assignment → recompute centroids per cell
+        cent0 = centroids(tq, "label")
+        cells = (
+            assign(materialize(cent0), tn, keep=1)
+            .filter(F.col("crank") == 1)
+            .select("vec_id", "qv", "c_label")
+        )
+        art = materialize(centroids(cells, "c_label"))
+        if memo is not None:
+            memo[(memo_path, seed_bits)] = (stat_key, art)
+    return assign(art, n, keep=keep_ranks)
 
 
 def ivf_topk(
@@ -773,6 +830,7 @@ def ivf_topk(
     query_stride: int = QUERY_STRIDE,
     top_k: int = TOP_K,
     candidate_ids: DataFrame | None = None,
+    memo_path: str | None = None,
 ) -> DataFrame:
     """ANN top-k over a (vec_id, label, embedding) DataFrame, IVF
     shape: ``ivf_assign`` codebook → inverted lists → probe the
@@ -791,11 +849,15 @@ def ivf_topk(
     Scale: a query probes n_probe/cells of the corpus; the probe join
     shuffles on the centroid id (bounded, near-uniform after the
     Lloyd refinement)."""
-    # lazy checkpoint: the ranked assignment feeds lists, probes and
-    # the query-norm table — without it the codebook matmul kernel
-    # (and its emb scan) re-runs once per consumer
-    assigned = ivf_assign(emb, seed_bits, keep_ranks=n_probe).localCheckpoint(
-        eager=False
+    # plan-lazy persist: the ranked assignment feeds lists, probes
+    # and the query-norm table — without it the codebook matmul
+    # kernel (and its emb scan) re-runs once per consumer. persist
+    # (not localCheckpoint(eager=False), which was measured to run
+    # ONE Spark job at DataFrame construction even when lazy) keeps
+    # construction jobless after the codebook memo hit (VERDICT r11
+    # item 4); the bounded registry unpersists old frames.
+    assigned = persist_bounded(
+        ivf_assign(emb, seed_bits, keep_ranks=n_probe, memo_path=memo_path)
     )
     lists = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("candidate_id"),
@@ -1117,9 +1179,7 @@ PQ_RERANK = 40
 # bounded lazy persist for the multi-consumer PQ codebook (ADVICE
 # r10): see caching.persist_bounded — newest frames stay cached,
 # evicted ones unpersist, construction stays jobless.
-from lake_satellite_image_etl_spark.caching import (  # noqa: E402
-    persist_bounded as _persist_bounded,
-)
+_persist_bounded = persist_bounded
 
 
 def _pq_assign_salt(spark: SparkSession) -> int:
@@ -1603,6 +1663,7 @@ def ivf_pq_topk(
     query_stride: int = QUERY_STRIDE,
     rerank: int = PQ_RERANK,
     top_k: int = TOP_K,
+    memo_path: str | None = None,
 ) -> DataFrame:
     """The production FAISS shape — IVF router over PQ-compressed
     lists: the coarse quantizer (``ivf_assign``) picks each query's
@@ -1610,10 +1671,11 @@ def ivf_pq_topk(
     ADC-scored against the query's lookup table, then exact-reranked
     ``rerank`` deep. Per-query scan cost ∝ probed-list mass (compressed
     codes, no full vectors) — never the corpus."""
-    # lazy checkpoint: the router reads the assignment twice (lists +
-    # probes); one materialization instead of two codebook rank runs
-    assigned = ivf_assign(emb, seed_bits, keep_ranks=n_probe).localCheckpoint(
-        eager=False
+    # plan-lazy persist: the router reads the assignment twice
+    # (lists + probes); one materialization instead of two codebook
+    # rank runs, with zero construction jobs (see ivf_topk)
+    assigned = persist_bounded(
+        ivf_assign(emb, seed_bits, keep_ranks=n_probe, memo_path=memo_path)
     )
     lists = assigned.filter(F.col("crank") == 1).select(
         F.col("vec_id").alias("candidate_id"), "c_label"
@@ -1748,7 +1810,7 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in SQL. Recall@5 vs exact brute force is pinned in
     tests/test_ann_recall.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(emb)
+    return ivf_pq_topk(emb, memo_path=_emb_path(sf_dir))
 
 
 # ----------------------------------------------------------- kNN graph
@@ -1877,7 +1939,10 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is ≤ {KNN_PROBES}·{KNN_K} rows per vector."""
     emb = read_table(spark, sf_dir, "embeddings")
     assigned = ivf_assign(
-        emb, auto_seed_bits(spark, sf_dir), keep_ranks=KNN_PROBES
+        emb,
+        auto_seed_bits(spark, sf_dir),
+        keep_ranks=KNN_PROBES,
+        memo_path=_emb_path(sf_dir),
     )
 
     # per-cell matmul kernel instead of a within-cell self-join: the
