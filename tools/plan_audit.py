@@ -102,6 +102,22 @@ ALLOWED_BNLJ = {
 }
 
 
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "plan_golden.json"
+)
+
+#: the per-entry plan-shape counts the golden map pins (VERDICT r11
+#: item 5): the triangle-kernel 9×-recompute was only caught by a
+#: human reading exchange counts in PLANS.md — this makes the catch
+#: mechanical. "pushed" is included so a filter silently falling off
+#: the scan fails too.
+GOLDEN_KEYS = ("shuffles", "broadcasts", "bhj", "smj", "pushed", "arrow")
+
+
+def golden_row(r: dict) -> dict:
+    return {k: r[k] for k in GOLDEN_KEYS}
+
+
 def audit_one(name: str, plan: str) -> dict:
     shuffles = len(re.findall(r"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition", plan))
     return {
@@ -192,6 +208,22 @@ def main() -> int:
     if write:
         with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
             f.write(report)
+        if not only:
+            # regenerate the committed plan-shape golden alongside
+            # PLANS.md (never on a filtered run — a partial golden
+            # would fail every omitted entry). The git diff of this
+            # file IS the acknowledgment tests/test_plan_regression.py
+            # demands for a plan-shape change.
+            import json
+
+            with open(GOLDEN_PATH, "w") as f:
+                json.dump(
+                    {r["name"]: golden_row(r) for r in rows},
+                    f,
+                    indent=1,
+                    sort_keys=True,
+                )
+                f.write("\n")
     return 1 if flags else 0
 
 
