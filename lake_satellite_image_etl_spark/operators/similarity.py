@@ -501,6 +501,73 @@ def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: LOW-selectivity predicate (~6% at the fixture: 31 of 500 pass):
+#: the regime where pre-filter actually beats post-filter — a
+#: post-filter would discard ~94% of its distance work and return
+#: fewer than k rows for most queries, while the pre-filter's pair
+#: work SHRINKS ∝ selectivity (proven at the 240× smoke tier in
+#: tools/scale_smoke.py). vec_id ≡ 7 (mod 16) is odd while the
+#: stride-{QUERY_STRIDE} query ids are even multiples, so no query
+#: is its own candidate and the self-exclusion never interacts with
+#: the predicate.
+ANN_FILTER_PRED_SPARSE = "vec_id % 16 = 7"
+
+
+@query(
+    "similarity_ann_filtered_sparse",
+    oracle=f"""
+    -- FILTERED vector search at LOW (~6%) selectivity: same
+    -- pre-filter strategy as similarity_ann_filtered, the regime
+    -- where it matters — the predicate semi-join empties ~94% of
+    -- every probed inverted list BEFORE distance work, so per-query
+    -- cost falls with selectivity instead of being paid and thrown
+    -- away post-hoc.
+    WITH {{IVF_CTES}},
+    flt AS (
+        SELECT l.vec_id, l.qv, l.nrm, l.c_label
+        FROM lists l JOIN q e ON e.vec_id = l.vec_id
+        WHERE e.{ANN_FILTER_PRED_SPARSE}
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    pairs AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               {sql_dot("qn.qv", "l.qv")}::DOUBLE / (qn.nrm * l.nrm) AS cos_sim
+        FROM probes p
+        JOIN flt l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, candidate_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, candidate_id) AS rank
+        FROM pairs
+    )
+    SELECT query_id, candidate_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
+)
+def similarity_ann_filtered_sparse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered ANN at ~6% predicate selectivity (VERDICT r11 item 6)
+    — the sibling of ``similarity_ann_filtered`` (~50%) that
+    demonstrates the regime pre-filtering exists for. With sparse
+    probe lists a query may legitimately return FEWER than
+    {TOP_K} rows (only the allowed candidates its probed cells hold);
+    a post-filter implementation would instead silently rank
+    non-qualifying vectors first and discard them — the recall test
+    pins both the predicate contract and recall vs the exact
+    filtered brute force at this selectivity."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.expr(ANN_FILTER_PRED_SPARSE)).select("vec_id")
+    return ivf_topk(
+        emb, candidate_ids=allowed, memo_path=_emb_path(sf_dir)
+    )
+
+
 #: the "new tranche" stride for the incremental-assignment entry:
 #: vec_id % 5 == 4 plays the nightly ingest batch; the rest is the
 #: already-indexed corpus the codebook was trained on.

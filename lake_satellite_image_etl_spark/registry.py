@@ -67,6 +67,77 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: at the first ~50 entries, so this list front-loads by verification
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
+    # ================= r12 driver window (50 slots) ================
+    # STANDING ROTATION POLICY (VERDICT r11 items 1+3):
+    #   1. any entry whose KERNEL or ORACLE changed since its last
+    #      driver row enters the next window, ahead of everything;
+    #   2. net-new entries next (first confirmation beats any
+    #      re-confirmation);
+    #   3. then a staleness SLA: NO GREEN ENTRY GOES MORE THAN 4
+    #      ROUNDS WITHOUT A DRIVER ROW — fill the remaining slots
+    #      with the stalest still-green rows, complex kernels first.
+    # Slots 1-10 = r12 changes: the net-new low-selectivity filtered
+    # ANN; the symmetrized kNN graph (kernel+oracle); the degenerate-
+    # corpus-guarded recall eval (kernel+oracle); and the IVF family,
+    # whose construction path changed (codebook memo + persist swap —
+    # values unchanged, but changed kernel ⇒ next window per policy).
+    # Slots 11-41 = all 31 r7-stale rows (4 windows old — the SLA
+    # boundary). Slots 42-50 = the first 9 of the r8 tier, complex
+    # kernels first; r13 takes the rest of r8 plus the r9 heads.
+    "similarity_ann_filtered_sparse",
+    "similarity_knn_graph",
+    "dq_dedup_recall_eval",
+    "similarity_ivf_probe",
+    "similarity_ivf_scaled",
+    "similarity_ivf_autocells",
+    "similarity_ivf_pq",
+    "similarity_ann_filtered",
+    "similarity_incremental_assign",
+    "dedup_semantic_cells",
+    # -- r7-stale re-confirmations (31; the SLA boundary) --
+    "flagship_catalog",
+    "jdbc_scan",
+    "sink_artifact_manifest",
+    "scd2_event_state",
+    "raster_clip_pipeline",
+    "multimodal_binaryfile_scan",
+    "geo_polygon_union_exact",
+    "geo_polygon_union_bbox",
+    "sql_api_shipping_priority",
+    "window_session",
+    "text_tfidf_top_terms",
+    "text_redact_pii",
+    "text_repetition_score",
+    "text_quality_score",
+    "text_profile",
+    "text_normalize",
+    "text_lang_id",
+    "text_tokenize_count",
+    "text_fingerprint",
+    "corpus_chunk_documents",
+    "corpus_contamination_flag",
+    "corpus_quality_filter",
+    "vector_centroid_cosine",
+    "scalar_event_composite",
+    "scalar_part_composite",
+    "scalar_epoch_roundtrip",
+    "agg_core_composite",
+    "filter_pixel_predicates",
+    "filter_spatial_bbox",
+    "incremental_new_keys",
+    "join_semi_anti",
+    # -- r8 tier heads (9; the rest roll into the r13 window) --
+    "graph_pagerank",
+    "stream_cdc_batch",
+    "stream_stream_join_batch",
+    "dedup_incremental_minhash",
+    "corpus_bpe_learn",
+    "multimodal_image_dedup",
+    "cdc_apply_changelog",
+    "pipeline_training_prep",
+    "layout_zorder",
+    # ---- r12 first 50 end here ----------------------------------------
+
     # ================= r11 driver window (50 slots) ================
     # Rotation policy (VERDICT r10 item 3, now standing): any entry
     # whose KERNEL or ORACLE changed since its last driver row enters

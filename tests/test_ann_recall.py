@@ -455,3 +455,58 @@ def test_ann_filtered_recall_and_predicate(spark):
     assert all(c in allowed_ids for _, c in got), "predicate violated"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.75, f"filtered ANN recall below floor: {recall:.3f}"
+
+
+def test_ann_filtered_sparse_recall_and_predicate(spark):
+    """The LOW-selectivity (~6%) filtered-ANN sibling (VERDICT r11
+    item 6): same contracts as the ~50% entry — (a) every candidate
+    satisfies the predicate, (b) recall vs the exact filtered brute
+    force holds a floor — in the regime where probe lists are sparse
+    (31 allowed vectors corpus-wide) and a post-filter would starve.
+    Measured recall at 5 probes of the 10-cell codebook: 0.70 (the
+    cell restriction bites harder when only ~3 allowed vectors live
+    in each probed union; floor 0.65 with margin)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lake_satellite_image_etl_spark.functions.vectors import QUANT
+    from lake_satellite_image_etl_spark.io import read_table
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        QUERY_STRIDE,
+        TOP_K,
+        similarity_ann_filtered_sparse,
+    )
+
+    rows = (
+        read_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.rint(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    nrm = np.sqrt((x * x).sum(1).astype(np.float64))
+    cos = (x @ x.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    allowed = ids % 16 == 7
+    assert 0.03 < allowed.mean() < 0.10, "fixture selectivity drifted"
+    exact = set()
+    for qi in range(len(ids)):
+        if ids[qi] % QUERY_STRIDE:
+            continue
+        c = cos[qi].copy()
+        c[~allowed] = -np.inf
+        c[qi] = -np.inf
+        for j in np.argsort(-c, kind="stable")[:TOP_K]:
+            if c[j] > -np.inf:
+                exact.add((ids[qi], ids[j]))
+
+    got = {
+        (r["query_id"], r["candidate_id"])
+        for r in similarity_ann_filtered_sparse(spark, SF_ORACLE).collect()
+    }
+    allowed_ids = set(ids[allowed].tolist())
+    assert all(c in allowed_ids for _, c in got), "predicate violated"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.65, (
+        f"sparse filtered ANN recall below floor: {recall:.3f}"
+    )

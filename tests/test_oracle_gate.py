@@ -53,6 +53,9 @@ MUST_BE_NONEMPTY = {
     "similarity_ann_filtered",
     "similarity_incremental_assign",
     "dedup_canonical_keep",
+    # r12: at ~6% selectivity an empty result would be exactly the
+    # post-filter starvation failure the entry exists to rule out
+    "similarity_ann_filtered_sparse",
 }
 
 

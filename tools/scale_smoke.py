@@ -60,7 +60,20 @@ DOC_QUERIES = [
     # ride the bucketed MinHash machinery (10x docs)
     "dedup_canonical_keep",
     "dq_dedup_recall_eval",
+    # r12: the leakage-free split composes the same closure build
+    "sample_cluster_safe_split",
 ]
+
+#: top-tier document rows (VERDICT r11 item 7): the two r11
+#: closure-composing entries measured at the LARGEST doc step the
+#: fixtures provide — sf0.01 (500 docs) → sfscale (50 000 docs),
+#: 100× — the document-side analogue of the ANN entries' 240×
+#: embeddings tier. Judged by the same linearity bar.
+TOP_TIER_DOC_QUERIES = [
+    "sample_cluster_safe_split",
+    "dedup_canonical_keep",
+]
+TOP_TIER_BASE_DIR = "/root/testdata/sf0.01"
 #: banded-rank family (VERDICT r7 item 6): exact order statistics via
 #: bounded count-table shuffles instead of global sorts. These read
 #: the TPC-H-ish tables (events/orders/lineitem), which the scale
@@ -95,6 +108,10 @@ SIM_QUERIES = [
     # r11: the filtered and incremental-ingest variants
     "similarity_ann_filtered",
     "similarity_incremental_assign",
+    # r12: the low-selectivity (~6%) filtered variant — its per-query
+    # cost should sit BELOW similarity_ann_filtered's (the ladder
+    # section proves the monotone-in-selectivity claim explicitly)
+    "similarity_ann_filtered_sparse",
 ]
 
 
@@ -295,19 +312,48 @@ def main() -> None:
         spark._jvm.System.gc()
 
     # dq_dedup_recall_eval emits ONE summary row, but its work is
-    # Θ(scored pairs) — exactly the quantities that row carries (the
-    # scale fixture is deliberately duplication-denser, so true pairs
-    # grow ~24× on 10× docs). Judge its linearity against pair
-    # growth, the same normalization the ANN entries get per query —
-    # wall/out_ratio(=1 row) would flag a harness whose per-pair
-    # throughput actually held.
+    # Θ(scored pairs): the exact ground truth MATERIALIZES the
+    # inverted-index join — Σ_shingle df·(df−1)/2 rows — and that
+    # quantity is quadratic in per-shingle document frequency, so on
+    # 10× same-vocabulary docs it legitimately grows ~40× (measured
+    # 1.27 M → 50.6 M, r12). The row's own candidate/truth COUNTS
+    # under-measure this (the Jaccard threshold cuts output, not
+    # scored work — judging wall against them flagged a harness whose
+    # per-pair throughput was flat). Normalize against the join size
+    # itself, computed relationally below; the 100 TB story stays the
+    # docstring's: exact eval runs on a SAMPLE, the quadratic truth
+    # side is inherent to exactness, and the sampled harness keeps
+    # the banded candidate path unchanged.
     if "dq_dedup_recall_eval" in table:
+        from lake_satellite_image_etl_spark.io import read_table as _rt
+        from lake_satellite_image_etl_spark.operators.dedup import (
+            hashed_shingles,
+            tokens_of,
+        )
+        from pyspark.sql import functions as _F
+
+        def _join_pairs(sf_dir: str) -> int:
+            docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
+            ds = docs.withColumn("t", tokens_of(_F.col("text"))).select(
+                "doc_id",
+                _F.explode(
+                    _F.array_distinct(hashed_shingles(_F.col("t")))
+                ).alias("s"),
+            )
+            return int(
+                ds.groupBy("s")
+                .agg(_F.count(_F.lit(1)).alias("df"))
+                .agg(
+                    _F.sum(
+                        _F.col("df") * (_F.col("df") - 1) / 2
+                    ).alias("p")
+                )
+                .collect()[0]["p"]
+            )
+
         ev = table["dq_dedup_recall_eval"]
-        fn = queries["dq_dedup_recall_eval"]
-        rb = fn(spark, BASE_DIR).collect()[0]
-        rs = fn(spark, SCALE_DIR).collect()[0]
-        pair_b = rb["candidate_pairs"] + rb["truth_pairs"]
-        pair_s = rs["candidate_pairs"] + rs["truth_pairs"]
+        pair_b = _join_pairs(BASE_DIR)
+        pair_s = _join_pairs(SCALE_DIR)
         ev["pairs_scored"] = {"sf0.1": pair_b, "sfscale": pair_s}
         ev["out_ratio"] = (
             round(pair_s / pair_b, 1) if pair_b else float("nan")
@@ -332,6 +378,66 @@ def main() -> None:
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
+    # top-tier (100×) document rows: the r11 closure-composing
+    # entries at the largest doc step available
+    for name in TOP_TIER_DOC_QUERIES:
+        fn = queries[name]
+        base, base_rows = _timed(fn, spark, TOP_TIER_BASE_DIR)
+        scale, scale_rows = _timed(fn, spark, SCALE_DIR)
+        table[f"{name}@100x"] = {
+            "sf0.01_sec": base,
+            "sfscale_sec": scale,
+            "rows_out": {"sf0.01": base_rows, "sfscale": scale_rows},
+            "ratio": round(scale / base, 1) if base else float("nan"),
+            "row_ratio": 100.0,
+            "out_ratio": (
+                round(scale_rows / base_rows, 1) if base_rows else float("nan")
+            ),
+        }
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+
+    # filtered-ANN selectivity ladder (VERDICT r11 item 6): per-query
+    # cost must FALL with predicate selectivity — the pre-filter
+    # semi-join empties probed lists before distance work. Stride 53
+    # (~2 265 queries), NOT the PQ smoke's sparse 5987: with ~21
+    # queries the selectivity-independent index-build cost dominates
+    # and the ladder reads as noise; at 2 265 queries the per-query
+    # marginal scan cost is the signal (measured r12: 9.7 ms/query at
+    # 50% vs 1.5 at 6% on the registered entries). A post-filter
+    # would cost the same at every selectivity and return fewer rows.
+    from pyspark.sql import functions as F
+
+    ladder: dict[str, dict[str, float]] = {}
+    emb_scale = spark.read.parquet(
+        os.path.join(SCALE_DIR, "embeddings.parquet")
+    )
+    n_q = 120000 // 53 + 1
+    for sel_name, pred in (
+        ("50pct", "vec_id % 2 = 0"),
+        ("6pct", "vec_id % 16 = 7"),
+        ("1pct", "vec_id % 100 = 7"),
+    ):
+        fn = lambda spark, sf_dir, _p=pred: ivf_topk(  # noqa: E731
+            emb_scale,
+            seed_bits=5,
+            candidate_ids=emb_scale.filter(F.expr(_p)).select("vec_id"),
+        )
+        sec, rows_out = _timed(fn, spark, SCALE_DIR)
+        ladder[sel_name] = {
+            "sec": sec,
+            "per_query_ms": round(sec / n_q * 1000, 1),
+            "rows_out": rows_out,
+        }
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    report["filtered_ann_selectivity_ladder"] = ladder
+    sel_ok = (
+        ladder["6pct"]["per_query_ms"] <= ladder["50pct"]["per_query_ms"]
+        and ladder["1pct"]["per_query_ms"] <= ladder["50pct"]["per_query_ms"]
+    )
+    report["filtered_selectivity_ok"] = sel_ok
+
     report["queries"] = table
 
     def _linear(t: dict) -> bool:
@@ -340,7 +446,7 @@ def main() -> None:
         bound = 2.0 * max(t["row_ratio"], t.get("out_ratio") or 0.0)
         return t["ratio"] <= bound
 
-    ok = guard_ok and all(_linear(t) for t in table.values())
+    ok = guard_ok and sel_ok and all(_linear(t) for t in table.values())
     report["linear_scaling_ok"] = ok
     print(json.dumps(report))
     sys.exit(0 if ok else 1)
