@@ -568,6 +568,118 @@ def similarity_ann_filtered_sparse(
     )
 
 
+@query(
+    "dq_ann_recall_eval",
+    oracle=f"""
+    -- ANN INDEX EVALUATION: recall@{TOP_K} of the registered IVF
+    -- index (label codebook, {N_PROBE} probes) vs the exact cosine
+    -- brute force, measured on the corpus itself — the number the
+    -- n_probe dial is tuned against.
+    WITH {{IVF_CTES}},
+    expairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS candidate_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {sql_dot("a.qv", "b.qv")}::DOUBLE
+                            / (a.nrm * b.nrm) DESC,
+                       b.vec_id) AS rank
+        FROM n a JOIN n b ON b.vec_id != a.vec_id
+        WHERE a.vec_id % {QUERY_STRIDE} = 0
+    ),
+    ex AS (SELECT query_id, candidate_id FROM expairs
+           WHERE rank <= {TOP_K}),
+    probes AS (
+        SELECT vec_id AS query_id, c_label FROM assigned
+        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+    ),
+    ivfp AS (
+        SELECT p.query_id, l.vec_id AS candidate_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {sql_dot("qn.qv", "l.qv")}::DOUBLE
+                            / (qn.nrm * l.nrm) DESC,
+                       l.vec_id) AS rank
+        FROM probes p
+        JOIN lists l ON l.c_label = p.c_label AND l.vec_id != p.query_id
+        JOIN n qn ON qn.vec_id = p.query_id
+    ),
+    ann AS (SELECT query_id, candidate_id FROM ivfp
+            WHERE rank <= {TOP_K}),
+    m AS (
+        SELECT (SELECT count(DISTINCT query_id) FROM ex)::BIGINT
+                   AS n_queries,
+               (SELECT count(*) FROM ex)::BIGINT AS exact_pairs,
+               (SELECT count(*) FROM ann)::BIGINT AS ann_pairs,
+               (SELECT count(*) FROM ex
+                JOIN ann USING (query_id, candidate_id))::BIGINT AS hits
+    )
+    SELECT n_queries, exact_pairs, ann_pairs, hits,
+           round(hits::DOUBLE / NULLIF(exact_pairs, 0), 6) AS recall_at_k
+    FROM m
+    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
+)
+def dq_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index EVALUATION harness ("measure, don't guess" — the
+    vector-search sibling of ``dq_dedup_recall_eval``): how much of
+    the exact top-{TOP_K} neighbor set does the registered IVF index
+    actually return? Emits one row — query count, exact/ANN pair
+    counts, hits, recall@{TOP_K} — so the recall number the pytest
+    floors pin becomes a DRIVER-HASH-VERIFIED, per-corpus measurable
+    the n_probe / cell-count dials are tuned against. Composes the
+    two registered kernels unchanged (``similarity_topk_bruteforce``
+    as ground truth, ``similarity_ivf_probe`` as the candidate) and
+    reduces via one union + pair-group + aggregate — no
+    scalar-subquery cross joins in the Spark plan. Counts coalesce
+    to 0 and recall NULLs on a degenerate corpus (no queries), the
+    same guard class as the dedup eval (ADVICE r11).
+
+    Scale: ground truth is n² per query set — at 100 TB this harness
+    runs on a SAMPLE (the standard eval practice; the dedup eval's
+    docstring tells the same story); the ANN side is the production
+    index path unchanged."""
+    exact = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "candidate_id"
+    )
+    ann = similarity_ivf_probe(spark, sf_dir).select(
+        "query_id", "candidate_id"
+    )
+    tagged = exact.select(
+        "query_id",
+        "candidate_id",
+        F.lit(1).alias("in_exact"),
+        F.lit(0).alias("in_ann"),
+    ).unionByName(
+        ann.select(
+            "query_id",
+            "candidate_id",
+            F.lit(0).alias("in_exact"),
+            F.lit(1).alias("in_ann"),
+        )
+    )
+    pairs = tagged.groupBy("query_id", "candidate_id").agg(
+        F.max("in_exact").alias("e"), F.max("in_ann").alias("a")
+    )
+    counts = pairs.agg(
+        F.count_distinct(
+            F.when(F.col("e") == 1, F.col("query_id"))
+        ).alias("n_queries"),
+        F.coalesce(F.sum("e"), F.lit(0)).alias("exact_pairs"),
+        F.coalesce(F.sum("a"), F.lit(0)).alias("ann_pairs"),
+        F.coalesce(F.sum(F.col("e") * F.col("a")), F.lit(0)).alias("hits"),
+    )
+    return counts.select(
+        "n_queries",
+        "exact_pairs",
+        "ann_pairs",
+        "hits",
+        F.round(
+            F.col("hits").cast("double")
+            / F.when(F.col("exact_pairs") > 0, F.col("exact_pairs")),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
 #: the "new tranche" stride for the incremental-assignment entry:
 #: vec_id % 5 == 4 plays the nightly ingest batch; the rest is the
 #: already-indexed corpus the codebook was trained on.

@@ -76,15 +76,19 @@ _PRIORITY = (
     #   3. then a staleness SLA: NO GREEN ENTRY GOES MORE THAN 4
     #      ROUNDS WITHOUT A DRIVER ROW — fill the remaining slots
     #      with the stalest still-green rows, complex kernels first.
-    # Slots 1-10 = r12 changes: the net-new low-selectivity filtered
-    # ANN; the symmetrized kNN graph (kernel+oracle); the degenerate-
-    # corpus-guarded recall eval (kernel+oracle); and the IVF family,
-    # whose construction path changed (codebook memo + persist swap —
+    # Slots 1-11 = r12 changes: the net-new low-selectivity filtered
+    # ANN and the net-new ANN recall-eval harness; the symmetrized
+    # kNN graph (kernel+oracle); the degenerate-corpus-guarded dedup
+    # recall eval (kernel+oracle); and the IVF family, whose
+    # construction path changed (codebook memo + persist swap —
     # values unchanged, but changed kernel ⇒ next window per policy).
-    # Slots 11-41 = all 31 r7-stale rows (4 windows old — the SLA
-    # boundary). Slots 42-50 = the first 9 of the r8 tier, complex
-    # kernels first; r13 takes the rest of r8 plus the r9 heads.
+    # Slots 12-42 = all 31 r7-stale rows (4 windows old — the SLA
+    # boundary). Slots 43-50 = the first 8 of the r8 tier, complex
+    # kernels first; r13 takes the rest of r8 (from layout_zorder,
+    # which this window's net-new additions displaced) plus the r9
+    # heads.
     "similarity_ann_filtered_sparse",
+    "dq_ann_recall_eval",
     "similarity_knn_graph",
     "dq_dedup_recall_eval",
     "similarity_ivf_probe",

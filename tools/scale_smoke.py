@@ -159,9 +159,16 @@ def main() -> None:
         ivf_topk,
         pq_adc_topk,
     )
+    from lake_satellite_image_etl_spark.caching import release_all
     from lake_satellite_image_etl_spark.session import get_spark
 
     queries, _ = registry.load_all()
+    # the 120 K-vector tier broadcasts ~200 MB hash relations and the
+    # IVF entries persist their assignment frames; one long-lived
+    # local-mode JVM at the 8g default driver heap was measured to
+    # fail a broadcast build mid-run (r12) — the smoke is the one
+    # consumer that drives EVERY heavy entry through a single JVM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name="scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -308,6 +315,8 @@ def main() -> None:
                 "sfscale": round(scale / n_scale_q * 1000, 1),
             }
         table[name] = entry
+        release_all()
+        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
@@ -375,6 +384,7 @@ def main() -> None:
                 round(scale_rows / base_rows, 1) if base_rows else float("nan")
             ),
         }
+        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
@@ -394,6 +404,7 @@ def main() -> None:
                 round(scale_rows / base_rows, 1) if base_rows else float("nan")
             ),
         }
+        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
@@ -429,6 +440,7 @@ def main() -> None:
             "per_query_ms": round(sec / n_q * 1000, 1),
             "rows_out": rows_out,
         }
+        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
     report["filtered_ann_selectivity_ladder"] = ladder
