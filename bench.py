@@ -204,9 +204,10 @@ def main() -> None:
 
     total = sum(t for t in timings.values() if t == t)
 
-    # isolated re-run of the slowest 10 (VERDICT r10 item 2): one
-    # query per FRESH JVM, so every future verdict can split "the
-    # plan is expensive" from "the batch placement inflated it"
+    # isolated re-run of the slowest 10 PLUS round-over-round movers
+    # (VERDICT r10 item 2 / ADVICE r11): one query per FRESH JVM, so
+    # every future verdict can split "the plan is expensive" from
+    # "the batch placement inflated it"
     # without re-running. Skipped when the run is already filtered
     # (smoke invocations) or via SPARK_GRAFT_BENCH_ISOLATED=0.
     isolated: dict[str, float] = {}
@@ -222,6 +223,31 @@ def main() -> None:
             )
             if v == v
         ][:10]
+        # adjudicate MOVERS automatically (ADVICE r11): any query whose
+        # in-batch time moved >50% vs the previous committed map (and
+        # is non-trivial, >1 s on either side) joins the isolated
+        # re-run — so a verdict reading a delta always has the
+        # placement-vs-plan separation in hand, not just for the
+        # slowest 10. Capped at 8 extra JVMs per run.
+        try:
+            with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json")) as f:
+                prev = json.load(f).get("queries", {})
+        except (OSError, ValueError):
+            prev = {}
+        movers = sorted(
+            (
+                k
+                for k, v in timings.items()
+                if v == v
+                and k in prev
+                and prev[k] == prev[k]
+                and max(v, prev[k]) > 1.0
+                and (v > 1.5 * prev[k] or prev[k] > 1.5 * v)
+                and k not in slow_names
+            ),
+            key=lambda k: -abs(timings[k] - prev[k]),
+        )[:8]
+        slow_names += movers
         for si, name in enumerate(slow_names):
             print(
                 f"bench isolated [{si + 1}/{len(slow_names)}] {name}",
@@ -261,10 +287,13 @@ def main() -> None:
     # JSON line past that window (r7's artifact recorded parsed: null
     # for exactly this reason) — so the LAST stdout line is a compact
     # summary that always fits, with the slowest entries inline and
-    # the full map on disk.
-    detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(payload, f)
+    # the full map on disk. FILTERED (smoke) runs must not clobber
+    # the committed full map — it is both the round artifact and the
+    # previous-round baseline the mover adjudication reads.
+    if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(payload, f)
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items() if v == v),
