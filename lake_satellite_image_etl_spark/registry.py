@@ -89,6 +89,7 @@ _PRIORITY = (
     # heads.
     "similarity_ann_filtered_sparse",
     "dq_ann_recall_eval",
+    "dq_ivf_balance_eval",
     "similarity_knn_graph",
     "dq_dedup_recall_eval",
     "similarity_ivf_probe",
