@@ -76,17 +76,17 @@ _PRIORITY = (
     #   3. then a staleness SLA: NO GREEN ENTRY GOES MORE THAN 4
     #      ROUNDS WITHOUT A DRIVER ROW — fill the remaining slots
     #      with the stalest still-green rows, complex kernels first.
-    # Slots 1-11 = r12 changes: the net-new low-selectivity filtered
-    # ANN and the net-new ANN recall-eval harness; the symmetrized
-    # kNN graph (kernel+oracle); the degenerate-corpus-guarded dedup
-    # recall eval (kernel+oracle); and the IVF family, whose
-    # construction path changed (codebook memo + persist swap —
+    # Slots 1-12 = r12 changes: the net-new low-selectivity filtered
+    # ANN, ANN recall-eval and IVF balance-eval harnesses; the
+    # symmetrized kNN graph (kernel+oracle); the degenerate-corpus-
+    # guarded dedup recall eval (kernel+oracle); and the IVF family,
+    # whose construction path changed (codebook memo + persist swap —
     # values unchanged, but changed kernel ⇒ next window per policy).
-    # Slots 12-42 = all 31 r7-stale rows (4 windows old — the SLA
-    # boundary). Slots 43-50 = the first 8 of the r8 tier, complex
-    # kernels first; r13 takes the rest of r8 (from layout_zorder,
-    # which this window's net-new additions displaced) plus the r9
-    # heads.
+    # Slots 13-43 = all 31 r7-stale rows (4 windows old — the SLA
+    # boundary). Slots 44-50 = the first 7 of the r8 tier, complex
+    # kernels first; r13 takes the rest of r8 (from
+    # pipeline_training_prep / layout_zorder, which this window's
+    # net-new additions displaced) plus the r9 heads.
     "similarity_ann_filtered_sparse",
     "dq_ann_recall_eval",
     "dq_ivf_balance_eval",
