@@ -2093,20 +2093,11 @@ KNN_GRAM_BLOCK_ELEMS = 4_000_000
 #: rather than one O(m²) gram. None in production: zero overhead.
 KNN_BLOCK_ACC = None
 
-
-@query(
-    "similarity_knn_graph",
-    oracle=f"""
-    -- multi-probe cell-restricted kNN graph: every vector's top-{KNN_K}
-    -- exact cosine neighbors within the SYMMETRIZED probe pair set
-    -- (q scores cell members; each scored pair also counts in the
-    -- reverse direction — cosine is symmetric, so the reverse edge
-    -- is free), at the DERIVED √n cell geometry
-    -- ({IVF_AUTO_BITS_SF001} seed bits at the sf0.01 fixture — the
-    -- same derived codebook as similarity_ivf_autocells, pinned by
-    -- the sync-guard test) — the graph SemDeDup-style semantic
-    -- filtering and connectivity-based curation consume.
-    WITH {{IVF_CTES}},
+#: the kNN-graph oracle's CTE chain (derived-geometry codebook →
+#: multi-probe pair set → symmetrized edges → per-vector ranking),
+#: shared VERBATIM by the similarity_knn_graph oracle and the
+#: dq_knn_recall_eval harness so the two can never drift apart.
+SQL_KNN_GRAPH_CTES = f"""{{IVF_CTES}},
     probes AS (
         SELECT vec_id, c_label FROM assigned WHERE crank <= {KNN_PROBES}
     ),
@@ -2133,10 +2124,25 @@ KNN_BLOCK_ACC = None
                                   ORDER BY cos DESC, neighbor_id)
                    AS rank
         FROM sym
-    )
+    )""".replace("{IVF_CTES}", sql_ivf_cell_ctes(IVF_AUTO_BITS_SF001))
+
+
+@query(
+    "similarity_knn_graph",
+    oracle=f"""
+    -- multi-probe cell-restricted kNN graph: every vector's top-{KNN_K}
+    -- exact cosine neighbors within the SYMMETRIZED probe pair set
+    -- (q scores cell members; each scored pair also counts in the
+    -- reverse direction — cosine is symmetric, so the reverse edge
+    -- is free), at the DERIVED √n cell geometry
+    -- ({IVF_AUTO_BITS_SF001} seed bits at the sf0.01 fixture — the
+    -- same derived codebook as similarity_ivf_autocells, pinned by
+    -- the sync-guard test) — the graph SemDeDup-style semantic
+    -- filtering and connectivity-based curation consume.
+    WITH {SQL_KNN_GRAPH_CTES}
     SELECT vec_id, neighbor_id, round(cos, 6) AS cos_sim, rank
     FROM rk WHERE rank <= {KNN_K}
-    """.replace("{IVF_CTES}", sql_ivf_cell_ctes(IVF_AUTO_BITS_SF001)),
+    """,
 )
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN GRAPH construction — every vector's top-{KNN_K} exact-cosine
@@ -2324,4 +2330,126 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos_sim"),
             "rank",
         )
+    )
+
+
+@query(
+    "dq_knn_recall_eval",
+    oracle=f"""
+    -- kNN-GRAPH EVALUATION: recall of the symmetrized multi-probe
+    -- graph vs the exact all-pairs top-{KNN_K} graph, measured on the
+    -- corpus itself — the number the KNN_PROBES dial (and the r12
+    -- symmetrization) is tuned against.
+    WITH {SQL_KNN_GRAPH_CTES},
+    graph AS (SELECT vec_id, neighbor_id FROM rk
+              WHERE rank <= {KNN_K}),
+    expairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {sql_dot("a.qv", "b.qv")}::DOUBLE
+                            / (a.nrm * b.nrm) DESC,
+                       b.vec_id) AS rank
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+    ),
+    ex AS (SELECT vec_id, neighbor_id FROM expairs
+           WHERE rank <= {KNN_K}),
+    m AS (
+        SELECT (SELECT count(DISTINCT vec_id) FROM ex)::BIGINT
+                   AS n_vectors,
+               (SELECT count(*) FROM ex)::BIGINT AS exact_edges,
+               (SELECT count(*) FROM graph)::BIGINT AS graph_edges,
+               (SELECT count(*) FROM ex
+                JOIN graph USING (vec_id, neighbor_id))::BIGINT AS hits
+    )
+    SELECT n_vectors, exact_edges, graph_edges, hits,
+           round(hits::DOUBLE / NULLIF(exact_edges, 0), 6)
+               AS graph_recall
+    FROM m
+    """,
+)
+def dq_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-GRAPH EVALUATION harness (fourth of the eval family):
+    recall of the registered symmetrized multi-probe graph vs the
+    exact all-pairs top-{KNN_K} graph, as one hash-verified row —
+    the measurement behind the r12 symmetrization story (fixture
+    recall 0.609 → 0.807 at unchanged pair work) now lives in the
+    driver contract instead of only a pytest floor. The graph side
+    is the registered kernel unchanged; the exact side broadcasts
+    the (here: whole-corpus) query set against the candidate scan —
+    n² by definition, so at 100 TB this harness runs on a SAMPLE
+    (the same sampled-eval contract as dq_dedup_recall_eval /
+    dq_ann_recall_eval; the graph side stays the production path).
+    Reduction is the shared union + pair-group + aggregate shape:
+    no scalar-subquery cross joins, counts coalesce to 0, recall
+    NULLs on an empty corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", qvec_of(F.col("embedding")).alias("qv")
+    ).filter(F.col("qv").isNotNull())
+    n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("qv").alias("c_qv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dot_long(F.col("q_qv"), F.col("c_qv")).cast("double") / (
+        F.col("q_nrm") * F.col("c_nrm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_exact"), F.asc("neighbor_id")
+    )
+    exact = (
+        b.join(F.broadcast(a), F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("c_id").alias("neighbor_id"),
+            cos.alias("cos_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "neighbor_id")
+    )
+    graph = similarity_knn_graph(spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    tagged = exact.select(
+        "vec_id",
+        "neighbor_id",
+        F.lit(1).alias("in_exact"),
+        F.lit(0).alias("in_graph"),
+    ).unionByName(
+        graph.select(
+            "vec_id",
+            "neighbor_id",
+            F.lit(0).alias("in_exact"),
+            F.lit(1).alias("in_graph"),
+        )
+    )
+    pairs = tagged.groupBy("vec_id", "neighbor_id").agg(
+        F.max("in_exact").alias("e"), F.max("in_graph").alias("g")
+    )
+    counts = pairs.agg(
+        F.count_distinct(
+            F.when(F.col("e") == 1, F.col("vec_id"))
+        ).alias("n_vectors"),
+        F.coalesce(F.sum("e"), F.lit(0)).alias("exact_edges"),
+        F.coalesce(F.sum("g"), F.lit(0)).alias("graph_edges"),
+        F.coalesce(F.sum(F.col("e") * F.col("g")), F.lit(0)).alias("hits"),
+    )
+    return counts.select(
+        "n_vectors",
+        "exact_edges",
+        "graph_edges",
+        "hits",
+        F.round(
+            F.col("hits").cast("double")
+            / F.when(F.col("exact_edges") > 0, F.col("exact_edges")),
+            6,
+        ).alias("graph_recall"),
     )

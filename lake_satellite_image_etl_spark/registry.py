@@ -76,20 +76,22 @@ _PRIORITY = (
     #   3. then a staleness SLA: NO GREEN ENTRY GOES MORE THAN 4
     #      ROUNDS WITHOUT A DRIVER ROW — fill the remaining slots
     #      with the stalest still-green rows, complex kernels first.
-    # Slots 1-12 = r12 changes: the net-new low-selectivity filtered
-    # ANN, ANN recall-eval and IVF balance-eval harnesses; the
-    # symmetrized kNN graph (kernel+oracle); the degenerate-corpus-
-    # guarded dedup recall eval (kernel+oracle); and the IVF family,
-    # whose construction path changed (codebook memo + persist swap —
-    # values unchanged, but changed kernel ⇒ next window per policy).
-    # Slots 13-43 = all 31 r7-stale rows (4 windows old — the SLA
-    # boundary). Slots 44-50 = the first 7 of the r8 tier, complex
+    # Slots 1-13 = r12 changes: the net-new low-selectivity filtered
+    # ANN and the three net-new eval harnesses (ANN recall, IVF
+    # balance, kNN-graph recall); the symmetrized kNN graph
+    # (kernel+oracle); the degenerate-corpus-guarded dedup recall
+    # eval (kernel+oracle); and the IVF family, whose construction
+    # path changed (codebook memo + persist swap — values unchanged,
+    # but changed kernel ⇒ next window per policy).
+    # Slots 14-44 = all 31 r7-stale rows (4 windows old — the SLA
+    # boundary). Slots 45-50 = the first 6 of the r8 tier, complex
     # kernels first; r13 takes the rest of r8 (from
-    # pipeline_training_prep / layout_zorder, which this window's
-    # net-new additions displaced) plus the r9 heads.
+    # cdc_apply_changelog, which this window's net-new additions
+    # displaced) plus the r9 heads.
     "similarity_ann_filtered_sparse",
     "dq_ann_recall_eval",
     "dq_ivf_balance_eval",
+    "dq_knn_recall_eval",
     "similarity_knn_graph",
     "dq_dedup_recall_eval",
     "similarity_ivf_probe",

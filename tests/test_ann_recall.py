@@ -545,3 +545,25 @@ def test_ivf_balance_eval_meaningful(spark):
     assert r["n_cells"] == 40 and r["n_vectors"] == 500, r
     assert r["min_cell"] >= 1 and r["max_cell"] >= r["min_cell"], r
     assert r["balance_factor"] < 2.0, r
+
+
+def test_knn_recall_eval_agrees_with_floor(spark, exact_graph_edges):
+    """The kNN-graph eval harness must (a) account for every vector
+    (exact side = n·KNN_K edges), (b) report the SAME recall the
+    dedicated floor test measures against its independently-built
+    numpy ground truth, and (c) sit above the 0.75 floor — the
+    harness and the floor can then never silently diverge."""
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        KNN_K,
+        dq_knn_recall_eval,
+    )
+
+    [r] = dq_knn_recall_eval(spark, SF_ORACLE).collect()
+    assert r["exact_edges"] == r["n_vectors"] * KNN_K, r
+    got = _topk_pairs_graph(spark)
+    numpy_recall = len(got & exact_graph_edges) / len(exact_graph_edges)
+    assert abs(r["graph_recall"] - numpy_recall) < 1e-6, (
+        r["graph_recall"],
+        numpy_recall,
+    )
+    assert r["graph_recall"] >= 0.75, r

@@ -99,11 +99,12 @@ ALLOWED_BNLJ = {
     # - sample_contrastive_negatives: crossJoin vs the 1-row
     #   broadcast corpus-count anchor (the hash-mod modulus)
     "sample_contrastive_negatives",
-    # - dq_ann_recall_eval: composes similarity_topk_bruteforce as the
-    #   exact ground truth — the broadcast QUERY set scored against
-    #   the candidate scan (queries are the always-small side; the
-    #   eval runs on a sample at 100 TB per its docstring)
+    # - dq_ann_recall_eval / dq_knn_recall_eval: the exact ground
+    #   truth broadcasts the query set against the candidate scan
+    #   (queries are the always-small side; both evals run on a
+    #   sample at 100 TB per their docstrings)
     "dq_ann_recall_eval",
+    "dq_knn_recall_eval",
 }
 
 
