@@ -214,3 +214,119 @@ def layout_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("shard").alias("first_shard"),
         F.max("shard").alias("last_shard"),
     )
+
+
+#: skipping-eval predicate: a 2-tile-wide range on the x key — the
+#: kind of selective point/range lookup file skipping exists for
+SKIP_PRED_LO = 16
+SKIP_PRED_HI = 31
+#: natural-order baseline: "files" of 64 consecutive orderkeys (the
+#: insert-order layout a pipeline gets if it never clusters)
+NAT_BLOCK_ORDERS = 64
+
+
+@query(
+    "dq_layout_skipping_eval",
+    oracle=f"""
+    -- LAYOUT SKIPPING EVALUATION: fraction of files (blocks) whose
+    -- min/max stats prune the scan for x BETWEEN {SKIP_PRED_LO} AND
+    -- {SKIP_PRED_HI}, z-ordered layout vs natural (insert-order)
+    -- layout — the measured justification for paying the one-time
+    -- z-order write.
+    WITH z AS (
+        SELECT l_orderkey,
+               l_partkey % {1 << Z_BITS} AS x,
+               {_sql_z(f"l_partkey % {1 << Z_BITS}", f"l_suppkey % {1 << Z_BITS}")} AS zval
+        FROM lineitem
+    ),
+    zb AS (
+        SELECT zval // {1 << Z_BLOCK_SHIFT} AS b,
+               min(x) AS mn, max(x) AS mx
+        FROM z GROUP BY 1
+    ),
+    nb AS (
+        SELECT l_orderkey // {NAT_BLOCK_ORDERS} AS b,
+               min(x) AS mn, max(x) AS mx
+        FROM z GROUP BY 1
+    ),
+    u AS (
+        SELECT 1 AS is_z,
+               CASE WHEN mx < {SKIP_PRED_LO} OR mn > {SKIP_PRED_HI}
+                    THEN 1 ELSE 0 END AS skip
+        FROM zb
+        UNION ALL
+        SELECT 0 AS is_z,
+               CASE WHEN mx < {SKIP_PRED_LO} OR mn > {SKIP_PRED_HI}
+                    THEN 1 ELSE 0 END AS skip
+        FROM nb
+    )
+    SELECT sum(is_z)::BIGINT AS z_blocks,
+           sum(is_z * skip)::BIGINT AS z_skipped,
+           round(sum(is_z * skip)::DOUBLE / NULLIF(sum(is_z), 0), 6)
+               AS z_skip_frac,
+           sum(1 - is_z)::BIGINT AS nat_blocks,
+           sum((1 - is_z) * skip)::BIGINT AS nat_skipped,
+           round(sum((1 - is_z) * skip)::DOUBLE
+                 / NULLIF(sum(1 - is_z), 0), 6) AS nat_skip_frac
+    FROM u
+    """,
+)
+def dq_layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAYOUT-SKIPPING evaluation harness (fifth of the eval family,
+    "measure, don't guess" for the physical layout): what fraction of
+    files does min/max pruning actually SKIP for a selective range
+    predicate (x BETWEEN {SKIP_PRED_LO} AND {SKIP_PRED_HI}), under
+    the z-ordered layout vs the natural insert-order layout a
+    pipeline gets for free? Blocks stand in for parquet files with
+    min/max footer stats (the same proxy `layout_zorder`'s extent
+    map uses; `write_zorder_layout` + tests/test_zorder.py pin that
+    real files inherit the block property). At 100 TB the skip
+    fraction IS the scan cost multiplier — measured here: z-order
+    skips ~94% of blocks while natural order skips ~0%, which is the
+    whole argument for paying the one-time terasort-shaped z-write.
+    One union + one aggregate; no scalar-subquery cross joins."""
+    li = read_table(spark, sf_dir, "lineitem")
+    m = (1 << Z_BITS) - 1
+    x = F.col("l_partkey").bitwiseAND(m)
+    y = F.col("l_suppkey").bitwiseAND(m)
+    z = li.select(
+        "l_orderkey", x.alias("x"), z_value(x, y).alias("zval")
+    )
+    skip = (
+        F.when(
+            (F.col("mx") < SKIP_PRED_LO) | (F.col("mn") > SKIP_PRED_HI), 1
+        )
+        .otherwise(0)
+        .alias("skip")
+    )
+    zb = (
+        z.groupBy(F.shiftright("zval", Z_BLOCK_SHIFT).alias("b"))
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .select(F.lit(1).alias("is_z"), skip)
+    )
+    nb = (
+        z.groupBy((F.col("l_orderkey") / NAT_BLOCK_ORDERS).cast("long").alias("b"))
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .select(F.lit(0).alias("is_z"), skip)
+    )
+    u = zb.unionByName(nb)
+    return u.agg(
+        F.coalesce(F.sum("is_z"), F.lit(0)).alias("z_blocks"),
+        F.coalesce(F.sum(F.col("is_z") * F.col("skip")), F.lit(0)).alias(
+            "z_skipped"
+        ),
+        F.round(
+            F.sum(F.col("is_z") * F.col("skip")).cast("double")
+            / F.when(F.sum("is_z") > 0, F.sum("is_z")),
+            6,
+        ).alias("z_skip_frac"),
+        F.coalesce(F.sum(1 - F.col("is_z")), F.lit(0)).alias("nat_blocks"),
+        F.coalesce(
+            F.sum((1 - F.col("is_z")) * F.col("skip")), F.lit(0)
+        ).alias("nat_skipped"),
+        F.round(
+            F.sum((1 - F.col("is_z")) * F.col("skip")).cast("double")
+            / F.when(F.sum(1 - F.col("is_z")) > 0, F.sum(1 - F.col("is_z"))),
+            6,
+        ).alias("nat_skip_frac"),
+    )

@@ -76,22 +76,23 @@ _PRIORITY = (
     #   3. then a staleness SLA: NO GREEN ENTRY GOES MORE THAN 4
     #      ROUNDS WITHOUT A DRIVER ROW — fill the remaining slots
     #      with the stalest still-green rows, complex kernels first.
-    # Slots 1-13 = r12 changes: the net-new low-selectivity filtered
-    # ANN and the three net-new eval harnesses (ANN recall, IVF
-    # balance, kNN-graph recall); the symmetrized kNN graph
-    # (kernel+oracle); the degenerate-corpus-guarded dedup recall
-    # eval (kernel+oracle); and the IVF family, whose construction
-    # path changed (codebook memo + persist swap — values unchanged,
-    # but changed kernel ⇒ next window per policy).
-    # Slots 14-44 = all 31 r7-stale rows (4 windows old — the SLA
-    # boundary). Slots 45-50 = the first 6 of the r8 tier, complex
+    # Slots 1-14 = r12 changes: the net-new low-selectivity filtered
+    # ANN and the four net-new eval harnesses (ANN recall, IVF
+    # balance, kNN-graph recall, layout skipping); the symmetrized
+    # kNN graph (kernel+oracle); the degenerate-corpus-guarded dedup
+    # recall eval (kernel+oracle); and the IVF family, whose
+    # construction path changed (codebook memo + persist swap —
+    # values unchanged, but changed kernel ⇒ next window per policy).
+    # Slots 15-45 = all 31 r7-stale rows (4 windows old — the SLA
+    # boundary). Slots 46-50 = the first 5 of the r8 tier, complex
     # kernels first; r13 takes the rest of r8 (from
-    # cdc_apply_changelog, which this window's net-new additions
+    # multimodal_image_dedup, which this window's net-new additions
     # displaced) plus the r9 heads.
     "similarity_ann_filtered_sparse",
     "dq_ann_recall_eval",
     "dq_ivf_balance_eval",
     "dq_knn_recall_eval",
+    "dq_layout_skipping_eval",
     "similarity_knn_graph",
     "dq_dedup_recall_eval",
     "similarity_ivf_probe",

@@ -61,3 +61,23 @@ def test_zorder_written_files_have_disjoint_ranges(spark, tmp_path):
     # (a random layout gives ~full-domain spans in every file)
     full = (1 << Z_BITS) - 1
     assert any(sx < full * 0.8 and sy < full * 0.8 for sx, sy in spans), spans
+
+
+def test_layout_skipping_eval_separates_layouts(spark):
+    """The skipping harness must show z-order PRUNING (the 2-tile
+    predicate leaves only the 2 matching tile-rows of the 32 z-block
+    rows readable: skip fraction exactly 1 - 64/1024 = 0.9375 once
+    the key domain is saturated) and natural order NOT pruning
+    (insert-order blocks span ~the full x domain, skip fraction 0) —
+    the measured gap that justifies the one-time z-write."""
+    from tests.conftest import SF_ORACLE
+
+    from lake_satellite_image_etl_spark.operators.layout import (
+        dq_layout_skipping_eval,
+    )
+
+    [r] = dq_layout_skipping_eval(spark, SF_ORACLE).collect()
+    assert r["z_blocks"] > 0 and r["nat_blocks"] > 0, r
+    assert r["z_skip_frac"] >= 0.9, r
+    assert r["nat_skip_frac"] <= 0.05, r
+    assert r["z_skipped"] <= r["z_blocks"], r
