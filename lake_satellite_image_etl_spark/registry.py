@@ -134,7 +134,8 @@ _PRIORITY = (
     "filter_spatial_bbox",
     "incremental_new_keys",
     "join_semi_anti",
-    # -- r8 tier heads (9; the rest roll into the r13 window) --
+    # -- r8 tier heads (the window cap takes the first 5; the rest
+    # roll into the r13 window) --
     "graph_pagerank",
     "stream_cdc_batch",
     "stream_stream_join_batch",
