@@ -23,13 +23,19 @@ from __future__ import annotations
 import json
 import os
 
-from tests.conftest import SF_ORACLE
-
-
 def test_plan_shape_matches_golden(spark):
     from lake_satellite_image_etl_spark import registry
     from lake_satellite_image_etl_spark.caching import release_all
-    from tools.plan_audit import GOLDEN_PATH, audit_one, golden_row
+
+    # GOLDEN_SF_DIR, not conftest's SF_ORACLE: the gate must compile
+    # against the SAME path constant the golden writer pins (the
+    # writer refuses to write under an env override — ADVICE r12)
+    from tools.plan_audit import (
+        GOLDEN_PATH,
+        GOLDEN_SF_DIR,
+        audit_one,
+        golden_row,
+    )
 
     assert os.path.exists(GOLDEN_PATH), (
         "no plan golden committed — run `python tools/plan_audit.py "
@@ -49,7 +55,7 @@ def test_plan_shape_matches_golden(spark):
     for name, fn in qs.items():
         try:
             plan = (
-                fn(spark, SF_ORACLE)
+                fn(spark, GOLDEN_SF_DIR)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()

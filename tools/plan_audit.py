@@ -24,7 +24,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.01")
+#: the fixture the committed golden is pinned to — tests/
+#: test_plan_regression.py compiles against this SAME constant, so a
+#: golden written under a SPARK_GRAFT_PLAN_SF_DIR override would
+#: silently desync the gate (join-strategy choices depend on input
+#: sizes). main() therefore refuses to write plan_golden.json when
+#: the override points elsewhere (ADVICE r12).
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", GOLDEN_SF_DIR)
 
 #: queries whose BroadcastNestedLoopJoin is the *intended* plan — in
 #: every case the nested-loop side is a broadcast relation that stays
@@ -214,12 +221,22 @@ def main() -> int:
     if write:
         with open(os.path.join(REPO_ROOT, "PLANS.md"), "w") as f:
             f.write(report)
-        if not only:
+        if only:
+            pass  # never write a partial golden from a filtered run
+        elif SF_DIR != GOLDEN_SF_DIR:
+            # refuse: the regression gate always compiles against
+            # GOLDEN_SF_DIR, so a golden from another fixture would
+            # desync it (ADVICE r12)
+            print(
+                f"NOT writing plan_golden.json: SPARK_GRAFT_PLAN_SF_DIR="
+                f"{SF_DIR} differs from the gate fixture {GOLDEN_SF_DIR}",
+                file=sys.stderr,
+            )
+        else:
             # regenerate the committed plan-shape golden alongside
-            # PLANS.md (never on a filtered run — a partial golden
-            # would fail every omitted entry). The git diff of this
-            # file IS the acknowledgment tests/test_plan_regression.py
-            # demands for a plan-shape change.
+            # PLANS.md. The git diff of this file IS the
+            # acknowledgment tests/test_plan_regression.py demands
+            # for a plan-shape change.
             import json
 
             with open(GOLDEN_PATH, "w") as f:
