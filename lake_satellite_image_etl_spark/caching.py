@@ -43,7 +43,24 @@ def persist_bounded(df: DataFrame) -> DataFrame:
     except Exception:
         return df  # semanticHash unavailable (exotic plan): persist unmanaged
     # refresh recency: same canonical plan == same cache entry
-    _PERSISTED.pop(key, None)
+    evicted = _PERSISTED.pop(key, None)
+    if evicted is not None and evicted is not df:
+        # semanticHash is 32-bit: two DIFFERENT plans can collide on
+        # one key in a session. Dropping the slot silently would
+        # leave the old frame cached untracked — beyond both the
+        # recency bound and release_all()'s reach (ADVICE r12).
+        # Unpersisting a non-shared entry is always safe; when the
+        # plans ARE semantically equal they share one CacheManager
+        # entry, so unpersisting would yank it from under `df`.
+        try:
+            same = evicted.sameSemantics(df)
+        except Exception:
+            same = True  # can't prove distinct: keep the safe side
+        if not same:
+            try:
+                evicted.unpersist()
+            except Exception:
+                pass
     _PERSISTED[key] = df
     while len(_PERSISTED) > _MAX:
         oldest = next(iter(_PERSISTED))

@@ -506,10 +506,12 @@ def similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: post-filter would discard ~94% of its distance work and return
 #: fewer than k rows for most queries, while the pre-filter's pair
 #: work SHRINKS ∝ selectivity (proven at the 240× smoke tier in
-#: tools/scale_smoke.py). vec_id ≡ 7 (mod 16) is odd while the
-#: stride-{QUERY_STRIDE} query ids are even multiples, so no query
-#: is its own candidate and the self-exclusion never interacts with
-#: the predicate.
+#: tools/scale_smoke.py). On larger corpora a query CAN be its own
+#: candidate (ids ≡ 7 mod 16 that are also stride multiples exist —
+#: the smallest is 583 = 53·11, just past this fixture's 500
+#: vectors); self-overlap is handled by the explicit
+#: vec_id != query_id exclusion in BOTH the kernel and the oracle,
+#: not by any parity property of the predicate (ADVICE r12).
 ANN_FILTER_PRED_SPARSE = "vec_id % 16 = 7"
 
 

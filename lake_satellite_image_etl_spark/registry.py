@@ -67,6 +67,93 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: at the first ~50 entries, so this list front-loads by verification
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
+    # ================= r13 driver window (50 slots) ================
+    # STANDING ROTATION POLICY (restated r13 — VERDICT r12 item 2):
+    #   1. any entry whose KERNEL or ORACLE changed since its last
+    #      driver row enters the next window, ahead of everything;
+    #   2. net-new entries next (first confirmation beats any
+    #      re-confirmation);
+    #   3. staleness SLA, rewritten at the ACHIEVABLE arithmetic:
+    #      222 entries / 50 slots with ~6-15 slots/round consumed by
+    #      changed+new kernels gives ~35-44 re-confirmations per
+    #      round, so a full cycle is 6 rounds (ceil(222/37)); the old
+    #      "4 rounds" text could never hold. New SLA: NO GREEN ENTRY
+    #      GOES MORE THAN 6 ROUNDS WITHOUT A DRIVER ROW, and net-new
+    #      registration PAUSES in any round whose stalest tier would
+    #      otherwise breach (a consolidation round — r13 is one: zero
+    #      net-new entries; the r13 sampled-eval work lands as knobs
+    #      on existing entries, not new names).
+    # Slots 1-4 = r13 changed kernels: dq_knn_recall_eval (late-r12
+    # blocked-gram rewrite, golden regenerated this round — re-pin),
+    # dq_ann_recall_eval + dq_knn_recall_eval gained the sampled-eval
+    # knob (default full corpus: oracle values unchanged, but changed
+    # kernel ⇒ window per rule 1), dq_layout_skipping_eval (real-file
+    # footer-stats measurement added beside the proxy),
+    # graph_bfs_distance (frontier persist + early exit).
+    # Slots 5-48 = ALL 44 r8-stale rows (the displaced-from-r12 four
+    # first, then complex kernels first). Slots 49-50 = r9 heads.
+    # R14 PRE-PLAN (VERDICT r12 item 8): r14 takes its changed
+    # kernels, then the 44 r9-stale rows — complex kernels first:
+    # analytics_market_basket is already confirmed here, so lead with
+    # corpus_perplexity_buckets, stats_linear_regression,
+    # window_time_weighted_avg, sketch_loglog_set_ops,
+    # analytics_ab_ttest, join_asof_nearest, multimodal_*_features,
+    # then the agg_*/window_* tail; overflow rolls to r15 inside the
+    # 6-round SLA (r9 rows breach only after r15).
+    "dq_knn_recall_eval",
+    "dq_ann_recall_eval",
+    "dq_layout_skipping_eval",
+    "graph_bfs_distance",
+    # -- r8-stale re-confirmations (44 = the whole tier) --
+    "multimodal_image_dedup",
+    "cdc_apply_changelog",
+    "pipeline_training_prep",
+    "layout_zorder",
+    "stats_robust_anomaly",
+    "text_wordpiece_tokenize",
+    "text_bigram_lm_score",
+    "text_quality_classifier",
+    "text_gopher_rules",
+    "text_url_canonicalize",
+    "dedup_sorted_neighborhood",
+    "corpus_contamination_pairs",
+    "corpus_bloom_prefilter",
+    "corpus_global_shuffle",
+    "corpus_mix_weighted",
+    "corpus_vocab_topk",
+    "multimodal_audio_augment",
+    "multimodal_audio_vad",
+    "multimodal_image_augment",
+    "multimodal_image_tiles",
+    "multimodal_video_augment",
+    "multimodal_video_shots",
+    "sketch_count_min",
+    "sketch_distinct_loglog",
+    "stats_ks_drift",
+    "stats_equidepth_histogram",
+    "stats_histogram",
+    "snapshot_diff",
+    "dq_check_rules",
+    "profile_table_stats",
+    "sample_stratified_exact",
+    "join_interval_overlap",
+    "join_point_in_time",
+    "analytics_cohort_retention",
+    "analytics_event_transitions",
+    "analytics_window_funnel",
+    "agg_abc_pareto",
+    "agg_grouping_sets",
+    "agg_mode",
+    "agg_percentiles",
+    "vector_quantize_int8",
+    "window_ema",
+    "window_gap_fill",
+    "window_rolling_range",
+    # -- r9 heads (complex first; the rest are pre-planned for r14) --
+    "corpus_bpe_apply",
+    "analytics_market_basket",
+    # ---- r13 first 50 end here ----------------------------------------
+
     # ================= r12 driver window (50 slots) ================
     # STANDING ROTATION POLICY (VERDICT r11 items 1+3):
     #   1. any entry whose KERNEL or ORACLE changed since its last
@@ -134,8 +221,11 @@ _PRIORITY = (
     "filter_spatial_bbox",
     "incremental_new_keys",
     "join_semi_anti",
-    # -- r8 tier heads (the window cap takes the first 5; the rest
-    # roll into the r13 window) --
+    # -- r8 tier heads. NOTE (ADVICE r12): 9 names follow, so 54
+    # names sit before this block's end marker — the driver's 50-cap
+    # took only the first 5 (graph_pagerank..corpus_bpe_learn,
+    # confirmed in CORRECTNESS_r12); the last 4 were PRE-STAGED
+    # overflow and now lead the r13 window above. --
     "graph_pagerank",
     "stream_cdc_batch",
     "stream_stream_join_batch",

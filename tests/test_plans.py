@@ -509,3 +509,32 @@ def test_persist_registry_keys_by_plan(spark):
     C.release_all()
     assert len(C._PERSISTED) == 0
     assert not shared_a.storageLevel.useMemory, "release_all left a frame"
+
+
+def test_persist_registry_collision_unpersists_old(spark, monkeypatch):
+    """ADVICE r12: semanticHash is 32-bit, so two DIFFERENT plans can
+    collide on one registry key. Popping the older slot without
+    unpersisting would leave that frame cached untracked — beyond
+    both the recency bound and release_all(). persist_bounded must
+    unpersist a popped entry whose plan is NOT semantically equal to
+    the incoming one (and must NOT unpersist when they are equal —
+    they share one CacheManager entry)."""
+    import lake_satellite_image_etl_spark.caching as C
+
+    C.release_all()
+    df_a = spark.range(10, numPartitions=1).selectExpr("id * 2 AS x")
+    df_b = spark.range(10, numPartitions=1).selectExpr("id * 3 AS x")
+    # force the collision: distinct plans, one key
+    monkeypatch.setattr(C, "_key", lambda df: (id(df.sparkSession), 42))
+    C.persist_bounded(df_a)
+    assert df_a.storageLevel.useMemory
+    C.persist_bounded(df_b)
+    assert not df_a.storageLevel.useMemory, (
+        "collision eviction must unpersist the distinct older plan"
+    )
+    assert df_b.storageLevel.useMemory
+    # equal-plan re-register must NOT unpersist the shared entry
+    df_b2 = spark.range(10, numPartitions=1).selectExpr("id * 3 AS x")
+    C.persist_bounded(df_b2)
+    assert df_b.storageLevel.useMemory, "shared cache entry was yanked"
+    C.release_all()

@@ -316,7 +316,6 @@ def main() -> None:
             }
         table[name] = entry
         release_all()
-        release_all()
         spark.catalog.clearCache()
         spark._jvm.System.gc()
 
