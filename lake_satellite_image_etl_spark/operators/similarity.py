@@ -31,11 +31,27 @@ from lake_satellite_image_etl_spark.functions.vectors import (
     sql_norm,
 )
 from lake_satellite_image_etl_spark.caching import persist_bounded
+from lake_satellite_image_etl_spark.functions.text import tok_hash60
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
 TOP_K = 5
 QUERY_STRIDE = 53  # vec_id % 53 == 0 → ~10 query vectors at sf0.01
+
+
+def eval_sample_pred(id_col, den: int):
+    """Deterministic hash-membership predicate for SAMPLED eval runs
+    of the n²-exact-side harnesses (``dq_ann_recall_eval`` /
+    ``dq_knn_recall_eval``): keeps ids whose md5 bucket ≡ 0 mod
+    ``den`` — ~1/den of the population, stable across runs, engines,
+    partitionings, and cluster sizes (the same determinism rule as
+    ``sample_deterministic``; no randomness, so a sampled eval is
+    reproducible and its recall row is comparable run-over-run).
+    md5-bucketed on purpose: uncorrelated with the arithmetic
+    residues the fixtures use for query strides / filter predicates
+    (``vec_id % 53``, ``vec_id % 16``), so sampling never aliases
+    the workload definition."""
+    return tok_hash60(id_col.cast("string")) % int(den) == 0
 
 N_PLANES = 8
 
@@ -45,6 +61,12 @@ N_PLANES = 8
 #: it, the same contract as EMBEDDING_BROADCAST_CAP).
 IVF_CODEBOOK_CAP = 65536
 DIM = 64
+
+#: Hard cap on the collected query sample of a sampled n²-eval run
+#: (dq_ann/knn_recall_eval eval_sample_den): the sample is a model
+#: artifact broadcast into the candidate stream — 65536 × 64 ints
+#: ≈ 32 MB; trips loudly past it, same contract as the codebook cap.
+EVAL_SAMPLE_CAP = 65536
 
 
 def _plane_weight(p: int, d: int) -> int:
@@ -620,7 +642,9 @@ def similarity_ann_filtered_sparse(
     FROM m
     """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
 )
-def dq_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_ann_recall_eval(
+    spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
+) -> DataFrame:
     """ANN-index EVALUATION harness ("measure, don't guess" — the
     vector-search sibling of ``dq_dedup_recall_eval``): how much of
     the exact top-{TOP_K} neighbor set does the registered IVF index
@@ -635,16 +659,29 @@ def dq_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 0 and recall NULLs on a degenerate corpus (no queries), the
     same guard class as the dedup eval (ADVICE r11).
 
-    Scale: ground truth is n² per query set — at 100 TB this harness
-    runs on a SAMPLE (the standard eval practice; the dedup eval's
-    docstring tells the same story); the ANN side is the production
-    index path unchanged."""
+    Scale (VERDICT r12 item 3 — now a code path, not a docstring):
+    ground truth is |queries| × n — at 100 TB pass
+    ``eval_sample_den`` and the harness measures recall on the
+    ~1/den deterministic md5-sampled SUBSET of the query set
+    (``eval_sample_pred``). The predicate lands on ``query_id``,
+    which Catalyst pushes through the top-k window (it is the
+    partition key) and through the join into the BROADCAST query
+    side of both kernels — so exact-side pair work shrinks ∝ the
+    sample, it is not a post-filter on n² output. Sampled recall is
+    an unbiased estimate of the full number (per-query recalls are
+    averaged over a hash-uniform subset); the fixture test pins
+    |sampled − full| ≤ ε. Default None = full query set, so the
+    registered oracle row is unchanged."""
     exact = similarity_topk_bruteforce(spark, sf_dir).select(
         "query_id", "candidate_id"
     )
     ann = similarity_ivf_probe(spark, sf_dir).select(
         "query_id", "candidate_id"
     )
+    if eval_sample_den is not None:
+        pred_e = eval_sample_pred(F.col("query_id"), eval_sample_den)
+        exact = exact.filter(pred_e)
+        ann = ann.filter(pred_e)
     tagged = exact.select(
         "query_id",
         "candidate_id",
@@ -2370,21 +2407,39 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def dq_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_knn_recall_eval(
+    spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
+) -> DataFrame:
     """kNN-GRAPH EVALUATION harness (fourth of the eval family):
     recall of the registered symmetrized multi-probe graph vs the
     exact all-pairs top-{KNN_K} graph, as one hash-verified row —
     the measurement behind the r12 symmetrization story (fixture
     recall 0.609 → 0.807 at unchanged pair work) now lives in the
     driver contract instead of only a pytest floor. The graph side
-    is the registered kernel unchanged; the exact side broadcasts
-    the (here: whole-corpus) query set against the candidate scan —
-    n² by definition, so at 100 TB this harness runs on a SAMPLE
-    (the same sampled-eval contract as dq_dedup_recall_eval /
-    dq_ann_recall_eval; the graph side stays the production path).
-    Reduction is the shared union + pair-group + aggregate shape:
-    no scalar-subquery cross joins, counts coalesce to 0, recall
-    NULLs on an empty corpus."""
+    is the registered kernel unchanged.
+
+    Scale (VERDICT r12 item 3 — now a code path, not a docstring):
+    the exact side is n² over the corpus, so at 100 TB pass
+    ``eval_sample_den`` and recall is measured over the ~1/den
+    deterministic md5-sampled subset of vectors
+    (``eval_sample_pred``). The sampled exact side switches SHAPE:
+    instead of the one-group blocked gram (right at fixture scale,
+    where the whole corpus fits one Arrow batch), the collected
+    sample matrix (bounded by EVAL_SAMPLE_CAP) streams the full
+    candidate set through mapInPandas — per-Arrow-batch partial
+    top-k grams, then one global per-query top-k window over the
+    small partials — the distributed |sample| × n plan that ships at
+    any corpus size with memory bounded by (sample × batch); the
+    gram's int64-dot / IEEE-divide / id-stable-tie arithmetic is
+    reproduced exactly, so sampled rows are bitwise-comparable to
+    full rows over the shared subset. The
+    graph side filters to the same sampled vec_ids (a pushable
+    narrow predicate — the production kernel is unchanged). Sampled
+    recall is an unbiased estimate of the full number; the fixture
+    test pins |sampled − full| ≤ ε and the 120 K-vector smoke pins
+    that eval cost tracks the SAMPLE, not the corpus. Default
+    None = full corpus via the gram, so the registered oracle row
+    is unchanged."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
@@ -2436,13 +2491,85 @@ def dq_knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    exact = (
-        n.groupBy(F.lit(1).alias("_g"))
-        .applyInPandas(exact_knn, schema="vec_id long, neighbor_id long")
-    )
-    graph = similarity_knn_graph(spark, sf_dir).select(
-        "vec_id", "neighbor_id"
-    )
+    if eval_sample_den is None:
+        exact = n.groupBy(F.lit(1).alias("_g")).applyInPandas(
+            exact_knn, schema="vec_id long, neighbor_id long"
+        )
+        graph = similarity_knn_graph(spark, sf_dir).select(
+            "vec_id", "neighbor_id"
+        )
+    else:
+        # sampled exact side: |sample| × n, MAP-SIDE — the shape that
+        # ships at 100 TB. The sampled query matrix is a bounded
+        # model artifact (collected under EVAL_SAMPLE_CAP, the same
+        # contract as the IVF codebook); candidates STREAM through
+        # mapInPandas in Arrow batches, each batch emitting a partial
+        # per-query top-k from one int64 gram; a final per-query
+        # window over the small partials (≤ k · n_batches rows per
+        # query) produces the global top-k. Per-batch ties break
+        # (cos desc, id asc) after an id-sort of the batch, so a
+        # boundary tie dropped in-batch is always dominated by k
+        # kept lower-id equals — the global top-k never needs it.
+        pred = eval_sample_pred(F.col("vec_id"), eval_sample_den)
+        qrows = n.filter(pred).collect()
+        if len(qrows) > EVAL_SAMPLE_CAP:
+            raise ValueError(
+                f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
+                f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
+                " — raise eval_sample_den; the sample is a broadcast"
+                " model artifact and must stay bounded"
+            )
+        q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+        q_mat = np.stack([r["qv"] for r in qrows]).astype(np.int64)
+        q_nrm = np.array([r["nrm"] for r in qrows], dtype=np.float64)
+
+        def exact_partials(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                m = len(pdf)
+                if m == 0:
+                    continue
+                c = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+                c_nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
+                c_ids = pdf["vec_id"].to_numpy()
+                # (n_queries, batch) cosine gram, self masked
+                cos = (q_mat @ c.T).astype(_np.float64) / (
+                    q_nrm[:, None] * c_nrm[None, :]
+                )
+                cos[q_ids[:, None] == c_ids[None, :]] = -_np.inf
+                kk = min(KNN_K, m)
+                order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                rows = _np.repeat(_np.arange(len(q_ids)), kk)
+                cols = order.ravel()
+                keep = cos[rows, cols] > -_np.inf
+                yield _pd.DataFrame(
+                    {
+                        "vec_id": q_ids[rows[keep]],
+                        "neighbor_id": c_ids[cols[keep]],
+                        "cos_ex": cos[rows[keep], cols[keep]],
+                    }
+                )
+
+        partials = n.mapInPandas(
+            exact_partials,
+            schema="vec_id long, neighbor_id long, cos_ex double",
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cos_ex"), F.asc("neighbor_id")
+        )
+        exact = (
+            partials.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= KNN_K)
+            .select("vec_id", "neighbor_id")
+        )
+        graph = (
+            similarity_knn_graph(spark, sf_dir)
+            .filter(pred)
+            .select("vec_id", "neighbor_id")
+        )
     tagged = exact.select(
         "vec_id",
         "neighbor_id",
