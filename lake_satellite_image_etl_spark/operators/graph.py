@@ -460,7 +460,14 @@ def bfs_distances(
     symmetrized here); ``seeds`` is a 1-column node DataFrame.
     Returns (node, hops).
 
-    Scale shape: each of the FIXED ``max_hops`` supersteps is one
+    Scale shape (r13 — VERDICT r12 item 5): the symmetrized edge set
+    is built ONCE, hash-repartitioned on ``src`` and persisted
+    through the bounded registry — without that, every superstep
+    re-derives the upstream edge build (here: the lineitem
+    co-purchase self-join + distinct, the dominant cost) AND
+    re-shuffles the big edge side; with it, each round's equi-join
+    reuses the persisted partitioning, so the only per-round
+    exchange is the (small) frontier. Each superstep is then one
     equi-join (frontier × edges) + one anti-join against the visited
     set — per-round cost is O(frontier-degree sum), the textbook
     Pregel BFS expressed relationally. Only the FRONTIER is eagerly
@@ -469,18 +476,27 @@ def bfs_distances(
     prefix three times per round, the same lineage trap
     ``star_contract_components`` documents); the visited set stays a
     lazy union OF those checkpoints, so it costs no extra
-    materialization. Level-synchronous visiting makes first-found ==
-    minimum distance, which is what the oracle's min() over the
-    (node, d)-deduped recursive walk checks."""
+    materialization. The loop exits as soon as a frontier comes back
+    EMPTY (structural convergence, as ``graph_components_star``
+    does) — the checkpoint has already materialized it, so the check
+    is a scan of stored partitions, not a recompute; remaining
+    supersteps would each still pay a join against the edge set for
+    a provably empty result. Level-synchronous visiting makes
+    first-found == minimum distance, which is what the oracle's
+    min() over the (node, d)-deduped recursive walk checks."""
     canon = _canon_edges(
         edges.select(
             F.col(edges.columns[0]).alias("x"),
             F.col(edges.columns[1]).alias("y"),
         )
     )
-    sym = canon.select(
-        F.col("lo").alias("src"), F.col("hi").alias("dst")
-    ).union(canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    sym = persist_bounded(
+        canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .union(
+            canon.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        .repartition("src")
+    )
     dist = seeds.select(
         F.col(seeds.columns[0]).cast("long").alias("node"),
         F.lit(0).cast("long").alias("hops"),
@@ -495,6 +511,8 @@ def bfs_distances(
             .select("node", F.lit(h).cast("long").alias("hops"))
             .localCheckpoint(eager=True)
         )
+        if nxt.isEmpty():
+            break
         dist = dist.union(nxt)
         frontier = nxt.select("node")
     return dist
