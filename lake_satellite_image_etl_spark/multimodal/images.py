@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lake_satellite_image_etl_spark.caching import persist_bounded
 from lake_satellite_image_etl_spark.io import read_binary_files, read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -367,7 +368,10 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join carries (entity_id, phash) pairs only, with AQE
     splitting any hot bucket. 100 TB of images reduce to |images| × 8
     bytes of join input."""
-    hashes = image_phash(with_images(spark, sf_dir)).localCheckpoint(eager=True)
+    # bounded lazy persist: the hash frame feeds both self-join
+    # sides; construction stays jobless (r13, was an eager
+    # localCheckpoint on the allowlist)
+    hashes = persist_bounded(image_phash(with_images(spark, sf_dir)))
     band_bits = PHASH_BITS // PHASH_BANDS
     mask = (1 << band_bits) - 1
     bands = hashes.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lake_satellite_image_etl_spark.caching import persist_bounded
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -640,13 +641,12 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lake_satellite_image_etl_spark.operators.dedup import pair_combos
 
     li = read_table(spark, sf_dir, "lineitem")
-    # one distinct pass materialized: the basket table feeds three
-    # consumers (baskets, item frequencies, the order count)
-    b = (
-        li.select("l_orderkey", "l_partkey")
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # one distinct pass computed once: the basket table feeds three
+    # consumers (baskets, item frequencies, the order count). Bounded
+    # lazy persist (r13): even a LAZY localCheckpoint submits a Spark
+    # job at construction in PySpark 4.1 (measured in the sweep), so
+    # the registry persist is the only jobless multi-consumer cut.
+    b = persist_bounded(li.select("l_orderkey", "l_partkey").distinct())
     baskets = (
         b.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("m"))

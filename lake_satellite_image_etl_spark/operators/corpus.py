@@ -23,6 +23,7 @@ from lake_satellite_image_etl_spark.functions.text import (
     tok_hash60,
     tokens_of,
 )
+from lake_satellite_image_etl_spark.caching import memo_per_path
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.operators.dedup import (
     _SQL_HSHINGLES,
@@ -573,43 +574,61 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exact verify. No false negatives by construction
     (superset of the exact operator's hit set, pinned in
     tests/test_corpus_ops.py)."""
+    import os
+
     docs = read_table(spark, sf_dir, "documents")
-    # one shingling pass serves both the filter build (bench rows) and
-    # the probe scan
-    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
-        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
-    ).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % BENCHMARK_STRIDE == 0
-    bench_pos = (
-        sh.filter(is_bench)
-        .select(F.explode("hsh").alias("s"))
-        .select(F.explode(_bloom_positions(F.col("s"))).alias("pos"))
-        .distinct()
-    )
-    word_rows = (
-        bench_pos.groupBy(F.shiftright("pos", 5).alias("w"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(1L, cast(pos % 32 as int))")
-            ).alias("mask")
+
+    def _train_masks() -> list[int]:
+        # the filter BUILD (benchmark rows only): a constant-size
+        # word array by construction — the bounded model artifact the
+        # memo contract wants. Memoized per (session, documents-path
+        # stat), so constructing the entry is jobless after first
+        # touch (the IVF codebook pattern, VERDICT r12 item 7; this
+        # also retired the eager shared checkpoint — the probe scan
+        # below is now the plan's only consumer of the shingling).
+        bench_pos = (
+            docs.filter(is_bench)
+            .withColumn("_toks", tokens_of(F.col("text")))
+            .select(hashed_shingles(F.col("_toks")).alias("hsh"))
+            .select(F.explode("hsh").alias("s"))
+            .select(F.explode(_bloom_positions(F.col("s"))).alias("pos"))
+            .distinct()
         )
-        .collect()
-    )
-    n_words = BLOOM_BITS // 32
-    # Structural bound, not data-dependent — but enforce it with an
-    # explicit raise (a bare assert is stripped under ``python -O``
-    # and a violation would then silently corrupt the mask array).
-    if len(word_rows) > n_words:
-        raise ValueError(
-            f"bloom prefilter: {len(word_rows)} mask words exceed the "
-            f"{n_words}-word filter — BLOOM_BITS geometry was edited "
-            "without updating _bloom_positions"
+        word_rows = (
+            bench_pos.groupBy(F.shiftright("pos", 5).alias("w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(pos % 32 as int))")
+                ).alias("mask")
+            )
+            .collect()
         )
-    masks = [0] * n_words
-    for r in word_rows:
-        if not 0 <= r["w"] < n_words:
-            raise ValueError(f"bloom prefilter: word index {r['w']} out of range")
-        masks[r["w"]] = r["mask"]
+        n_words = BLOOM_BITS // 32
+        # Structural bound, not data-dependent — but enforce it with an
+        # explicit raise (a bare assert is stripped under ``python -O``
+        # and a violation would then silently corrupt the mask array).
+        if len(word_rows) > n_words:
+            raise ValueError(
+                f"bloom prefilter: {len(word_rows)} mask words exceed "
+                f"the {n_words}-word filter — BLOOM_BITS geometry was "
+                "edited without updating _bloom_positions"
+            )
+        out = [0] * n_words
+        for r in word_rows:
+            if not 0 <= r["w"] < n_words:
+                raise ValueError(
+                    f"bloom prefilter: word index {r['w']} out of range"
+                )
+            out[r["w"]] = r["mask"]
+        return out
+
+    masks = memo_per_path(
+        spark,
+        "bloom_masks",
+        os.path.join(sf_dir, "documents.parquet"),
+        _train_masks,
+    )
     arr_sql = "array(" + ", ".join(f"{m}L" for m in masks) + ")"
 
     def _bit_test(i: int) -> str:
@@ -621,8 +640,11 @@ def corpus_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     passes = " AND ".join(_bit_test(i) for i in range(BLOOM_K))
-    probe = sh.filter(~is_bench).select(
-        "doc_id", F.explode("hsh").alias("s")
+    probe = (
+        docs.filter(~is_bench)
+        .withColumn("_toks", tokens_of(F.col("text")))
+        .select("doc_id", hashed_shingles(F.col("_toks")).alias("hsh"))
+        .select("doc_id", F.explode("hsh").alias("s"))
     )
     return (
         probe.filter(F.expr(passes))

@@ -36,6 +36,7 @@ from lake_satellite_image_etl_spark.functions.vectors import (
     sql_dot,
     sql_norm,
 )
+from lake_satellite_image_etl_spark.caching import persist_bounded
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -478,13 +479,14 @@ def simhash_pairs(
             f"{hamming_threshold + 1} bands for exact recall; got "
             f"{n_bands} (band_bits={band_bits}) — shrink band_bits"
         )
-    # The fingerprint table is two longs per doc — materialize it
-    # (eager localCheckpoint) so the band self-join doesn't re-evaluate
-    # the 60-bit fingerprint lineage on both sides. localCheckpoint
-    # instead of cache(): a cache() with no later unpersist() leaks
-    # executor storage across queries in a shared session (ADVICE r2);
-    # checkpoint blocks are released by the ContextCleaner as soon as
-    # the query's DataFrame is dropped. The self-join (NOT a per-bucket
+    # The fingerprint table is two longs per doc — persist it
+    # (bounded lazy registry, r13) so the band self-join doesn't
+    # re-evaluate the 60-bit fingerprint lineage on both sides while
+    # construction stays JOBLESS (an eager localCheckpoint billed a
+    # job to every plan-only construction — the allowlist row this
+    # removes); the registry's recency bound + release_all() covers
+    # the shared-session storage-leak concern that ruled out bare
+    # cache() (ADVICE r2). The self-join (NOT a per-bucket
     # pair expansion) is deliberate: SimHash bands of near-identical
     # docs are heavily SKEWED (measured: hottest band bucket holds 27%
     # of docs at sf0.1), and a collect_list-based expansion would build
@@ -501,7 +503,7 @@ def simhash_pairs(
             F.array_distinct(tokens_of(F.col("text"))), tok_hash60
         ).alias("hashes"),
     ).filter(F.col("hashes").isNotNull())
-    s = _simhash_frame(hs).localCheckpoint(eager=True)
+    s = persist_bounded(_simhash_frame(hs))
     mask = (1 << band_bits) - 1
     bands = s.select(
         "doc_id",
@@ -571,15 +573,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin-style algorithm, same result set as the naive form (the
     oracle keeps the naive formulation as independent proof)."""
     docs = read_table(spark, sf_dir, "documents")
-    # feeds df-stats, prefix build, and the verify join — eager
-    # localCheckpoint (not cache(): no-unpersist caches leak storage
-    # across queries in a shared session, ADVICE r2; checkpoint blocks
-    # free when this query's DataFrames are dropped).
-    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
-        "doc_id",
-        F.floor(F.col("n_chars") / NGRAM_BLOCK_CHARS).alias("len_bucket"),
-        hashed_shingles(F.col("_toks")).alias("shingles"),
-    ).localCheckpoint(eager=True)
+    # feeds df-stats, prefix build, and the verify join — bounded
+    # lazy persist (r13: jobless construction; registry recency bound
+    # + release_all() covers the shared-session storage concern that
+    # ruled out bare cache(), ADVICE r2).
+    sh = persist_bounded(
+        docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+            "doc_id",
+            F.floor(F.col("n_chars") / NGRAM_BLOCK_CHARS).alias(
+                "len_bucket"
+            ),
+            hashed_shingles(F.col("_toks")).alias("shingles"),
+        )
+    )
 
     # ---- prefix filtering (PPJoin-style, EXACT) -------------------
     # Under one global shingle order, a pair with J ≥ t must share an
@@ -707,13 +713,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df-cap is the bucket-size filter, after which every bucket
     # expands to at most C({CONTAIN_DF_CAP},2) pairs as an in-memory
     # HOF (pair_combos) — no index self-join, no second pass over the
-    # explode. Eager checkpoint: the buckets feed both the pair
-    # expansion and the per-doc size table.
-    buckets = (
+    # explode. Bounded lazy persist (r13: jobless construction): the
+    # buckets feed both the pair expansion and the per-doc size table.
+    buckets = persist_bounded(
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
         .filter(F.size("m") <= CONTAIN_DF_CAP)
-        .localCheckpoint(eager=True)
     )
     sizes = (
         buckets.select(F.explode("m").alias("doc_id"))
@@ -1274,26 +1279,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", qvec_of(F.col("embedding")).alias("qv"))
-    # SIZE-GUARDED driver materialization: the block-matrix kernel is
-    # only valid while the candidate matrix fits a broadcast (~50 MB
-    # at the cap for 64-dim int64 vectors). Refusing loudly beats
-    # OOMing the driver at scale — past the cap, generate candidates
-    # with the bucketed paths (similarity_lsh_bucketed /
-    # similarity_ivf_probe) and reserve the exact kernel for buckets.
-    n_vec = q.count()
-    if n_vec > EMBEDDING_BROADCAST_CAP:
-        raise ValueError(
-            f"dedup_embedding_cosine: {n_vec} vectors exceed the "
-            f"broadcast cap ({EMBEDDING_BROADCAST_CAP}); use the "
-            "banded-LSH scale path (dedup_embedding_cosine_lsh, "
-            "8 bands × 8 sign bits — no collect, no all-pairs) "
-            "instead of the exact baseline"
-        )
-    rows = q.collect()  # candidate matrix: guarded above, broadcast below
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["qv"] for r in rows], dtype=np.int64)
-    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    import os
+
+    from lake_satellite_image_etl_spark.caching import memo_per_path
+
+    def _candidate_matrix():
+        # SIZE-GUARDED driver materialization: the block-matrix kernel
+        # is only valid while the candidate matrix fits a broadcast
+        # (~50 MB at the cap for 64-dim int64 vectors). Refusing
+        # loudly beats OOMing the driver at scale — past the cap,
+        # generate candidates with the bucketed paths
+        # (similarity_lsh_bucketed / similarity_ivf_probe) and reserve
+        # the exact kernel for buckets. Memoized per (session,
+        # embeddings-path stat) including the broadcast handle, so
+        # construction is jobless after first touch (r13; a raise is
+        # NOT memoized — an over-cap fixture re-raises on every
+        # construction, which the 120 K smoke's guard check relies
+        # on).
+        n_vec = q.count()
+        if n_vec > EMBEDDING_BROADCAST_CAP:
+            raise ValueError(
+                f"dedup_embedding_cosine: {n_vec} vectors exceed the "
+                f"broadcast cap ({EMBEDDING_BROADCAST_CAP}); use the "
+                "banded-LSH scale path (dedup_embedding_cosine_lsh, "
+                "8 bands × 8 sign bits — no collect, no all-pairs) "
+                "instead of the exact baseline"
+            )
+        rows = q.collect()  # candidate matrix: guarded above
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["qv"] for r in rows], dtype=np.int64)
+        norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+        return spark.sparkContext.broadcast((ids, mat, norms))
+
+    bc = memo_per_path(
+        spark,
+        "emb_cosine_matrix",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        _candidate_matrix,
+    )
 
     def block(batches):
         b_ids, b_mat, b_norms = bc.value
@@ -1777,12 +1800,12 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         hashed_shingles(F.col("_toks")).alias("hsh"),
     ).withColumn("key", F.array_min("hsh"))
-    # materialize the shingled table ONCE — three consumers below
+    # compute the shingled table ONCE — three consumers below
     # (bucket counts + both sides of the neighbor join) would each
-    # recompute the md5 shingling otherwise
-    b = (
+    # recompute the md5 shingling otherwise; bounded lazy persist
+    # keeps construction jobless (r13)
+    b = persist_bounded(
         sh.withColumn("bkt", F.shiftright("key", SNM_BUCKET_SHIFT))
-        .localCheckpoint(eager=True)
     )
     counts = b.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     offs = counts.select(

@@ -1381,27 +1381,33 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the registered entry pins 0 = the 10-cell oracle codebook; the
     10× smoke drives ``semantic_dedup_cells`` at seed_bits=5)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_cells(emb)
+    return semantic_dedup_cells(emb, memo_path=_emb_path(sf_dir))
 
 
 def semantic_dedup_cells(
-    emb: DataFrame, seed_bits: int = 0, tau: float = SEMANTIC_DUP_TAU
+    emb: DataFrame,
+    seed_bits: int = 0,
+    tau: float = SEMANTIC_DUP_TAU,
+    memo_path: str | None = None,
 ) -> DataFrame:
     """The parameterized kernel behind ``dedup_semantic_cells``:
     ``seed_bits`` sizes the codebook (cells = labels × 2^seed_bits ≈
     √n — within-cell pair work is then n·√n total), ``tau`` is the
-    duplicate bar."""
-    assigned = ivf_assign(emb, seed_bits, keep_ranks=1)
-    # materialize the cell assignment ONCE: it feeds three consumers
+    duplicate bar; ``memo_path`` forwards to the shared codebook memo
+    so the registered entry trains first-touch-only (r13 — the last
+    Lloyd-training row left the construction-jobs allowlist)."""
+    assigned = ivf_assign(emb, seed_bits, keep_ranks=1, memo_path=memo_path)
+    # compute the cell assignment ONCE: it feeds three consumers
     # (both self-join sides + the cell-size aggregate), and without the
     # cut Catalyst replays the whole two-phase codebook build per
-    # consumer (audited 28 exchanges → 4). Same lineage-cut precedent
-    # as label_propagate_components; production would persist the
+    # consumer (audited 28 exchanges → 4). Bounded lazy persist (r13;
+    # was an eager localCheckpoint, which billed a job to every
+    # plan-only construction); production would persist the
     # assignment as a table the ANN index also reads.
-    lists = (
-        assigned.filter(F.col("crank") == 1)
-        .select("vec_id", "qv", "nrm", "c_label")
-        .localCheckpoint(eager=True)
+    lists = persist_bounded(
+        assigned.filter(F.col("crank") == 1).select(
+            "vec_id", "qv", "nrm", "c_label"
+        )
     )
     a = lists.select(
         F.col("vec_id"),
