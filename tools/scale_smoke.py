@@ -419,10 +419,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     ladder: dict[str, dict[str, float]] = {}
-    emb_scale = spark.read.parquet(
-        os.path.join(SCALE_DIR, "embeddings.parquet")
-    )
+    emb_scale_path = os.path.join(SCALE_DIR, "embeddings.parquet")
+    emb_scale = spark.read.parquet(emb_scale_path)
     n_q = 120000 // 53 + 1
+    # memo_path: codebook training is first-touch index build (the
+    # registered entries' contract) — without it every rung's timed
+    # run RE-TRAINS (~11 s fixed) and the per-query marginal scan
+    # cost the ladder exists to compare drowns in the training
+    # constant (measured r13: an untrained ladder read 5.5/6.2/5.0
+    # ms/q — flat — while the trained one reads the real monotone
+    # pre-filter slope).
     for sel_name, pred in (
         ("50pct", "vec_id % 2 = 0"),
         ("6pct", "vec_id % 16 = 7"),
@@ -432,6 +438,7 @@ def main() -> None:
             emb_scale,
             seed_bits=5,
             candidate_ids=emb_scale.filter(F.expr(_p)).select("vec_id"),
+            memo_path=emb_scale_path,
         )
         sec, rows_out = _timed(fn, spark, SCALE_DIR)
         ladder[sel_name] = {
