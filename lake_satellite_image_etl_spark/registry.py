@@ -83,17 +83,36 @@ _PRIORITY = (
     #      otherwise breach (a consolidation round — r13 is one: zero
     #      net-new entries; the r13 sampled-eval work lands as knobs
     #      on existing entries, not new names).
-    # Slots 1-4 = r13 changed kernels: dq_knn_recall_eval (late-r12
+    # Slots 1-10 = r13 changed kernels (rule 1 beats everything,
+    # including the r8 sweep): dq_knn_recall_eval (late-r12
     # blocked-gram rewrite, golden regenerated this round — re-pin),
     # dq_ann_recall_eval + dq_knn_recall_eval gained the sampled-eval
     # knob (default full corpus: oracle values unchanged, but changed
     # kernel ⇒ window per rule 1), dq_layout_skipping_eval (real-file
     # footer-stats measurement added beside the proxy),
-    # graph_bfs_distance (frontier persist + early exit).
-    # Slots 5-48 = ALL 44 r8-stale rows (the displaced-from-r12 four
-    # first, then complex kernels first). Slots 49-50 = r9 heads.
+    # graph_bfs_distance (frontier persist + early exit), plus the
+    # six construction-jobs migrations whose kernels changed
+    # (memo_per_path / bounded-persist — values proven oracle-
+    # identical locally, but changed kernel ⇒ window):
+    # dedup_simhash, dedup_ngram_jaccard, dedup_containment,
+    # dedup_semantic_cells, dedup_embedding_cosine,
+    # text_tfidf_top_terms. (The other four migrations —
+    # dedup_sorted_neighborhood, multimodal_image_dedup,
+    # corpus_bloom_prefilter, analytics_market_basket — were already
+    # in this window as stale rows.)
+    # Slots 11-50 = 39 of the 44 r8-stale rows (the displaced-from-
+    # r12 four first, then complex kernels first). The rule-1 influx
+    # displaced corpus_bpe_apply (r9 head) and the five SIMPLEST
+    # r8-tail rows (agg_percentiles, vector_quantize_int8,
+    # window_ema, window_gap_fill, window_rolling_range) to the FRONT
+    # of r14 — confirmed there they sit exactly AT the 6-round SLA
+    # boundary (r8 → r14), not past it.
     # R14 PRE-PLAN (VERDICT r12 item 8): r14 takes its changed
-    # kernels, then the 44 r9-stale rows — complex kernels first:
+    # kernels, then the six rows displaced above (agg_percentiles,
+    # vector_quantize_int8, window_ema, window_gap_fill,
+    # window_rolling_range, corpus_bpe_apply — the r8 five are AT
+    # the SLA boundary and go first), then the 44 r9-stale rows —
+    # complex kernels first:
     # analytics_market_basket is already confirmed here, so lead with
     # corpus_perplexity_buckets, stats_linear_regression,
     # window_time_weighted_avg, sketch_loglog_set_ops,
@@ -104,7 +123,13 @@ _PRIORITY = (
     "dq_ann_recall_eval",
     "dq_layout_skipping_eval",
     "graph_bfs_distance",
-    # -- r8-stale re-confirmations (44 = the whole tier) --
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_semantic_cells",
+    "dedup_embedding_cosine",
+    "text_tfidf_top_terms",
+    # -- r8-stale re-confirmations (39 of 44; 5 simplest -> r14) --
     "multimodal_image_dedup",
     "cdc_apply_changelog",
     "pipeline_training_prep",
@@ -144,13 +169,9 @@ _PRIORITY = (
     "agg_abc_pareto",
     "agg_grouping_sets",
     "agg_mode",
-    "agg_percentiles",
-    "vector_quantize_int8",
-    "window_ema",
-    "window_gap_fill",
-    "window_rolling_range",
-    # -- r9 heads (complex first; the rest are pre-planned for r14) --
-    "corpus_bpe_apply",
+    # (agg_percentiles, vector_quantize_int8, window_ema,
+    #  window_gap_fill, window_rolling_range, corpus_bpe_apply:
+    #  displaced to the r14 front by the rule-1 influx above)
     "analytics_market_basket",
     # ---- r13 first 50 end here ----------------------------------------
 
