@@ -429,26 +429,40 @@ def main() -> None:
     # constant (measured r13: an untrained ladder read 5.5/6.2/5.0
     # ms/q — flat — while the trained one reads the real monotone
     # pre-filter slope).
-    for sel_name, pred in (
+    # ORDER-BALANCED timing (r13): by ladder time this JVM has run
+    # dozens of heavy queries and accumulates monotone drift (GC /
+    # storage-memory churn) that can exceed the few-second per-rung
+    # scan deltas — a single forward pass measured the slope
+    # INVERTED purely from rung position. Two passes in opposite rung
+    # orders, min per rung: each rung gets one early and one late
+    # placement, so monotone drift cancels in the min and the
+    # marginal scan cost is the surviving signal.
+    rungs = [
         ("50pct", "vec_id % 2 = 0"),
         ("6pct", "vec_id % 16 = 7"),
         ("1pct", "vec_id % 100 = 7"),
-    ):
-        fn = lambda spark, sf_dir, _p=pred: ivf_topk(  # noqa: E731
-            emb_scale,
-            seed_bits=5,
-            candidate_ids=emb_scale.filter(F.expr(_p)).select("vec_id"),
-            memo_path=emb_scale_path,
-        )
-        sec, rows_out = _timed(fn, spark, SCALE_DIR)
+    ]
+    best: dict[str, tuple[float, int]] = {}
+    for ordered in (rungs, list(reversed(rungs))):
+        for sel_name, pred in ordered:
+            fn = lambda spark, sf_dir, _p=pred: ivf_topk(  # noqa: E731
+                emb_scale,
+                seed_bits=5,
+                candidate_ids=emb_scale.filter(F.expr(_p)).select("vec_id"),
+                memo_path=emb_scale_path,
+            )
+            sec, rows_out = _timed(fn, spark, SCALE_DIR)
+            if sel_name not in best or sec < best[sel_name][0]:
+                best[sel_name] = (sec, rows_out)
+            release_all()
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+    for sel_name, (sec, rows_out) in best.items():
         ladder[sel_name] = {
             "sec": sec,
             "per_query_ms": round(sec / n_q * 1000, 1),
             "rows_out": rows_out,
         }
-        release_all()
-        spark.catalog.clearCache()
-        spark._jvm.System.gc()
     report["filtered_ann_selectivity_ladder"] = ladder
     sel_ok = (
         ladder["6pct"]["per_query_ms"] <= ladder["50pct"]["per_query_ms"]
@@ -475,22 +489,38 @@ def main() -> None:
     dq_knn_recall_eval(spark, SCALE_DIR, eval_sample_den=960).collect()
     sampled_eval: dict[str, object] = {}
     timings: dict[int, tuple[float, int]] = {}
+    rows_by_den: dict[int, object] = {}
+    # order-balanced min-of-two, like the ladder: the fixed
+    # graph-side recompute inside each call swings by seconds in the
+    # late-smoke JVM — a single forward pass once measured a NEGATIVE
+    # marginal purely from that noise. Each den gets one early and
+    # one late placement; the min is the low-noise estimate the
+    # marginal is computed from.
+    for ordered in ((960, 60), (60, 960)):
+        for den in ordered:
+            t0 = time.perf_counter()
+            row = dq_knn_recall_eval(
+                spark, SCALE_DIR, eval_sample_den=den
+            ).collect()[0]
+            sec = round(time.perf_counter() - t0, 2)
+            if den not in timings or sec < timings[den][0]:
+                timings[den] = (sec, row["n_vectors"])
+                rows_by_den[den] = row
+            release_all()
+            spark.catalog.clearCache()
     for den in (960, 60):
-        t0 = time.perf_counter()
-        row = dq_knn_recall_eval(
-            spark, SCALE_DIR, eval_sample_den=den
-        ).collect()[0]
-        sec = round(time.perf_counter() - t0, 2)
-        timings[den] = (sec, row["n_vectors"])
+        sec, n_vec = timings[den]
         sampled_eval[f"den{den}"] = {
             "sec": sec,
-            "n_vectors": row["n_vectors"],
-            "graph_recall": row["graph_recall"],
+            "n_vectors": n_vec,
+            "graph_recall": rows_by_den[den]["graph_recall"],
         }
-        release_all()
-        spark.catalog.clearCache()
     dq = timings[60][1] - timings[960][1]
-    per_q_ms = round((timings[60][0] - timings[960][0]) / dq * 1000, 2)
+    # clamp at 0: a negative diff means the exact-side delta is
+    # below residual noise, i.e. indistinguishable from free
+    per_q_ms = round(
+        max(timings[60][0] - timings[960][0], 0.0) / dq * 1000, 2
+    )
     sampled_eval["marginal_ms_per_sampled_query"] = per_q_ms
     sampled_eval["extrapolated_full_exact_side_sec"] = round(
         per_q_ms * 120000 / 1000, 1
