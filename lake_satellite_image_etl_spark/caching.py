@@ -95,7 +95,7 @@ def release_all() -> None:
 _PATH_MEMO_ATTR = "_lse_path_memo"
 
 
-def memo_per_path(spark, key: str, path: str, compute):
+def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
     """Memoize a bounded construction-time artifact per (session,
     ``key``, ``path`` stat) — the generalization of the IVF codebook
     memo (VERDICT r12 item 4) that moved the whole IVF family off the
@@ -114,6 +114,13 @@ def memo_per_path(spark, key: str, path: str, compute):
       lifetime (a stopped session's artifacts are not pinned by a
       module global).
 
+    ``on_evict`` (r13 review): called with the OLD value when a
+    stale entry is replaced after a path rewrite — artifacts holding
+    executor-side resources (a pyspark Broadcast) pass a release
+    hook (e.g. ``lambda bc: bc.unpersist()``) so rewrite generations
+    free deterministically instead of waiting on Python GC + the
+    ContextCleaner; a plain value (schema, scalar, list) needs none.
+
     Only memoize BOUNDED artifacts (model-artifact class: caps or
     structural bounds documented at the call site) — this is a
     driver-memory contract, not a result cache."""
@@ -131,5 +138,11 @@ def memo_per_path(spark, key: str, path: str, compute):
     k = (key, path)
     hit = memo.get(k)
     if hit is None or hit[0] != stat_key:
-        memo[k] = (stat_key, compute())
+        value = compute()  # compute BEFORE evicting: a raise keeps the old entry
+        if hit is not None and on_evict is not None:
+            try:
+                on_evict(hit[1])
+            except Exception:
+                pass
+        memo[k] = (stat_key, value)
     return memo[k][1]

@@ -57,37 +57,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
 
     def _read(path: str) -> DataFrame:
-        # memoize the RAW reader schema per (session, path): parquet
-        # schema inference runs one Spark job per read, so without
-        # the memo every query CONSTRUCTION paid a driver job per
-        # table touched (r10; plan-only tooling and bench warm passes
-        # re-read the same fixtures hundreds of times). An explicit
-        # .schema() skips inference entirely — the first read of a
-        # path pays the one inference job, every later read is
-        # jobless. Session-scoped (marker attr dies with the
-        # session). The memo holds ONE live entry per path, keyed
-        # path -> ((mtime_ns, size), schema): the stat key makes an
-        # OVERWRITTEN path re-infer instead of silently serving the
-        # stale schema (ADVICE r10: tests write tmp dirs with
-        # mode('overwrite'); a dataset rewrite renames new part files
-        # into the dir, so the stat changes even when the path string
-        # does not), and replacing — not accumulating — stat keys for
-        # the same path keeps a long-lived session that repeatedly
-        # rewrites tmp dirs from growing the dict unboundedly
-        # (ADVICE r11).
-        memo = getattr(spark, "_lse_schema_memo", None)
-        if memo is None:
-            memo = {}
-            spark._lse_schema_memo = memo
-        try:
-            st = os.stat(path)
-            stat_key = (st.st_mtime_ns, st.st_size)
-        except OSError:
-            stat_key = None
-        hit = memo.get(path)
-        if hit is None or hit[0] != stat_key:
-            memo[path] = (stat_key, spark.read.parquet(path).schema)
-        return spark.read.schema(memo[path][1]).parquet(path)
+        # memoize the RAW reader schema per (session, path stat):
+        # parquet schema inference runs one Spark job per read, so
+        # without the memo every query CONSTRUCTION paid a driver job
+        # per table touched (r10; plan-only tooling and bench warm
+        # passes re-read the same fixtures hundreds of times). An
+        # explicit .schema() skips inference entirely — first read of
+        # a path pays the one inference job, every later read is
+        # jobless. This was the ORIGINAL instance of the per-path
+        # memo pattern; it now delegates to the generalized
+        # caching.memo_per_path (r13 review: two hand-rolled copies
+        # of the same stat-key invalidation logic would drift), which
+        # carries the ADVICE r10/r11 semantics — overwritten paths
+        # re-infer, one live entry per path, session-scoped.
+        from lake_satellite_image_etl_spark.caching import memo_per_path
+
+        schema = memo_per_path(
+            spark,
+            "schema",
+            path,
+            lambda: spark.read.parquet(path).schema,
+        )
+        return spark.read.schema(schema).parquet(path)
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1316,6 +1316,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb_cosine_matrix",
         os.path.join(sf_dir, "embeddings.parquet"),
         _candidate_matrix,
+        # free the superseded broadcast's executor blocks when a
+        # rewritten fixture replaces the entry (unpersist, not
+        # destroy: a pre-rewrite plan re-executing later can still
+        # re-ship from the driver value)
+        on_evict=lambda old_bc: old_bc.unpersist(blocking=False),
     )
 
     def block(batches):

@@ -2518,64 +2518,74 @@ def dq_knn_recall_eval(
         # kept lower-id equals — the global top-k never needs it.
         pred = eval_sample_pred(F.col("vec_id"), eval_sample_den)
         qrows = n.filter(pred).collect()
-        if len(qrows) > EVAL_SAMPLE_CAP:
-            raise ValueError(
-                f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
-                f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
-                " — raise eval_sample_den; the sample is a broadcast"
-                " model artifact and must stay bounded"
+        if not qrows:
+            # degenerate sample (den larger than any md5 bucket
+            # hits): same contract as the empty-corpus guard —
+            # counts 0, recall NULL, never a driver exception (the
+            # ANN sibling degrades the same way via its coalesces)
+            empty = spark.createDataFrame(
+                [], "vec_id long, neighbor_id long"
             )
-        q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-        q_mat = np.stack([r["qv"] for r in qrows]).astype(np.int64)
-        q_nrm = np.array([r["nrm"] for r in qrows], dtype=np.float64)
-
-        def exact_partials(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            for pdf in batches:
-                pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-                m = len(pdf)
-                if m == 0:
-                    continue
-                c = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
-                c_nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
-                c_ids = pdf["vec_id"].to_numpy()
-                # (n_queries, batch) cosine gram, self masked
-                cos = (q_mat @ c.T).astype(_np.float64) / (
-                    q_nrm[:, None] * c_nrm[None, :]
+            exact, graph = empty, empty
+        else:
+            if len(qrows) > EVAL_SAMPLE_CAP:
+                raise ValueError(
+                    f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
+                    f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
+                    " — raise eval_sample_den; the sample is a broadcast"
+                    " model artifact and must stay bounded"
                 )
-                cos[q_ids[:, None] == c_ids[None, :]] = -_np.inf
-                kk = min(KNN_K, m)
-                order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-                rows = _np.repeat(_np.arange(len(q_ids)), kk)
-                cols = order.ravel()
-                keep = cos[rows, cols] > -_np.inf
-                yield _pd.DataFrame(
-                    {
-                        "vec_id": q_ids[rows[keep]],
-                        "neighbor_id": c_ids[cols[keep]],
-                        "cos_ex": cos[rows[keep], cols[keep]],
-                    }
-                )
+            q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+            q_mat = np.stack([r["qv"] for r in qrows]).astype(np.int64)
+            q_nrm = np.array([r["nrm"] for r in qrows], dtype=np.float64)
 
-        partials = n.mapInPandas(
-            exact_partials,
-            schema="vec_id long, neighbor_id long, cos_ex double",
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cos_ex"), F.asc("neighbor_id")
-        )
-        exact = (
-            partials.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= KNN_K)
-            .select("vec_id", "neighbor_id")
-        )
-        graph = (
-            similarity_knn_graph(spark, sf_dir)
-            .filter(pred)
-            .select("vec_id", "neighbor_id")
-        )
+            def exact_partials(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in batches:
+                    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                    m = len(pdf)
+                    if m == 0:
+                        continue
+                    c = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
+                    c_nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
+                    c_ids = pdf["vec_id"].to_numpy()
+                    # (n_queries, batch) cosine gram, self masked
+                    cos = (q_mat @ c.T).astype(_np.float64) / (
+                        q_nrm[:, None] * c_nrm[None, :]
+                    )
+                    cos[q_ids[:, None] == c_ids[None, :]] = -_np.inf
+                    kk = min(KNN_K, m)
+                    order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+                    rows = _np.repeat(_np.arange(len(q_ids)), kk)
+                    cols = order.ravel()
+                    keep = cos[rows, cols] > -_np.inf
+                    yield _pd.DataFrame(
+                        {
+                            "vec_id": q_ids[rows[keep]],
+                            "neighbor_id": c_ids[cols[keep]],
+                            "cos_ex": cos[rows[keep], cols[keep]],
+                        }
+                    )
+
+            partials = n.mapInPandas(
+                exact_partials,
+                schema="vec_id long, neighbor_id long, cos_ex double",
+            )
+            w = Window.partitionBy("vec_id").orderBy(
+                F.desc("cos_ex"), F.asc("neighbor_id")
+            )
+            exact = (
+                partials.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= KNN_K)
+                .select("vec_id", "neighbor_id")
+            )
+            graph = (
+                similarity_knn_graph(spark, sf_dir)
+                .filter(pred)
+                .select("vec_id", "neighbor_id")
+            )
     tagged = exact.select(
         "vec_id",
         "neighbor_id",

@@ -96,14 +96,15 @@ _PRIORITY = (
     # identical locally, but changed kernel ⇒ window):
     # dedup_simhash, dedup_ngram_jaccard, dedup_containment,
     # dedup_semantic_cells, dedup_embedding_cosine,
-    # text_tfidf_top_terms. (The other four migrations —
-    # dedup_sorted_neighborhood, multimodal_image_dedup,
-    # corpus_bloom_prefilter, analytics_market_basket — were already
-    # in this window as stale rows.)
-    # Slots 11-50 = 39 of the 44 r8-stale rows (the displaced-from-
-    # r12 four first, then complex kernels first). The rule-1 influx
-    # displaced corpus_bpe_apply (r9 head) and the five SIMPLEST
-    # r8-tail rows (agg_percentiles, vector_quantize_int8,
+    # text_tfidf_top_terms. (The other four migrations were already
+    # in this window: dedup_sorted_neighborhood,
+    # multimodal_image_dedup, corpus_bloom_prefilter as r8-stale
+    # rows; analytics_market_basket as an r9 head.)
+    # Slots 11-50 = 40 rows: the 39 remaining r8-stale rows (the
+    # displaced-from-r12 four first, then complex kernels first)
+    # plus analytics_market_basket at the tail. The rule-1 influx
+    # displaced corpus_bpe_apply (the other r9 head) and the five
+    # SIMPLEST r8-tail rows (agg_percentiles, vector_quantize_int8,
     # window_ema, window_gap_fill, window_rolling_range) to the FRONT
     # of r14 — confirmed there they sit exactly AT the 6-round SLA
     # boundary (r8 → r14), not past it.

@@ -89,3 +89,17 @@ def test_knn_sampled_cap_trips(spark):
             dq_knn_recall_eval(spark, SF, eval_sample_den=2).collect()
     finally:
         similarity.EVAL_SAMPLE_CAP = old
+
+
+def test_knn_sampled_empty_sample_degrades_gracefully(spark):
+    """A den larger than any md5 bucket hits must produce the
+    harness family's degenerate row (counts 0, recall NULL), not an
+    np.stack crash at construction (r13 review finding)."""
+    row = _row(dq_knn_recall_eval(spark, SF, eval_sample_den=10**9))
+    assert row == {
+        "n_vectors": 0,
+        "exact_edges": 0,
+        "graph_edges": 0,
+        "hits": 0,
+        "graph_recall": None,
+    }
