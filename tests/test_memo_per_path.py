@@ -1,0 +1,106 @@
+"""Unit contract of caching.memo_per_path (r13) — the generalized
+per-(session, path stat) artifact memo that io.py's schema memo, the
+IVF codebook memo callers, and the r13 construction-jobs migrations
+all ride. Driver-side only; no Spark jobs."""
+
+from __future__ import annotations
+
+import os
+
+from lake_satellite_image_etl_spark.caching import memo_per_path
+
+
+class _FakeSession:
+    """memo_per_path only setattr/getattrs a dict on the session."""
+
+
+def test_computes_once_per_unchanged_path(tmp_path):
+    spark = _FakeSession()
+    f = tmp_path / "x.parquet"
+    f.write_text("v1")
+    calls = []
+    for _ in range(3):
+        v = memo_per_path(spark, "k", str(f), lambda: calls.append(1) or 7)
+        assert v == 7
+    assert len(calls) == 1
+
+
+def test_stat_change_recomputes_and_evicts(tmp_path):
+    spark = _FakeSession()
+    f = tmp_path / "x.parquet"
+    f.write_text("v1")
+    evicted = []
+    v1 = memo_per_path(
+        spark, "k", str(f), lambda: "first", on_evict=evicted.append
+    )
+    assert v1 == "first" and evicted == []
+    f.write_text("longer-v2")  # size changes -> stat key changes
+    v2 = memo_per_path(
+        spark, "k", str(f), lambda: "second", on_evict=evicted.append
+    )
+    assert v2 == "second"
+    assert evicted == ["first"]
+    # one live entry per (key, path): the stale generation is gone
+    memo = spark._lse_path_memo
+    assert len([k for k in memo if k == ("k", str(f))]) == 1
+
+
+def test_compute_raise_keeps_old_entry(tmp_path):
+    """A failing recompute must not tear down the previous value:
+    compute runs BEFORE eviction (the embedding-cosine cap guard
+    relies on a raise leaving no partial state)."""
+    spark = _FakeSession()
+    f = tmp_path / "x.parquet"
+    f.write_text("v1")
+    evicted = []
+    memo_per_path(spark, "k", str(f), lambda: "good", on_evict=evicted.append)
+    f.write_text("rewritten!")
+
+    def boom():
+        raise ValueError("over cap")
+
+    try:
+        memo_per_path(spark, "k", str(f), boom, on_evict=evicted.append)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert evicted == []  # nothing was torn down
+    # and the NEXT call against the changed stat retries compute
+    v = memo_per_path(
+        spark, "k", str(f), lambda: "retried", on_evict=evicted.append
+    )
+    assert v == "retried" and evicted == ["good"]
+
+
+def test_keys_do_not_collide_across_names(tmp_path):
+    spark = _FakeSession()
+    f = tmp_path / "x.parquet"
+    f.write_text("v1")
+    a = memo_per_path(spark, "a", str(f), lambda: "A")
+    b = memo_per_path(spark, "b", str(f), lambda: "B")
+    assert (a, b) == ("A", "B")
+
+
+def test_missing_path_memoizes_until_path_appears(tmp_path):
+    """OSError -> stat None: a missing path memoizes (same behavior
+    the schema memo always had) and re-computes once the path exists
+    (stat None -> real key)."""
+    spark = _FakeSession()
+    f = tmp_path / "later.parquet"
+    v1 = memo_per_path(spark, "k", str(f), lambda: "absent")
+    assert v1 == "absent"
+    f.write_text("now here")
+    v2 = memo_per_path(spark, "k", str(f), lambda: "present")
+    assert v2 == "present"
+
+
+def test_mtime_only_change_recomputes(tmp_path):
+    """Same size, newer mtime — the rewrite pattern mode('overwrite')
+    produces — must invalidate."""
+    spark = _FakeSession()
+    f = tmp_path / "x.parquet"
+    f.write_text("same-size")
+    memo_per_path(spark, "k", str(f), lambda: 1)
+    st = os.stat(str(f))
+    os.utime(str(f), ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert memo_per_path(spark, "k", str(f), lambda: 2) == 2
