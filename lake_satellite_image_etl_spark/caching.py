@@ -106,7 +106,13 @@ def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
       the same unchanged path — construction becomes jobless after
       first touch, exactly like schema inference;
     - the stat key (mtime_ns, size) means an overwritten path
-      re-computes instead of silently reusing a stale artifact;
+      re-computes instead of silently reusing a stale artifact; for
+      a DIRECTORY path (Spark-written datasets) the key also folds
+      in the max (mtime_ns, size) over its direct entries (ADVICE
+      r13): an in-place part-file rewrite that keeps entry names —
+      which leaves the directory inode untouched — must invalidate
+      result-bearing artifacts (bloom masks, candidate matrices),
+      not serve stale query output;
     - ONE live entry per (key, path): replace, don't accumulate stat
       generations (ADVICE r11), so long-lived sessions that rewrite
       tmp fixture dirs stay bounded;
@@ -129,6 +135,19 @@ def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
     try:
         st = os.stat(path)
         stat_key = (st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # one os.scandir of the direct entries (part files) —
+            # no recursion: Spark datasets are flat, and the driver
+            # fixtures are single files that never reach here
+            with os.scandir(path) as it:
+                inner = max(
+                    (
+                        (e.stat().st_mtime_ns, e.stat().st_size)
+                        for e in it
+                    ),
+                    default=(0, 0),
+                )
+            stat_key = stat_key + inner
     except OSError:
         stat_key = None
     memo = getattr(spark, _PATH_MEMO_ATTR, None)

@@ -1136,7 +1136,9 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.replace("{HSH}", _SQL_HSHINGLES)
     .replace("{MINH}", _SQL_MINHASH),
 )
-def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dq_dedup_recall_eval(
+    spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
+) -> DataFrame:
     """Dedup-pipeline EVALUATION ("measure, don't guess"): how much
     of the TRUE near-dup pair set does the banded MinHash stage
     surface, and how much of what it surfaces is real? Ground truth =
@@ -1152,13 +1154,37 @@ def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness runs on a SAMPLE at 100 TB (the standard eval practice);
     the candidate side is the production banded path unchanged. Both
     sides stay relational: inverted-index equi-join + per-pair
-    aggregate, never an all-pairs product."""
+    aggregate, never an all-pairs product.
+
+    ``eval_sample_den`` (VERDICT r13 item 5 — the "runs on a SAMPLE"
+    promise above as a code path, same contract as the ANN/kNN
+    harnesses): when set, the eval measures recall/precision over
+    the pairs whose LOWER doc_id (``doc_a`` — the canonical pair
+    orientation both sides share) falls in the ~1/den deterministic
+    md5 sample (``eval_sample_pred``). The predicate lands on the
+    probe side of the inverted-index join BEFORE the explode, so the
+    Σ df·(df−1)/2 ground-truth pair work — the term the 10×-docs
+    smoke measured growing 39.9× — shrinks ∝ the sample; the
+    candidate side is the production banded kernel unchanged,
+    post-filtered on the same predicate. Pairs are hash-uniform in
+    doc_a, so sampled recall/precision are unbiased estimates of the
+    full numbers (ε-pinned by the fixture test). Default None = full
+    corpus: the registered oracle row is unchanged."""
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        eval_sample_pred,
+    )
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
         "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
     )
     d = sh.select("doc_id", F.array_distinct("hsh").alias("ds"))
-    ex_a = d.select(
+    da = (
+        d
+        if eval_sample_den is None
+        else d.filter(eval_sample_pred(F.col("doc_id"), eval_sample_den))
+    )
+    ex_a = da.select(
         F.col("doc_id").alias("doc_a"), F.explode("ds").alias("s")
     )
     ex_b = d.select(
@@ -1186,6 +1212,13 @@ def dq_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = minhash_pairs(docs, min_jaccard=None)
+    if eval_sample_den is not None:
+        # same predicate, same pair orientation: the candidate side
+        # is the production banded kernel unchanged, post-filtered —
+        # a narrow filter on its output, not a new plan shape
+        cand = cand.filter(
+            eval_sample_pred(F.col("doc_a"), eval_sample_den)
+        )
     # one union + one aggregate instead of crossJoining two 1-row
     # aggregates: same values, and the plan carries no
     # BroadcastNestedLoopJoin for the audit to flag

@@ -53,6 +53,27 @@ def eval_sample_pred(id_col, den: int):
     the workload definition."""
     return tok_hash60(id_col.cast("string")) % int(den) == 0
 
+
+def sql_eval_sample_pred(col: str, den: int) -> str:
+    """DuckDB twin of ``eval_sample_pred`` (same md5-bucket recipe as
+    sampling.py::_sql_key_hash), so a SAMPLED eval run is fully
+    oracle-checkable: the predicate is deterministic and
+    SQL-expressible, which is what lets the sampled siblings of the
+    n²-exact-side harnesses carry a complete DuckDB oracle instead
+    of a rows-only check (VERDICT r13 item 2)."""
+    return (
+        f"('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {int(den)} = 0"
+    )
+
+
+#: pinned denominator of the REGISTERED sampled-eval siblings
+#: (dq_ann/knn_recall_eval_sampled): ~1/4 of ids keeps the sf0.01
+#: fixture sample large enough to be a meaningful recall estimate
+#: while exercising the distributed |sample| × n mapInPandas shape —
+#: the plan that ships at 100 TB — under the driver's hash gate.
+EVAL_SAMPLE_DEN_REGISTERED = 4
+
 N_PLANES = 8
 
 #: Hard cap on collected IVF codebook cells (the coarse quantizer is
@@ -592,9 +613,24 @@ def similarity_ann_filtered_sparse(
     )
 
 
-@query(
-    "dq_ann_recall_eval",
-    oracle=f"""
+def _sql_ann_recall_oracle(sample_den: int | None = None) -> str:
+    """The ANN-recall-eval oracle, parameterized on the sampled-eval
+    denominator so the full entry and its ``_sampled`` sibling share
+    one SQL body (same pattern as ``_sql_knn_recall_oracle``). The
+    predicate filters the QUERY side of both kernels — a pre-rank
+    partition-key filter, equivalent to the Spark path's post-filter
+    on the kernel outputs."""
+    samp = (
+        ""
+        if sample_den is None
+        else f" AND {sql_eval_sample_pred('a.vec_id', sample_den)}"
+    )
+    samp_p = (
+        ""
+        if sample_den is None
+        else f"\n              AND {sql_eval_sample_pred('vec_id', sample_den)}"
+    )
+    return f"""
     -- ANN INDEX EVALUATION: recall@{TOP_K} of the registered IVF
     -- index (label codebook, {N_PROBE} probes) vs the exact cosine
     -- brute force, measured on the corpus itself — the number the
@@ -608,13 +644,13 @@ def similarity_ann_filtered_sparse(
                             / (a.nrm * b.nrm) DESC,
                        b.vec_id) AS rank
         FROM n a JOIN n b ON b.vec_id != a.vec_id
-        WHERE a.vec_id % {QUERY_STRIDE} = 0
+        WHERE a.vec_id % {QUERY_STRIDE} = 0{samp}
     ),
     ex AS (SELECT query_id, candidate_id FROM expairs
            WHERE rank <= {TOP_K}),
     probes AS (
         SELECT vec_id AS query_id, c_label FROM assigned
-        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0
+        WHERE crank <= {N_PROBE} AND vec_id % {QUERY_STRIDE} = 0{samp_p}
     ),
     ivfp AS (
         SELECT p.query_id, l.vec_id AS candidate_id,
@@ -640,8 +676,10 @@ def similarity_ann_filtered_sparse(
     SELECT n_queries, exact_pairs, ann_pairs, hits,
            round(hits::DOUBLE / NULLIF(exact_pairs, 0), 6) AS recall_at_k
     FROM m
-    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES),
-)
+    """.replace("{IVF_CTES}", SQL_IVF_CELL_CTES)
+
+
+@query("dq_ann_recall_eval", oracle=_sql_ann_recall_oracle())
 def dq_ann_recall_eval(
     spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
 ) -> DataFrame:
@@ -716,6 +754,27 @@ def dq_ann_recall_eval(
             / F.when(F.col("exact_pairs") > 0, F.col("exact_pairs")),
             6,
         ).alias("recall_at_k"),
+    )
+
+
+@query(
+    "dq_ann_recall_eval_sampled",
+    oracle=_sql_ann_recall_oracle(EVAL_SAMPLE_DEN_REGISTERED),
+)
+def dq_ann_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED ANN-recall eval as a driver-checked entry
+    (VERDICT r13 item 2): the query-side ``eval_sample_pred``
+    restriction is the plan that ships at 100 TB — exact-side pair
+    work shrinks ∝ the sample because Catalyst pushes the predicate
+    through the top-k window (partition key) into the broadcast
+    query side of both composed kernels — so the rotation
+    hash-verifies that plan every cycle, not only a pytest path.
+    Denominator pinned at {EVAL_SAMPLE_DEN_REGISTERED}; the
+    md5-bucket predicate is SQL-expressible, so the sibling carries
+    the same FULL DuckDB oracle, predicate-filtered on both sides.
+    The full-query-set form stays registered as the cross-check."""
+    return dq_ann_recall_eval(
+        spark, sf_dir, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
     )
 
 
@@ -1191,13 +1250,22 @@ def _bucket_expr(qv, n_planes: int = N_PLANES):
     sign of the integer projection onto hyperplane p. Planes are
     literal arrays — data-independent, known at plan time,
     constant-folded by Catalyst."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(w).cast("long") for w in row])
+    # one F.expr per constant array: the 8×64 plane matrix spelled as
+    # individual F.lit().cast() Columns costs ~1,500 py4j round-trips
+    # (~1.2 s of DRIVER time per fresh-session IVF construction —
+    # profiled r14); a single SQL string parses JVM-side in one call
+    # and constant-folds to the identical Literal array
+    planes = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{w}L" for w in row) + ")"
             for row in PLANES[:n_planes]
-        ]
+        )
+        + ")"
     )
-    powers = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    powers = F.expr(
+        "array(" + ", ".join(f"{1 << p}L" for p in range(n_planes)) + ")"
+    )
     projections = F.transform(
         planes,
         lambda row: F.aggregate(
@@ -2138,6 +2206,117 @@ KNN_GRAM_BLOCK_ELEMS = 4_000_000
 #: rather than one O(m²) gram. None in production: zero overhead.
 KNN_BLOCK_ACC = None
 
+#: float64 integer-exactness envelope: every intermediate of an
+#: integer-valued float64 matmul (products, partial sums in any
+#: order, FMA contractions) is exact as long as its magnitude stays
+#: below 2^53 — integers up to 2^53 are representable and integer
+#: add/mul within the bound round to themselves.
+_F64_EXACT_BOUND = float(2**53)
+
+
+def _gram_int_exact(a, b_t):
+    """Exact integer gram ``a @ b_t`` (both int64), computed through
+    float64 BLAS when the exactness envelope holds — returns float64.
+
+    numpy's int64 matmul gets no BLAS dispatch (generic C loops;
+    measured 6.1 s for a 2000×64 self-gram in the r13 driver bench —
+    VERDICT r13 item 1), while the float64 path is one dgemm call
+    (~0.05 s). Exactness: inputs are quantized integer vectors
+    (functions/vectors.py, |component| ≤ QUANT·|x|), so every
+    product is ≤ amax·bmax and every partial sum ≤ d·amax·bmax;
+    when that bound is < 2^53 all intermediates are exactly
+    representable integers regardless of summation order, blocking,
+    or FMA — the dgemm result is bit-identical to the int64 loop.
+    The envelope is CHECKED per call (data, not assumption); outside
+    it we fall back to the exact-but-slow int64 loops."""
+    import numpy as _np
+
+    amax = float(_np.abs(a).max(initial=0))
+    bmax = float(_np.abs(b_t).max(initial=0))
+    if amax * bmax * a.shape[1] < _F64_EXACT_BOUND:
+        return a.astype(_np.float64) @ b_t.astype(_np.float64)
+    return (a @ b_t).astype(_np.float64)
+
+
+def _topk_cols_stable(cos, kk):
+    """Row-wise top-``kk`` column selection of ``cos`` under the
+    (value desc, column-index asc) order — bit-identical to
+    ``np.argsort(-cos, axis=1, kind="stable")[:, :kk]`` but built on
+    ``np.argpartition`` so the per-row cost is O(m + kk·log kk)
+    instead of a full O(m·log m) stable sort (the 15.2 s line of the
+    r13 dq_knn_recall_eval regression — VERDICT r13 item 1). Columns
+    MUST be id-sorted by the caller (they are: every kernel sorts
+    its batch by vec_id) so index-asc == id-asc.
+
+    Tie safety: argpartition guarantees the slice holds the P
+    largest VALUES but picks arbitrarily among ties at the slice
+    boundary. The slice is padded (P = kk + 8) and any row whose
+    kk-th kept value still equals the slice minimum — the only case
+    where a lower-id tie could have been cut — falls back to the
+    full stable argsort for that row alone (rare: needs ≥ 9-way
+    cosine ties straddling the boundary).
+
+    Returns flat ``(rows, cols)`` index arrays with -inf (masked)
+    entries dropped — the exact post-``keep`` shape the kernels
+    consumed from the argsort form."""
+    import numpy as _np
+
+    nr, m = cos.shape
+    kk = min(kk, m)
+    if kk <= 0 or nr == 0:
+        z = _np.array([], dtype=_np.int64)
+        return z, z
+    pad = min(m, kk + 8)
+    if pad >= m:
+        order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+    else:
+        neg = -cos
+        part = _np.argpartition(neg, pad - 1, axis=1)[:, :pad]
+        part.sort(axis=1)  # ascending col index → id-stable ties
+        pv = _np.take_along_axis(neg, part, axis=1)
+        o2 = _np.argsort(pv, axis=1, kind="stable")
+        pvs = _np.take_along_axis(pv, o2, axis=1)
+        order = _np.take_along_axis(part, o2[:, :kk], axis=1)
+        unsafe = _np.flatnonzero(pvs[:, kk - 1] == pvs[:, pad - 1])
+        if unsafe.size:
+            order[unsafe] = _np.argsort(
+                neg[unsafe], axis=1, kind="stable"
+            )[:, :kk]
+    rows = _np.repeat(_np.arange(nr), kk)
+    cols = order.ravel()
+    keep = cos[rows, cols] > -_np.inf
+    return rows[keep], cols[keep]
+
+
+def _topk_rows_idx(cos, kk):
+    """Column-wise (axis-0) twin of ``_topk_cols_stable``: the top-``kk``
+    ROW indices per column under (value desc, row-index asc), shape
+    ``(min(kk, nr), m)`` — bit-identical to
+    ``np.argsort(-cos, axis=0, kind="stable")[:kk]`` including -inf
+    (masked) entries, which the kNN-graph column-direction merge
+    filters at the end. Same argpartition + padded-slice + rare
+    full-sort-fallback tie rule as the row helper."""
+    import numpy as _np
+
+    nr, m = cos.shape
+    kk = min(kk, nr)
+    neg = -cos
+    pad = min(nr, kk + 8)
+    if kk <= 0 or m == 0 or pad >= nr:
+        return _np.argsort(neg, axis=0, kind="stable")[:kk]
+    part = _np.argpartition(neg, pad - 1, axis=0)[:pad]
+    part.sort(axis=0)  # ascending row index → id-stable ties
+    pv = _np.take_along_axis(neg, part, axis=0)
+    o2 = _np.argsort(pv, axis=0, kind="stable")
+    pvs = _np.take_along_axis(pv, o2, axis=0)
+    order = _np.take_along_axis(part, o2[:kk], axis=0)
+    unsafe = _np.flatnonzero(pvs[kk - 1] == pvs[pad - 1])
+    if unsafe.size:
+        order[:, unsafe] = _np.argsort(
+            neg[:, unsafe], axis=0, kind="stable"
+        )[:kk]
+    return order
+
 #: the kNN-graph oracle's CTE chain (derived-geometry codebook →
 #: multi-probe pair set → symmetrized edges → per-vector ranking),
 #: shared VERBATIM by the similarity_knn_graph oracle and the
@@ -2295,29 +2474,29 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for lo in range(0, len(pdf), block):
             hi = min(lo + block, len(pdf))
-            cos = (xq[lo:hi] @ xm.T).astype(_np.float64) / (
+            # f64 BLAS gram (exactness-checked) — int64 matmul gets
+            # no BLAS; bit-identical within the asserted envelope
+            cos = _gram_int_exact(xq[lo:hi], xm.T) / (
                 nq[lo:hi, None] * nm[None, :]
             )
             cos[mids[None, :] == qids[lo:hi, None]] = -_np.inf  # self
             # row direction: per prober, top-kk members (ties → lowest
-            # member id: member columns are id-sorted + stable sort)
-            order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-            rows = _np.repeat(_np.arange(hi - lo), kk)
-            cols = order.ravel()
-            keep = cos[rows, cols] > -_np.inf
+            # member id: member columns are id-sorted + the helper's
+            # index-stable selection — argpartition, not a full sort)
+            rows, cols = _topk_cols_stable(cos, kk)
             out.append(
                 _pd.DataFrame(
                     {
-                        "vec_id": qids[lo:hi][rows[keep]],
-                        "neighbor_id": mids[cols[keep]],
-                        "cos": cos[rows[keep], cols[keep]],
+                        "vec_id": qids[lo:hi][rows],
+                        "neighbor_id": mids[cols],
+                        "cos": cos[rows, cols],
                     }
                 )
             )
             # column direction: this block's per-member top-kk_c
             # probers (rows are id-sorted + stable sort → lowest
             # prober id wins ties), merged into the running bests
-            oc = _np.argsort(-cos, axis=0, kind="stable")[:kk_c]
+            oc = _topk_rows_idx(cos, kk_c)
             bv = _np.take_along_axis(cos, oc, axis=0)
             bi = qids[lo:hi][oc]
             vcat = _np.vstack([col_vals, bv])
@@ -2378,16 +2557,32 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_knn_recall_eval",
-    oracle=f"""
+def _sql_knn_recall_oracle(sample_den: int | None = None) -> str:
+    """The kNN-recall-eval oracle, parameterized on the sampled-eval
+    denominator so the full entry and its ``_sampled`` sibling share
+    one SQL body and can never drift. The predicate lands on the
+    EXACT side's query vectors and the graph side's ``vec_id`` —
+    both pre-rank partition-key filters, so filtering before or
+    after the per-vector top-{KNN_K} ranking is equivalent (exactly
+    the shape the Spark sampled path produces)."""
+    samp_e = (
+        ""
+        if sample_den is None
+        else f"\n        WHERE {sql_eval_sample_pred('a.vec_id', sample_den)}"
+    )
+    samp_g = (
+        ""
+        if sample_den is None
+        else f"\n                AND {sql_eval_sample_pred('vec_id', sample_den)}"
+    )
+    return f"""
     -- kNN-GRAPH EVALUATION: recall of the symmetrized multi-probe
     -- graph vs the exact all-pairs top-{KNN_K} graph, measured on the
     -- corpus itself — the number the KNN_PROBES dial (and the r12
     -- symmetrization) is tuned against.
     WITH {SQL_KNN_GRAPH_CTES},
     graph AS (SELECT vec_id, neighbor_id FROM rk
-              WHERE rank <= {KNN_K}),
+              WHERE rank <= {KNN_K}{samp_g}),
     expairs AS (
         SELECT a.vec_id, b.vec_id AS neighbor_id,
                row_number() OVER (
@@ -2395,7 +2590,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY {sql_dot("a.qv", "b.qv")}::DOUBLE
                             / (a.nrm * b.nrm) DESC,
                        b.vec_id) AS rank
-        FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        FROM n a JOIN n b ON b.vec_id <> a.vec_id{samp_e}
     ),
     ex AS (SELECT vec_id, neighbor_id FROM expairs
            WHERE rank <= {KNN_K}),
@@ -2411,8 +2606,10 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(hits::DOUBLE / NULLIF(exact_edges, 0), 6)
                AS graph_recall
     FROM m
-    """,
-)
+    """
+
+
+@query("dq_knn_recall_eval", oracle=_sql_knn_recall_oracle())
 def dq_knn_recall_eval(
     spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
 ) -> DataFrame:
@@ -2480,16 +2677,16 @@ def dq_knn_recall_eval(
         out_v, out_n = [], []
         for lo in range(0, m, block):
             hi = min(lo + block, m)
-            cos = (x[lo:hi] @ x.T).astype(_np.float64) / (
+            # f64 BLAS gram (exactness-checked) + argpartition top-k:
+            # the two lines that were 6.1 s + 15.2 s of the r13
+            # regression (VERDICT r13 item 1), bit-identical output
+            cos = _gram_int_exact(x[lo:hi], x.T) / (
                 nrm[lo:hi, None] * nrm[None, :]
             )
             cos[ids[None, :] == ids[lo:hi, None]] = -_np.inf  # self
-            order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-            rows = _np.repeat(_np.arange(hi - lo), kk)
-            cols = order.ravel()
-            keep = cos[rows, cols] > -_np.inf
-            out_v.append(ids[lo:hi][rows[keep]])
-            out_n.append(ids[cols[keep]])
+            rows, cols = _topk_cols_stable(cos, kk)
+            out_v.append(ids[lo:hi][rows])
+            out_n.append(ids[cols])
         return _pd.DataFrame(
             {
                 "vec_id": _np.concatenate(out_v),
@@ -2535,14 +2732,24 @@ def dq_knn_recall_eval(
                     " — raise eval_sample_den; the sample is a broadcast"
                     " model artifact and must stay bounded"
                 )
-            q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-            q_mat = np.stack([r["qv"] for r in qrows]).astype(np.int64)
-            q_nrm = np.array([r["nrm"] for r in qrows], dtype=np.float64)
+            # explicit broadcast (ADVICE r13): the cap-sized sample
+            # matrix (~32 MB at EVAL_SAMPLE_CAP) ships once per
+            # EXECUTOR via the torrent broadcast and is dereferenced
+            # inside the generator — not captured in the closure,
+            # which would re-ship it with every serialized task
+            bc_q = spark.sparkContext.broadcast(
+                (
+                    np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+                    np.stack([r["qv"] for r in qrows]).astype(np.int64),
+                    np.array([r["nrm"] for r in qrows], dtype=np.float64),
+                )
+            )
 
             def exact_partials(batches):
                 import numpy as _np
                 import pandas as _pd
 
+                q_ids, q_mat, q_nrm = bc_q.value
                 for pdf in batches:
                     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
                     m = len(pdf)
@@ -2551,21 +2758,20 @@ def dq_knn_recall_eval(
                     c = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
                     c_nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
                     c_ids = pdf["vec_id"].to_numpy()
-                    # (n_queries, batch) cosine gram, self masked
-                    cos = (q_mat @ c.T).astype(_np.float64) / (
+                    # (n_queries, batch) cosine gram (f64 BLAS,
+                    # exactness-checked), self masked; argpartition
+                    # top-k — same r13-regression fix as the full path
+                    cos = _gram_int_exact(q_mat, c.T) / (
                         q_nrm[:, None] * c_nrm[None, :]
                     )
                     cos[q_ids[:, None] == c_ids[None, :]] = -_np.inf
                     kk = min(KNN_K, m)
-                    order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
-                    rows = _np.repeat(_np.arange(len(q_ids)), kk)
-                    cols = order.ravel()
-                    keep = cos[rows, cols] > -_np.inf
+                    rows, cols = _topk_cols_stable(cos, kk)
                     yield _pd.DataFrame(
                         {
-                            "vec_id": q_ids[rows[keep]],
-                            "neighbor_id": c_ids[cols[keep]],
-                            "cos_ex": cos[rows[keep], cols[keep]],
+                            "vec_id": q_ids[rows],
+                            "neighbor_id": c_ids[cols],
+                            "cos_ex": cos[rows, cols],
                         }
                     )
 
@@ -2620,4 +2826,25 @@ def dq_knn_recall_eval(
             / F.when(F.col("exact_edges") > 0, F.col("exact_edges")),
             6,
         ).alias("graph_recall"),
+    )
+
+
+@query(
+    "dq_knn_recall_eval_sampled",
+    oracle=_sql_knn_recall_oracle(EVAL_SAMPLE_DEN_REGISTERED),
+)
+def dq_knn_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED kNN-recall eval as a driver-checked entry
+    (VERDICT r13 item 2): at 100 TB the shape that ships is the
+    ``eval_sample_den`` one — collected-sample query matrix
+    broadcast into a distributed |sample| × n mapInPandas stream,
+    NOT the one-group gram — so the rotation should hash-verify that
+    plan every cycle, not only a pytest path. Denominator pinned at
+    {EVAL_SAMPLE_DEN_REGISTERED} (~1/4 of vectors); the md5-bucket
+    predicate is deterministic and SQL-expressible, so this sibling
+    carries the same FULL DuckDB oracle as the fixture-scale entry,
+    just predicate-filtered on both sides. The full-corpus form
+    stays registered as the cross-check."""
+    return dq_knn_recall_eval(
+        spark, sf_dir, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
     )

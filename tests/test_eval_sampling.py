@@ -91,6 +91,67 @@ def test_knn_sampled_cap_trips(spark):
         similarity.EVAL_SAMPLE_CAP = old
 
 
+def test_dedup_recall_sampled_close_to_full(spark):
+    """The dedup eval's `eval_sample_den` (VERDICT r13 item 5): the
+    sampled row measures over pairs whose lower doc_id is in the md5
+    sample — a strict non-empty subset with recall/precision ε-close
+    to the full numbers."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dq_dedup_recall_eval,
+    )
+
+    full = _row(dq_dedup_recall_eval(spark, SF))
+    samp = _row(dq_dedup_recall_eval(spark, SF, eval_sample_den=2))
+    assert 0 < samp["truth_pairs"] < full["truth_pairs"]
+    assert 0 < samp["candidate_pairs"] < full["candidate_pairs"]
+    assert (
+        abs(samp["banding_recall"] - full["banding_recall"]) <= 0.10
+    )
+    # precision's denominator is the fixture's ~96-pair candidate
+    # set; a 1/2 sample keeps ~48 pairs, and near-dup pairs cluster
+    # on shared docs (correlated sampling), so the ε here is the
+    # estimator's fixture-scale variance (measured 0.58 vs 0.78),
+    # not an accuracy contract — at real corpus sizes the sample is
+    # thousands of pairs and the estimate tightens as 1/√n.
+    assert (
+        abs(samp["candidate_precision"] - full["candidate_precision"])
+        <= 0.25
+    )
+
+
+def test_dedup_recall_sampled_is_deterministic(spark):
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dq_dedup_recall_eval,
+    )
+
+    a = _row(dq_dedup_recall_eval(spark, SF, eval_sample_den=3))
+    b = _row(dq_dedup_recall_eval(spark, SF, eval_sample_den=3))
+    assert a == b
+
+
+def test_registered_sampled_siblings_pin_the_knob(spark):
+    """The REGISTERED `_sampled` entries (VERDICT r13 item 2) must be
+    exactly the base harness at the pinned denominator — one code
+    path, two knob values — so the driver hash-verifies the 100 TB
+    shape every rotation."""
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        EVAL_SAMPLE_DEN_REGISTERED,
+        dq_ann_recall_eval_sampled,
+        dq_knn_recall_eval_sampled,
+    )
+
+    assert _row(dq_knn_recall_eval_sampled(spark, SF)) == _row(
+        dq_knn_recall_eval(
+            spark, SF, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
+        )
+    )
+    assert _row(dq_ann_recall_eval_sampled(spark, SF)) == _row(
+        dq_ann_recall_eval(
+            spark, SF, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
+        )
+    )
+
+
 def test_knn_sampled_empty_sample_degrades_gracefully(spark):
     """A den larger than any md5 bucket hits must produce the
     harness family's degenerate row (counts 0, recall NULL), not an

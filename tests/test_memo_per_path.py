@@ -94,6 +94,37 @@ def test_missing_path_memoizes_until_path_appears(tmp_path):
     assert v2 == "present"
 
 
+def test_inplace_part_rewrite_of_directory_invalidates(tmp_path):
+    """ADVICE r13: a parquet DIRECTORY rewritten in place — same
+    entry names, so the directory inode (mtime, size) is unchanged —
+    must still invalidate: the memo now covers result-bearing
+    artifacts where a stale hit silently changes query output."""
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_text("v1")
+    dir_st = os.stat(str(d))
+    assert memo_per_path(spark, "k", str(d), lambda: 1) == 1
+    part.write_text("v2")  # same name, same size, newer mtime
+    # pin the directory inode stat to its original values so the test
+    # exercises the part-file component of the key, not the dir's
+    os.utime(str(d), ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    assert memo_per_path(spark, "k", str(d), lambda: 2) == 2
+
+
+def test_directory_with_unchanged_parts_still_memoizes(tmp_path):
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    (d / "part-00000.parquet").write_text("v1")
+    calls = []
+    for _ in range(3):
+        v = memo_per_path(spark, "k", str(d), lambda: calls.append(1) or 7)
+        assert v == 7
+    assert len(calls) == 1
+
+
 def test_mtime_only_change_recomputes(tmp_path):
     """Same size, newer mtime — the rewrite pattern mode('overwrite')
     produces — must invalidate."""

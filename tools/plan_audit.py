@@ -112,6 +112,13 @@ ALLOWED_BNLJ = {
     #   sample at 100 TB per their docstrings)
     "dq_ann_recall_eval",
     "dq_knn_recall_eval",
+    # - dq_ann_recall_eval_sampled: same composition with the
+    #   sampled-query predicate pushed into the broadcast query side
+    #   — the BNLJ is the SAME allowlisted brute-force ground truth,
+    #   now over an even smaller (~1/den) always-broadcastable side.
+    #   (The knn sampled sibling has no BNLJ: its exact side is the
+    #   mapInPandas candidate stream.)
+    "dq_ann_recall_eval_sampled",
 }
 
 

@@ -544,13 +544,14 @@ def main() -> None:
         bound = 2.0 * max(t["row_ratio"], t.get("out_ratio") or 0.0)
         return t["ratio"] <= bound
 
-    ok = (
-        guard_ok
-        and sel_ok
-        and sampled_ok
-        and all(_linear(t) for t in table.values())
-    )
-    report["linear_scaling_ok"] = ok
+    # linear_scaling_ok is the LINEARITY-ONLY verdict (ADVICE r13: a
+    # sampled-eval or selectivity regression must not masquerade as a
+    # scaling failure when diagnosing a red run); all_gates_ok — and
+    # the exit code — is the conjunction of every gate.
+    linear_ok = all(_linear(t) for t in table.values())
+    report["linear_scaling_ok"] = linear_ok
+    ok = guard_ok and sel_ok and sampled_ok and linear_ok
+    report["all_gates_ok"] = ok
     print(json.dumps(report))
     sys.exit(0 if ok else 1)
 
