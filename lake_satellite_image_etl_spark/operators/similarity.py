@@ -30,7 +30,10 @@ from lake_satellite_image_etl_spark.functions.vectors import (
     sql_dot,
     sql_norm,
 )
-from lake_satellite_image_etl_spark.caching import persist_bounded
+from lake_satellite_image_etl_spark.caching import (
+    memo_per_path,
+    persist_bounded,
+)
 from lake_satellite_image_etl_spark.functions.text import tok_hash60
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
@@ -2714,8 +2717,46 @@ def dq_knn_recall_eval(
         # boundary tie dropped in-batch is always dominated by k
         # kept lower-id equals — the global top-k never needs it.
         pred = eval_sample_pred(F.col("vec_id"), eval_sample_den)
-        qrows = n.filter(pred).collect()
-        if not qrows:
+
+        def _sample_matrix():
+            qrows = n.filter(pred).collect()
+            if len(qrows) > EVAL_SAMPLE_CAP:
+                raise ValueError(
+                    f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
+                    f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
+                    " — raise eval_sample_den; the sample is a broadcast"
+                    " model artifact and must stay bounded"
+                )
+            if not qrows:
+                return None
+            # explicit broadcast (ADVICE r13): the cap-sized sample
+            # matrix (~32 MB at EVAL_SAMPLE_CAP) ships once per
+            # EXECUTOR via the torrent broadcast and is dereferenced
+            # inside the generator — not captured in the closure,
+            # which would re-ship it with every serialized task
+            return spark.sparkContext.broadcast(
+                (
+                    np.array([r["vec_id"] for r in qrows], dtype=np.int64),
+                    np.stack([r["qv"] for r in qrows]).astype(np.int64),
+                    np.array([r["nrm"] for r in qrows], dtype=np.float64),
+                )
+            )
+
+        # the collected sample is a per-(path, den) model artifact —
+        # memoized like the IVF codebook and the embedding-cosine
+        # candidate matrix, so a REGISTERED sampled entry constructs
+        # jobless after first touch (a raise is NOT memoized; the
+        # over-cap guard re-raises on every construction)
+        bc_q = memo_per_path(
+            spark,
+            f"knn_eval_sample_den{eval_sample_den}",
+            _emb_path(sf_dir),
+            _sample_matrix,
+            on_evict=lambda old: (
+                old.unpersist(blocking=False) if old is not None else None
+            ),
+        )
+        if bc_q is None:
             # degenerate sample (den larger than any md5 bucket
             # hits): same contract as the empty-corpus guard —
             # counts 0, recall NULL, never a driver exception (the
@@ -2725,25 +2766,6 @@ def dq_knn_recall_eval(
             )
             exact, graph = empty, empty
         else:
-            if len(qrows) > EVAL_SAMPLE_CAP:
-                raise ValueError(
-                    f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
-                    f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
-                    " — raise eval_sample_den; the sample is a broadcast"
-                    " model artifact and must stay bounded"
-                )
-            # explicit broadcast (ADVICE r13): the cap-sized sample
-            # matrix (~32 MB at EVAL_SAMPLE_CAP) ships once per
-            # EXECUTOR via the torrent broadcast and is dereferenced
-            # inside the generator — not captured in the closure,
-            # which would re-ship it with every serialized task
-            bc_q = spark.sparkContext.broadcast(
-                (
-                    np.array([r["vec_id"] for r in qrows], dtype=np.int64),
-                    np.stack([r["qv"] for r in qrows]).astype(np.int64),
-                    np.array([r["nrm"] for r in qrows], dtype=np.float64),
-                )
-            )
 
             def exact_partials(batches):
                 import numpy as _np

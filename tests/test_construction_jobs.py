@@ -115,6 +115,10 @@ def test_construction_job_sweep(spark):
         "text_tfidf_top_terms",
         "corpus_bloom_prefilter",
         "dedup_embedding_cosine",
+        # r14: the registered sampled kNN eval collects its bounded
+        # query-sample broadcast first-touch (memoized per
+        # (path, den), the candidate-matrix pattern)
+        "dq_knn_recall_eval_sampled",
     ):
         qs[warm_name](spark, SF_ORACLE)
 

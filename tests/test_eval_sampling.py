@@ -85,8 +85,13 @@ def test_knn_sampled_cap_trips(spark):
     old = similarity.EVAL_SAMPLE_CAP
     similarity.EVAL_SAMPLE_CAP = 10
     try:
+        # den=5 (used nowhere else in this session): the sample
+        # broadcast memoizes per (path, den) on SUCCESS, so a den
+        # another test already built would memo-hit past the
+        # monkeypatched cap; a cold den runs the guarded compute —
+        # and the raise is NOT memoized, per the memo contract
         with pytest.raises(ValueError, match="EVAL_SAMPLE_CAP|cap 10"):
-            dq_knn_recall_eval(spark, SF, eval_sample_den=2).collect()
+            dq_knn_recall_eval(spark, SF, eval_sample_den=5).collect()
     finally:
         similarity.EVAL_SAMPLE_CAP = old
 

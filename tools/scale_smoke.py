@@ -366,6 +366,38 @@ def main() -> None:
         ev["out_ratio"] = (
             round(pair_s / pair_b, 1) if pair_b else float("nan")
         )
+        # sampled dedup eval (VERDICT r13 item 5): eval_sample_den
+        # lands on the PROBE side of the inverted-index join before
+        # the explode, so the Σ df·(df−1)/2 ground-truth work — the
+        # quantity measured growing ~40× on 10× docs above — must
+        # shrink ∝ the sample. Gate on wall time against the full
+        # run already measured into this table row: at den=8 the
+        # probe side keeps ~1/8 of documents, so even with the fixed
+        # banded-candidate cost a sampled run above 70% of the full
+        # wall means the predicate stopped reaching the probe side.
+        from lake_satellite_image_etl_spark.operators.dedup import (
+            dq_dedup_recall_eval as _ddre,
+        )
+
+        t0 = time.perf_counter()
+        srow = _ddre(spark, SCALE_DIR, eval_sample_den=8).collect()[0]
+        samp_sec = round(time.perf_counter() - t0, 2)
+        release_all()
+        spark.catalog.clearCache()
+        full_sec = ev["sfscale_sec"]
+        ev["sampled_den8"] = {
+            "sec": samp_sec,
+            "truth_pairs": srow["truth_pairs"],
+            "banding_recall": srow["banding_recall"],
+        }
+        dedup_sampled_ok = (
+            samp_sec <= 0.7 * full_sec
+            and srow["truth_pairs"] > 0
+            and 0.0 <= (srow["banding_recall"] or 0.0) <= 1.0
+        )
+        ev["sampled_ok"] = dedup_sampled_ok
+    else:
+        dedup_sampled_ok = True
 
     # banded-rank family at the fixtures' natural 10×: exactness
     # without a global sort must not cost super-linear wall time.
@@ -532,6 +564,7 @@ def main() -> None:
     sampled_ok = (
         per_q_ms <= 50.0
         and 0.0 <= (sampled_eval["den60"]["graph_recall"] or 0.0) <= 1.0
+        and dedup_sampled_ok
     )
     report["sampled_n2_eval_120k"] = sampled_eval
     report["sampled_eval_ok"] = sampled_ok
