@@ -108,11 +108,13 @@ def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
     - the stat key (mtime_ns, size) means an overwritten path
       re-computes instead of silently reusing a stale artifact; for
       a DIRECTORY path (Spark-written datasets) the key also folds
-      in the max (mtime_ns, size) over its direct entries (ADVICE
-      r13): an in-place part-file rewrite that keeps entry names —
-      which leaves the directory inode untouched — must invalidate
-      result-bearing artifacts (bloom masks, candidate matrices),
-      not serve stale query output;
+      in a digest of every file's (relpath, mtime_ns, size), walked
+      recursively (ADVICE r13 + r14 review): an in-place part-file
+      rewrite that keeps entry names — including one that RESTORES
+      an older mtime (cp -p / rsync -a), or one inside a partition
+      subdirectory — must invalidate result-bearing artifacts
+      (bloom masks, candidate matrices, sample broadcasts), not
+      serve stale query output;
     - ONE live entry per (key, path): replace, don't accumulate stat
       generations (ADVICE r11), so long-lived sessions that rewrite
       tmp fixture dirs stay bounded;
@@ -136,18 +138,36 @@ def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
         st = os.stat(path)
         stat_key = (st.st_mtime_ns, st.st_size)
         if os.path.isdir(path):
-            # one os.scandir of the direct entries (part files) —
-            # no recursion: Spark datasets are flat, and the driver
-            # fixtures are single files that never reach here
-            with os.scandir(path) as it:
-                inner = max(
-                    (
-                        (e.stat().st_mtime_ns, e.stat().st_size)
-                        for e in it
-                    ),
-                    default=(0, 0),
-                )
-            stat_key = stat_key + inner
+            # digest of EVERY file's (relpath, mtime_ns, size),
+            # walked recursively in sorted order (r14 review closing
+            # the ADVICE r13 gap for real): a max-only key missed any
+            # rewrite that didn't move the max tuple (e.g. cp -p
+            # restoring an OLDER part file), and a non-recursive scan
+            # missed in-place rewrites inside partition
+            # subdirectories (date=X/part-*.parquet). Bounded at
+            # 4096 files — past the cap the digest covers the sorted
+            # prefix plus the total count, so additions/removals
+            # still invalidate; a beyond-horizon in-place rewrite of
+            # a >4096-file dataset is accepted as out of contract
+            # (memoized artifacts are fixture-scale model inputs).
+            import hashlib as _hl
+
+            digest = _hl.md5()
+            count = 0
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                for fn in sorted(files):
+                    count += 1  # full count: additions past the
+                    # digest horizon still change the key
+                    if count <= 4096:
+                        fp = os.path.join(root, fn)
+                        st_f = os.stat(fp)
+                        rel = os.path.relpath(fp, path)
+                        digest.update(
+                            f"{rel}\x00{st_f.st_mtime_ns}"
+                            f"\x00{st_f.st_size}\n".encode()
+                        )
+            stat_key = stat_key + (digest.hexdigest(), count)
     except OSError:
         stat_key = None
     memo = getattr(spark, _PATH_MEMO_ATTR, None)

@@ -58,16 +58,20 @@ def eval_sample_pred(id_col, den: int):
 
 
 def sql_eval_sample_pred(col: str, den: int) -> str:
-    """DuckDB twin of ``eval_sample_pred`` (same md5-bucket recipe as
-    sampling.py::_sql_key_hash), so a SAMPLED eval run is fully
-    oracle-checkable: the predicate is deterministic and
-    SQL-expressible, which is what lets the sampled siblings of the
-    n²-exact-side harnesses carry a complete DuckDB oracle instead
-    of a rows-only check (VERDICT r13 item 2)."""
-    return (
-        f"('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
-        f" % {int(den)} = 0"
+    """DuckDB twin of ``eval_sample_pred``, COMPOSED from
+    sampling.py::_sql_key_hash rather than restating it (r14 review:
+    the engine-critical md5-bucket recipe must live in one place —
+    two copies that drift would silently desynchronize Spark-vs-
+    DuckDB sampling between the two families). A sampled eval run is
+    therefore fully oracle-checkable: the predicate is deterministic
+    and SQL-expressible, which is what lets the sampled siblings of
+    the n²-exact-side harnesses carry a complete DuckDB oracle
+    instead of a rows-only check (VERDICT r13 item 2)."""
+    from lake_satellite_image_etl_spark.operators.sampling import (
+        _sql_key_hash,
     )
+
+    return f"{_sql_key_hash(col)} % {int(den)} = 0"
 
 
 #: pinned denominator of the REGISTERED sampled-eval siblings
@@ -2217,7 +2221,7 @@ KNN_BLOCK_ACC = None
 _F64_EXACT_BOUND = float(2**53)
 
 
-def _gram_int_exact(a, b_t):
+def _gram_int_exact(a, b_t, a_absmax=None, b_absmax=None):
     """Exact integer gram ``a @ b_t`` (both int64), computed through
     float64 BLAS when the exactness envelope holds — returns float64.
 
@@ -2231,11 +2235,26 @@ def _gram_int_exact(a, b_t):
     representable integers regardless of summation order, blocking,
     or FMA — the dgemm result is bit-identical to the int64 loop.
     The envelope is CHECKED per call (data, not assumption); outside
-    it we fall back to the exact-but-slow int64 loops."""
+    it we fall back to the exact-but-slow int64 loops.
+
+    ``a_absmax`` / ``b_absmax``: pass ``np.abs(m).max()`` precomputed
+    for whichever matrix is loop-invariant at the call site (the
+    fixed corpus/candidate matrix under row blocks, or the fixed
+    broadcast sample matrix under Arrow batches), so the O(n·d) scan
+    and its full-size abs() temp run once per matrix, not once per
+    batch (r14 review)."""
     import numpy as _np
 
-    amax = float(_np.abs(a).max(initial=0))
-    bmax = float(_np.abs(b_t).max(initial=0))
+    amax = (
+        float(_np.abs(a).max(initial=0))
+        if a_absmax is None
+        else float(a_absmax)
+    )
+    bmax = (
+        float(_np.abs(b_t).max(initial=0))
+        if b_absmax is None
+        else float(b_absmax)
+    )
     if amax * bmax * a.shape[1] < _F64_EXACT_BOUND:
         return a.astype(_np.float64) @ b_t.astype(_np.float64)
     return (a @ b_t).astype(_np.float64)
@@ -2280,7 +2299,12 @@ def _topk_cols_stable(cos, kk):
         o2 = _np.argsort(pv, axis=1, kind="stable")
         pvs = _np.take_along_axis(pv, o2, axis=1)
         order = _np.take_along_axis(part, o2[:, :kk], axis=1)
-        unsafe = _np.flatnonzero(pvs[:, kk - 1] == pvs[:, pad - 1])
+        # fallback unless the kk-th kept value is STRICTLY above the
+        # slice minimum: `~(a < b)` (not `a == b`) so NaN — which
+        # compares False to everything and sorts last like the
+        # reference argsort, but lands arbitrarily in the partition
+        # slice — also routes to the exact full sort (r14 review)
+        unsafe = _np.flatnonzero(~(pvs[:, kk - 1] < pvs[:, pad - 1]))
         if unsafe.size:
             order[unsafe] = _np.argsort(
                 neg[unsafe], axis=1, kind="stable"
@@ -2313,7 +2337,9 @@ def _topk_rows_idx(cos, kk):
     o2 = _np.argsort(pv, axis=0, kind="stable")
     pvs = _np.take_along_axis(pv, o2, axis=0)
     order = _np.take_along_axis(part, o2[:kk], axis=0)
-    unsafe = _np.flatnonzero(pvs[kk - 1] == pvs[pad - 1])
+    # NaN-safe boundary check: `~(a < b)`, same rule as the row
+    # helper (NaN in either position → exact full-sort fallback)
+    unsafe = _np.flatnonzero(~(pvs[kk - 1] < pvs[pad - 1]))
     if unsafe.size:
         order[:, unsafe] = _np.argsort(
             neg[:, unsafe], axis=0, kind="stable"
@@ -2465,6 +2491,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         kk = min(KNN_K, m)
         kk_c = min(KNN_K, len(pdf))
         block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+        xm_absmax = _np.abs(xm).max(initial=0)  # loop-invariant bound
         if _block_acc is not None:
             _block_acc.add((len(pdf) + block - 1) // block)
         # running COLUMN-direction bests (member → best probers):
@@ -2479,7 +2506,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             hi = min(lo + block, len(pdf))
             # f64 BLAS gram (exactness-checked) — int64 matmul gets
             # no BLAS; bit-identical within the asserted envelope
-            cos = _gram_int_exact(xq[lo:hi], xm.T) / (
+            cos = _gram_int_exact(xq[lo:hi], xm.T, b_absmax=xm_absmax) / (
                 nq[lo:hi, None] * nm[None, :]
             )
             cos[mids[None, :] == qids[lo:hi, None]] = -_np.inf  # self
@@ -2677,13 +2704,14 @@ def dq_knn_recall_eval(
         ids = pdf["vec_id"].to_numpy()
         kk = min(KNN_K, m - 1)
         block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+        x_absmax = _np.abs(x).max(initial=0)  # loop-invariant bound
         out_v, out_n = [], []
         for lo in range(0, m, block):
             hi = min(lo + block, m)
             # f64 BLAS gram (exactness-checked) + argpartition top-k:
             # the two lines that were 6.1 s + 15.2 s of the r13
             # regression (VERDICT r13 item 1), bit-identical output
-            cos = _gram_int_exact(x[lo:hi], x.T) / (
+            cos = _gram_int_exact(x[lo:hi], x.T, b_absmax=x_absmax) / (
                 nrm[lo:hi, None] * nrm[None, :]
             )
             cos[ids[None, :] == ids[lo:hi, None]] = -_np.inf  # self
@@ -2721,11 +2749,18 @@ def dq_knn_recall_eval(
         def _sample_matrix():
             qrows = n.filter(pred).collect()
             if len(qrows) > EVAL_SAMPLE_CAP:
+                # name the dial AND its minimal workable value: the
+                # sample is ~n/den, so den must grow with the corpus
+                # (the REGISTERED _sampled sibling pins den=4 for the
+                # fixture-scale hash gate; production corpora past
+                # ~den·cap vectors call the base harness with a
+                # corpus-sized den — r14 review)
+                need = -(-len(qrows) * int(eval_sample_den) // EVAL_SAMPLE_CAP)
                 raise ValueError(
                     f"dq_knn_recall_eval: eval_sample_den={eval_sample_den} "
                     f"keeps {len(qrows)} query vectors (cap {EVAL_SAMPLE_CAP})"
-                    " — raise eval_sample_den; the sample is a broadcast"
-                    " model artifact and must stay bounded"
+                    f" — use eval_sample_den >= {need}; the sample is a"
+                    " broadcast model artifact and must stay bounded"
                 )
             if not qrows:
                 return None
@@ -2772,6 +2807,7 @@ def dq_knn_recall_eval(
                 import pandas as _pd
 
                 q_ids, q_mat, q_nrm = bc_q.value
+                q_absmax = _np.abs(q_mat).max(initial=0)  # batch-invariant
                 for pdf in batches:
                     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
                     m = len(pdf)
@@ -2783,7 +2819,7 @@ def dq_knn_recall_eval(
                     # (n_queries, batch) cosine gram (f64 BLAS,
                     # exactness-checked), self masked; argpartition
                     # top-k — same r13-regression fix as the full path
-                    cos = _gram_int_exact(q_mat, c.T) / (
+                    cos = _gram_int_exact(q_mat, c.T, a_absmax=q_absmax) / (
                         q_nrm[:, None] * c_nrm[None, :]
                     )
                     cos[q_ids[:, None] == c_ids[None, :]] = -_np.inf
@@ -2866,7 +2902,14 @@ def dq_knn_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate is deterministic and SQL-expressible, so this sibling
     carries the same FULL DuckDB oracle as the fixture-scale entry,
     just predicate-filtered on both sides. The full-corpus form
-    stays registered as the cross-check."""
+    stays registered as the cross-check.
+
+    The PINNED den verifies the sampled PLAN SHAPE at fixture scale
+    (the oracle must inline a literal denominator); it is not the
+    production dial — past ~den·EVAL_SAMPLE_CAP vectors this entry's
+    cap guard trips by design (naming the minimal workable den) and
+    a real deployment calls the base harness with a corpus-sized
+    ``eval_sample_den``."""
     return dq_knn_recall_eval(
         spark, sf_dir, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
     )

@@ -134,27 +134,40 @@ def test_dedup_recall_sampled_is_deterministic(spark):
     assert a == b
 
 
-def test_registered_sampled_siblings_pin_the_knob(spark):
-    """The REGISTERED `_sampled` entries (VERDICT r13 item 2) must be
-    exactly the base harness at the pinned denominator — one code
-    path, two knob values — so the driver hash-verifies the 100 TB
-    shape every rotation."""
+def test_registered_sampled_siblings_measure_a_real_subset(spark):
+    """The REGISTERED den=4 `_sampled` entries (VERDICT r13 item 2)
+    must produce a genuine sampled measurement — a strict non-empty
+    ~1/4 subset of the full query set, k-complete on both sides,
+    recall ε-close to the full number. (Value agreement with DuckDB
+    is the oracle gate's job; an earlier form of this test compared
+    the sibling against the base call it delegates to — tautological,
+    r14 review.) Fixture: kNN 127/500 vectors, recall 0.8058 vs
+    0.8067 full; ANN 2/10 queries, 0.90 vs 0.88."""
     from lake_satellite_image_etl_spark.operators.similarity import (
-        EVAL_SAMPLE_DEN_REGISTERED,
+        KNN_K,
+        TOP_K,
         dq_ann_recall_eval_sampled,
         dq_knn_recall_eval_sampled,
     )
 
-    assert _row(dq_knn_recall_eval_sampled(spark, SF)) == _row(
-        dq_knn_recall_eval(
-            spark, SF, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
-        )
-    )
-    assert _row(dq_ann_recall_eval_sampled(spark, SF)) == _row(
-        dq_ann_recall_eval(
-            spark, SF, eval_sample_den=EVAL_SAMPLE_DEN_REGISTERED
-        )
-    )
+    full_knn = _row(dq_knn_recall_eval(spark, SF))
+    s_knn = _row(dq_knn_recall_eval_sampled(spark, SF))
+    assert 0 < s_knn["n_vectors"] < full_knn["n_vectors"]
+    frac = s_knn["n_vectors"] / full_knn["n_vectors"]
+    assert 1 / 8 <= frac <= 1 / 2  # md5-uniform quarter, 2x slack
+    assert s_knn["exact_edges"] == s_knn["n_vectors"] * KNN_K
+    assert s_knn["graph_edges"] == s_knn["n_vectors"] * KNN_K
+    assert s_knn["hits"] <= s_knn["exact_edges"]
+    assert abs(s_knn["graph_recall"] - full_knn["graph_recall"]) <= 0.05
+
+    full_ann = _row(dq_ann_recall_eval(spark, SF))
+    s_ann = _row(dq_ann_recall_eval_sampled(spark, SF))
+    assert 0 < s_ann["n_queries"] < full_ann["n_queries"]
+    assert s_ann["exact_pairs"] == s_ann["n_queries"] * TOP_K
+    assert s_ann["ann_pairs"] == s_ann["n_queries"] * TOP_K
+    # the fixture keeps 2 of 10 stride-queries, so per-query recall
+    # granularity is 0.1 — the ε here is sample-size, not accuracy
+    assert abs(s_ann["recall_at_k"] - full_ann["recall_at_k"]) <= 0.25
 
 
 def test_knn_sampled_empty_sample_degrades_gracefully(spark):

@@ -113,6 +113,40 @@ def test_inplace_part_rewrite_of_directory_invalidates(tmp_path):
     assert memo_per_path(spark, "k", str(d), lambda: 2) == 2
 
 
+def test_mtime_preserving_restore_of_non_max_part_invalidates(tmp_path):
+    """r14 review: a max-only directory key missed `cp -p` restoring
+    an OLDER version of a part file while a newer sibling holds the
+    max (mtime, size) — the full-entry digest must catch it."""
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    p0, p1 = d / "part-00000.parquet", d / "part-00001.parquet"
+    p0.write_text("v-now")
+    p1.write_text("newer-sibling")
+    st1 = os.stat(str(p1))
+    os.utime(str(p1), ns=(st1.st_atime_ns, st1.st_mtime_ns + 10**9))
+    assert memo_per_path(spark, "k", str(d), lambda: 1) == 1
+    # restore p0 to an OLDER mtime, same size — p1's max is untouched
+    st0 = os.stat(str(p0))
+    os.utime(str(p0), ns=(st0.st_atime_ns, st0.st_mtime_ns - 10**9))
+    assert memo_per_path(spark, "k", str(d), lambda: 2) == 2
+
+
+def test_partition_subdirectory_rewrite_invalidates(tmp_path):
+    """r14 review: partitioned datasets (date=X/part-*.parquet) keep
+    their rewrites one level down — the walk must be recursive."""
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    (d / "date=2026-01-01").mkdir(parents=True)
+    part = d / "date=2026-01-01" / "part-00000.parquet"
+    part.write_text("v1")
+    dir_st = os.stat(str(d))
+    assert memo_per_path(spark, "k", str(d), lambda: 1) == 1
+    part.write_text("v2")
+    os.utime(str(d), ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    assert memo_per_path(spark, "k", str(d), lambda: 2) == 2
+
+
 def test_directory_with_unchanged_parts_still_memoizes(tmp_path):
     spark = _FakeSession()
     d = tmp_path / "ds.parquet"

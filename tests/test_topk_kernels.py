@@ -68,6 +68,31 @@ def test_topk_boundary_ties_wider_than_partition_pad():
     assert np.array_equal(oc, np.tile([[0], [1], [2]], (1, 64)))
 
 
+def test_topk_nan_entries_match_argsort_reference():
+    """r14 review: NaN (a zero-norm quantized vector's 0/0 cosine)
+    compares False to everything, so the original `==` boundary-tie
+    check never fired and argpartition-arbitrary NaN indices leaked
+    into the tail slots where the stable argsort puts the LOWEST
+    indices. The `~(a < b)` check routes NaN rows to the exact
+    fallback — bit-identity must hold on NaN-bearing matrices too."""
+    rng = np.random.default_rng(3)
+    for trial in range(100):
+        nr = int(rng.integers(2, 30))
+        m = int(rng.integers(2, 40))
+        cos = rng.integers(0, 4, size=(nr, m)).astype(np.float64)
+        cos[rng.random((nr, m)) < 0.2] = np.nan
+        cos[rng.random((nr, m)) < 0.1] = -np.inf
+        for kk in (1, 3, m):
+            r_ref, c_ref = _ref_cols(cos, kk)
+            r_new, c_new = _topk_cols_stable(cos, kk)
+            assert np.array_equal(r_ref, r_new), (trial, kk)
+            assert np.array_equal(c_ref, c_new), (trial, kk)
+        for kk in (1, 3, nr):
+            assert np.array_equal(
+                _ref_rows(cos, kk), _topk_rows_idx(cos, kk)
+            ), (trial, kk)
+
+
 def test_topk_all_masked_rows_emit_nothing():
     cos = np.full((3, 10), -np.inf)
     cos[1, 4] = 0.5  # one live entry in one row

