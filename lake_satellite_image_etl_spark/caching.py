@@ -161,12 +161,28 @@ def memo_per_path(spark, key: str, path: str, compute, on_evict=None):
                     # digest horizon still change the key
                     if count <= 4096:
                         fp = os.path.join(root, fn)
-                        st_f = os.stat(fp)
                         rel = os.path.relpath(fp, path)
-                        digest.update(
-                            f"{rel}\x00{st_f.st_mtime_ns}"
-                            f"\x00{st_f.st_size}\n".encode()
-                        )
+                        # per-file stat failure (broken symlink,
+                        # permission-denied part file) folds an
+                        # error marker into the digest instead of
+                        # escaping to the outer except: stat_key=None
+                        # means "path missing" and MATCHES a prior
+                        # None, so one persistently unstat-able file
+                        # would otherwise freeze invalidation for the
+                        # whole dataset dir (ADVICE r14). The marker
+                        # keeps the key live — other files' rewrites
+                        # still change it — and changes it again if
+                        # the failure itself appears/clears/moves.
+                        try:
+                            st_f = os.stat(fp)
+                            digest.update(
+                                f"{rel}\x00{st_f.st_mtime_ns}"
+                                f"\x00{st_f.st_size}\n".encode()
+                            )
+                        except OSError as e:
+                            digest.update(
+                                f"{rel}\x00ERR\x00{e.errno}\n".encode()
+                            )
             stat_key = stat_key + (digest.hexdigest(), count)
     except OSError:
         stat_key = None

@@ -58,6 +58,17 @@ def tok_hash60(t: Column) -> Column:
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
+def _sql_key_hash(expr: str) -> str:
+    """DuckDB mirror of ``tok_hash60`` on a stringified key — the
+    engine-critical md5-bucket recipe, defined ONCE next to its Spark
+    twin (moved here from sampling.py at r15: this module is a leaf,
+    so oracle builders that run at decorator time — e.g.
+    dedup.py::_sql_dedup_recall_oracle via
+    similarity.py::sql_eval_sample_pred — can reach it from any
+    module-import order without a circular-import window)."""
+    return f"('0x' || substring(md5({expr}::VARCHAR), 1, 15))::BIGINT"
+
+
 def shingles_of(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined). Documents shorter
     than ``n`` tokens contribute their whole token list as one

@@ -1071,9 +1071,28 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_dedup_recall_eval",
-    oracle=f"""
+def _sql_dedup_recall_oracle(sample_den: int | None = None) -> str:
+    """The dedup-recall-eval oracle, parameterized on the sampled-eval
+    denominator so the full entry and its ``_sampled`` sibling share
+    one SQL body and can never drift (same pattern as
+    similarity.py::_sql_knn_recall_oracle). ``sample_den=None``
+    produces the full-corpus string BYTE-IDENTICAL to the r14
+    registered form (md5-checked at refactor time). The predicate
+    lands on ``doc_a`` — the lower id, the canonical pair
+    orientation both the truth and candidate sides share — inside
+    each pair join, exactly the population the Spark path keeps by
+    filtering the probe docs before the explode (truth) and the
+    banded kernel's output (candidates)."""
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        sql_eval_sample_pred,
+    )
+
+    samp = (
+        ""
+        if sample_den is None
+        else f"\n         AND {sql_eval_sample_pred('a.doc_id', sample_den)}"
+    )
+    return f"""
     -- dedup-pipeline EVALUATION harness: candidate-generation recall
     -- and precision of the banded MinHash stage vs the exact-Jaccard
     -- ground truth (inverted shingle index — every pair with any
@@ -1087,7 +1106,7 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                count(*) AS inter
-        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id{samp}
         GROUP BY 1, 2
     ),
     truth AS (
@@ -1109,7 +1128,7 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
+         AND a.doc_id < b.doc_id{samp}
     ),
     cj AS (
         SELECT c.doc_a, c.doc_b,
@@ -1133,9 +1152,10 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(true_positives::DOUBLE / NULLIF(truth_pairs, 0), 6)
                AS banding_recall
     FROM m
-    """.replace("{HSH}", _SQL_HSHINGLES)
-    .replace("{MINH}", _SQL_MINHASH),
-)
+    """.replace("{HSH}", _SQL_HSHINGLES).replace("{MINH}", _SQL_MINHASH)
+
+
+@query("dq_dedup_recall_eval", oracle=_sql_dedup_recall_oracle())
 def dq_dedup_recall_eval(
     spark: SparkSession, sf_dir: str, eval_sample_den: int | None = None
 ) -> DataFrame:
@@ -1267,6 +1287,51 @@ def dq_dedup_recall_eval(
             / F.when(F.col("truth_pairs") > 0, F.col("truth_pairs")),
             6,
         ).alias("banding_recall"),
+    )
+
+
+def _dedup_eval_sample_den() -> int:
+    """Pinned denominator for the registered sampled dedup eval —
+    the SAME constant the kNN/ANN siblings pin
+    (similarity.py::EVAL_SAMPLE_DEN_REGISTERED) so all three eval
+    harnesses verify their 100 TB sampled shape at one dial. Late
+    import: dedup registers before similarity in registry._MODULES
+    and the constant lives there."""
+    from lake_satellite_image_etl_spark.operators.similarity import (
+        EVAL_SAMPLE_DEN_REGISTERED,
+    )
+
+    return EVAL_SAMPLE_DEN_REGISTERED
+
+
+@query(
+    "dq_dedup_recall_eval_sampled",
+    oracle=_sql_dedup_recall_oracle(_dedup_eval_sample_den()),
+)
+def dq_dedup_recall_eval_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAMPLED dedup-recall eval as a driver-checked entry
+    (VERDICT r14 item 3, completing the r13-item-2 pattern for all
+    three eval harnesses): at 100 TB the shape that ships is the
+    ``eval_sample_den`` one — the md5 probe predicate lands on the
+    inverted-shingle join's probe side BEFORE the explode, so the
+    Σ df·(df−1)/2 ground-truth term (measured growing 39.9× on 10×
+    docs) shrinks ∝ the sample — so the rotation should hash-verify
+    that plan every cycle, not only a pytest/smoke path. Denominator
+    pinned at the shared EVAL_SAMPLE_DEN_REGISTERED (~1/4 of docs);
+    the predicate is deterministic and SQL-expressible
+    (sql_eval_sample_pred), so this sibling carries the same FULL
+    DuckDB oracle as the fixture-scale entry, just
+    predicate-injected on doc_a in both pair joins. The full-corpus
+    form stays registered as the cross-check.
+
+    The PINNED den verifies the sampled PLAN SHAPE at fixture scale;
+    it is not the production dial — a real deployment calls the base
+    harness with a corpus-sized ``eval_sample_den`` (the 50 K-doc
+    smoke runs den=8)."""
+    return dq_dedup_recall_eval(
+        spark, sf_dir, eval_sample_den=_dedup_eval_sample_den()
     )
 
 

@@ -17,7 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lake_satellite_image_etl_spark.functions.text import tok_hash60
+from lake_satellite_image_etl_spark.functions.text import (
+    _sql_key_hash,  # noqa: F401 — re-export; DuckDB twin of tok_hash60,
+    # defined beside it in the leaf text module (r15: breaks the
+    # sampling → dedup → similarity → sampling import cycle that a
+    # decorator-time oracle build would otherwise hit)
+    tok_hash60,
+)
 from lake_satellite_image_etl_spark.operators.dedup import (
     sql_minhash_pair_ctes,
 )
@@ -27,10 +33,6 @@ from lake_satellite_image_etl_spark.registry import query
 SAMPLE_PCT = 10
 TRAIN_PCT, VAL_PCT = 80, 10  # remainder = test
 BALANCED_N = 50
-
-#: DuckDB mirror of tok_hash60 on a stringified key
-def _sql_key_hash(expr: str) -> str:
-    return f"('0x' || substring(md5({expr}::VARCHAR), 1, 15))::BIGINT"
 
 
 @query(

@@ -59,7 +59,7 @@ def eval_sample_pred(id_col, den: int):
 
 def sql_eval_sample_pred(col: str, den: int) -> str:
     """DuckDB twin of ``eval_sample_pred``, COMPOSED from
-    sampling.py::_sql_key_hash rather than restating it (r14 review:
+    text.py::_sql_key_hash rather than restating it (r14 review:
     the engine-critical md5-bucket recipe must live in one place —
     two copies that drift would silently desynchronize Spark-vs-
     DuckDB sampling between the two families). A sampled eval run is
@@ -67,7 +67,7 @@ def sql_eval_sample_pred(col: str, den: int) -> str:
     and SQL-expressible, which is what lets the sampled siblings of
     the n²-exact-side harnesses carry a complete DuckDB oracle
     instead of a rows-only check (VERDICT r13 item 2)."""
-    from lake_satellite_image_etl_spark.operators.sampling import (
+    from lake_satellite_image_etl_spark.functions.text import (
         _sql_key_hash,
     )
 
@@ -2217,8 +2217,9 @@ KNN_BLOCK_ACC = None
 #: integer-valued float64 matmul (products, partial sums in any
 #: order, FMA contractions) is exact as long as its magnitude stays
 #: below 2^53 — integers up to 2^53 are representable and integer
-#: add/mul within the bound round to themselves.
-_F64_EXACT_BOUND = float(2**53)
+#: add/mul within the bound round to themselves. The check itself
+#: runs in exact Python integer arithmetic inside _gram_int_exact.
+_F64_EXACT_BOUND = 2**53
 
 
 def _gram_int_exact(a, b_t, a_absmax=None, b_absmax=None):
@@ -2255,7 +2256,14 @@ def _gram_int_exact(a, b_t, a_absmax=None, b_absmax=None):
         if b_absmax is None
         else float(b_absmax)
     )
-    if amax * bmax * a.shape[1] < _F64_EXACT_BOUND:
+    # envelope check in EXACT Python integer arithmetic (ADVICE
+    # r14): the float64 product amax*bmax*d can itself round down a
+    # few ulps near 2^53 and admit a gram whose true bound is
+    # marginally above it. int(amax)/int(bmax) are exact whenever
+    # the check could pass (a max ≥ 2^53 would fail it regardless of
+    # float rounding, since the other factors are ≥ 1 — or the
+    # product is 0 and trivially exact).
+    if int(amax) * int(bmax) * a.shape[1] < _F64_EXACT_BOUND:
         return a.astype(_np.float64) @ b_t.astype(_np.float64)
     return (a @ b_t).astype(_np.float64)
 
@@ -2680,9 +2688,12 @@ def dq_knn_recall_eval(
     n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
 
     # exact side: ONE blocked integer gram over the (sampled) corpus
-    # — the same int64-matmul + IEEE-divide + id-stable-tie arithmetic
-    # as the graph kernel, so it is bitwise-equal to the oracle's
-    # relational dot while ~40× cheaper than spelling the 64-term dot
+    # via _gram_int_exact (exactness-checked float64 BLAS, int64
+    # fallback outside the 2^53 envelope) + _topk_cols_stable
+    # (argpartition with the id-stable tie rule) — bit-identical to
+    # the int64-matmul + full stable argsort it replaced (r14,
+    # VERDICT r13 item 1) and to the oracle's relational dot +
+    # IEEE divide, while ~40× cheaper than spelling the 64-term dot
     # per pair in codegen (measured 35 s → <2 s at sf0.1's 2 000
     # vectors / 4 M pairs). Row blocks keep memory bounded; one group
     # is the right shape for a sampled eval.

@@ -170,6 +170,33 @@ def test_registered_sampled_siblings_measure_a_real_subset(spark):
     assert abs(s_ann["recall_at_k"] - full_ann["recall_at_k"]) <= 0.25
 
 
+def test_registered_dedup_sampled_sibling_measures_a_real_subset(spark):
+    """The REGISTERED dedup `_sampled` entry (VERDICT r14 item 3,
+    completing the item-2 pattern for all three eval harnesses) must
+    produce a genuine sampled measurement: a strict non-empty subset
+    of the full truth-pair population (pairs whose doc_a md5 bucket
+    ≡ 0 mod den), counts internally consistent, and — structurally —
+    recall 1.0 whenever the full recall is 1.0, because the sampled
+    truth pairs are a subset of the full ones and the candidate side
+    is the same banded kernel post-filtered on the same predicate.
+    (Value agreement with DuckDB is the oracle gate's job.) Fixture:
+    2/25 truth pairs, recall 1.0 vs 1.0."""
+    from lake_satellite_image_etl_spark.operators.dedup import (
+        dq_dedup_recall_eval,
+        dq_dedup_recall_eval_sampled,
+    )
+
+    full = _row(dq_dedup_recall_eval(spark, SF))
+    s = _row(dq_dedup_recall_eval_sampled(spark, SF))
+    assert 0 < s["truth_pairs"] < full["truth_pairs"]
+    assert 0 < s["candidate_pairs"] < full["candidate_pairs"]
+    assert s["true_positives"] <= s["truth_pairs"]
+    assert s["true_positives"] <= s["candidate_pairs"]
+    assert s["missed_pairs"] == s["truth_pairs"] - s["true_positives"]
+    if full["banding_recall"] == 1.0:
+        assert s["banding_recall"] == 1.0
+
+
 def test_knn_sampled_empty_sample_degrades_gracefully(spark):
     """A den larger than any md5 bucket hits must produce the
     harness family's degenerate row (counts 0, recall NULL), not an

@@ -399,9 +399,21 @@ def main() -> None:
                 .groupBy("s")
                 .agg(_F.count(_F.lit(1)).alias("dfs"))
             )
+            # dfs*(df-1), not dfs*df: exclude each sampled doc's
+            # self-incidence so singleton shingles (df=1), which
+            # contribute ZERO to pair_s = Σ df(df-1)/2, also
+            # contribute zero here — on a singleton-dominated corpus
+            # the old dfs*df sum could exceed 0.5*pair_s and flip
+            # the gate red with the pushdown working (ADVICE r14).
+            # Both sums now count the same pair population: this is
+            # Σ_s |sampled probes in s| · |partners in s|.
             row = (
                 df_all.join(df_smp, "s")
-                .agg(_F.sum(_F.col("dfs") * _F.col("df")).alias("p"))
+                .agg(
+                    _F.sum(
+                        _F.col("dfs") * (_F.col("df") - _F.lit(1))
+                    ).alias("p")
+                )
                 .collect()[0]
             )
             return int(row["p"] or 0)
