@@ -202,6 +202,11 @@ def run_calibration() -> None:
                         "min": round(min(mm), 4),
                         "max": round(max(mm), 4),
                     },
+                    # full sample lists so the parent can take a
+                    # median across pre+post runs for normalization
+                    # (min/max alone can't give a robust basis)
+                    "spark_groupby_samples": [round(s, 3) for s in shuffle],
+                    "numpy_matmul_samples": [round(s, 4) for s in mm],
                 }
             }
         ),
@@ -209,28 +214,94 @@ def run_calibration() -> None:
     )
 
 
+#: healthy-box nominal for the 20 M-row groupBy control: the quiet-box
+#: reading the r14 verdict's gate names (`spark_groupby_20m_sec.max <
+#: ~1.5`, min observed 0.647 during the r14 driver run, ~0.6-0.7 on
+#: every quiet calibration this repo has logged). The normalized total
+#: answers "what would this map read on THAT box" — a first-order
+#: correction (shuffle-bound queries track the control closely,
+#: numpy-heavy eval rows track the matmul control instead), so the RAW
+#: total stays the primary metric and the normalized one exists for
+#: round-over-round comparison on bimodal boxes (VERDICT r14 item 4).
+NOMINAL_GROUPBY_SEC = 0.65
+
+#: yardstick spread (max/min of the groupBy control across the pre-
+#: and post-run calibrations) past which the isolated phase times each
+#: query TWICE in two fresh JVMs and records the min — on a bimodal
+#: box a single isolated sample can land in either mode and the min is
+#: the defensible plan-cost reading (VERDICT r14 item 4b).
+ISOLATED_MIN_OF_2_SPREAD = 3.0
+
+
+def _calibrate(tag: str) -> dict:
+    """Run the --calibrate child in a fresh JVM; {} on any failure."""
+    print(f"bench calibration [{tag}] (fresh JVM)", file=sys.stderr, flush=True)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--calibrate"],
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr)
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])["calibration"]
+    except (IndexError, ValueError, KeyError):
+        return {}
+
+
+def _merge_calibration(pre: dict, post: dict) -> dict:
+    """One calibration object for the artifact: the r14 top-level keys
+    (min/max per control) now span BOTH runs — round-over-round
+    comparable with the r14 map — plus the raw pre/post children, the
+    spread, and the normalization basis (median of all groupBy
+    samples across both runs)."""
+    out: dict[str, object] = {}
+    if pre:
+        out["pre"] = pre
+    if post:
+        out["post"] = post
+    for key, skey in (
+        ("spark_groupby_20m_sec", "spark_groupby_samples"),
+        ("numpy_matmul_1500_sec", "numpy_matmul_samples"),
+    ):
+        samples = [
+            s for c in (pre, post) if c for s in c.get(skey, [])
+        ] or [
+            v
+            for c in (pre, post)
+            if c and c.get(key)
+            for v in (c[key]["min"], c[key]["max"])
+        ]
+        if samples:
+            out[key] = {"min": min(samples), "max": max(samples)}
+    sg = out.get("spark_groupby_20m_sec")
+    if sg and sg["min"] > 0:
+        out["spread"] = round(sg["max"] / sg["min"], 2)
+        all_g = sorted(
+            s for c in (pre, post) if c for s in c.get("spark_groupby_samples", [])
+        )
+        if all_g:
+            basis = all_g[len(all_g) // 2]
+            out["normalization"] = {
+                "nominal_groupby_sec": NOMINAL_GROUPBY_SEC,
+                "basis_groupby_sec": round(basis, 3),
+                "factor": round(NOMINAL_GROUPBY_SEC / basis, 4),
+                "note": "value_normalized = raw total x factor; raw is primary",
+            }
+    return out
+
+
 def main() -> None:
     import hashlib
     import math
 
     names = _query_names()
-    # box-speed yardstick (one extra fresh JVM, ~30 s) — skipped on
-    # filtered (smoke) runs, like the isolated phase
-    calibration: dict[str, object] = {}
+    # box-speed yardstick (one fresh JVM BEFORE the batches and one
+    # AFTER, so drift during the run is visible and the normalization
+    # basis isn't a single point) — skipped on filtered (smoke) runs,
+    # like the isolated phase
+    cal_pre: dict = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
-        print("bench calibration (fresh JVM)", file=sys.stderr, flush=True)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--calibrate"],
-            capture_output=True,
-            text=True,
-        )
-        sys.stderr.write(proc.stderr)
-        try:
-            calibration = json.loads(proc.stdout.strip().splitlines()[-1])[
-                "calibration"
-            ]
-        except (IndexError, ValueError, KeyError):
-            calibration = {}
+        cal_pre = _calibrate("pre")
     # hash-bucket batch assignment (insertion-stable; see module
     # docstring) — names are already md5-sorted, so each bucket keeps
     # md5 order internally
@@ -279,6 +350,19 @@ def main() -> None:
 
     total = sum(t for t in timings.values() if t == t)
 
+    # post-run calibration: placed after the batched phase (the bulk
+    # of the wall clock) and before the isolated phase, so the merged
+    # spread both brackets the batch timings and decides the isolated
+    # min-of-2 below
+    cal_post: dict = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        cal_post = _calibrate("post")
+    calibration = _merge_calibration(cal_pre, cal_post)
+    norm = calibration.get("normalization") or {}
+    value_normalized = (
+        round(total * norm["factor"], 4) if norm.get("factor") else None
+    )
+
     # isolated re-run of the slowest 10 PLUS round-over-round movers
     # (VERDICT r10 item 2 / ADVICE r11): one query per FRESH JVM, so
     # every future verdict can split "the plan is expensive" from
@@ -286,6 +370,7 @@ def main() -> None:
     # without re-running. Skipped when the run is already filtered
     # (smoke invocations) or via SPARK_GRAFT_BENCH_ISOLATED=0.
     isolated: dict[str, float] = {}
+    isolated_runs: dict[str, list[float]] = {}
     run_isolated = (
         os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
         and not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -323,35 +408,60 @@ def main() -> None:
             key=lambda k: -abs(timings[k] - prev[k]),
         )[:8]
         slow_names += movers
-        for si, name in enumerate(slow_names):
+        # min-of-2 on a bimodal box (VERDICT r14 item 4b): when the
+        # merged yardstick spread exceeds the threshold, one isolated
+        # sample can land in either machine mode — two fresh JVMs per
+        # query, record the min as the plan-cost reading, keep both
+        # samples in the detail map for the audit trail.
+        spread = calibration.get("spread") or 1.0
+        iso_reps = 2 if spread > ISOLATED_MIN_OF_2_SPREAD else 1
+        if iso_reps == 2:
             print(
-                f"bench isolated [{si + 1}/{len(slow_names)}] {name}",
+                f"bench isolated: yardstick spread {spread}x > "
+                f"{ISOLATED_MIN_OF_2_SPREAD}x -> min-of-2",
                 file=sys.stderr,
                 flush=True,
             )
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--run-batch",
-                    name,
-                ],
-                capture_output=True,
-                text=True,
-            )
-            sys.stderr.write(proc.stderr)
-            try:
-                iso_payload = json.loads(proc.stdout.strip().splitlines()[-1])
-                isolated[name] = iso_payload["queries"][name]
-            except (IndexError, ValueError, KeyError):
-                isolated[name] = float("nan")
+        for si, name in enumerate(slow_names):
+            samples: list[float] = []
+            for rep in range(iso_reps):
+                print(
+                    f"bench isolated [{si + 1}/{len(slow_names)}]"
+                    f"[rep {rep + 1}/{iso_reps}] {name}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--run-batch",
+                        name,
+                    ],
+                    capture_output=True,
+                    text=True,
+                )
+                sys.stderr.write(proc.stderr)
+                try:
+                    iso_payload = json.loads(
+                        proc.stdout.strip().splitlines()[-1]
+                    )
+                    samples.append(float(iso_payload["queries"][name]))
+                except (IndexError, ValueError, KeyError, TypeError):
+                    samples.append(float("nan"))
+            good = [s for s in samples if s == s]
+            isolated[name] = min(good) if good else float("nan")
+            if iso_reps > 1:
+                isolated_runs[name] = [round(s, 4) for s in samples]
 
     payload = {
         "metric": "total_query_wall_seconds",
         "value": round(total, 4),
+        "value_normalized": value_normalized,
         "unit": "sec",
         "queries": timings,
         "isolated": isolated,
+        "isolated_runs": isolated_runs,
         "streaming_split": streaming_split,
         "calibration": calibration,
         "sf": _sf_label(SF_DIR),
@@ -382,6 +492,10 @@ def main() -> None:
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 4),
+                # raw-total x (nominal / median groupBy control):
+                # the round-over-round comparison column on bimodal
+                # boxes (VERDICT r14 item 4) — RAW stays primary
+                "value_normalized": value_normalized,
                 "unit": "sec",
                 # the FULL per-query map lives in BENCH_DETAIL.json
                 # under "queries"; this line carries only the top-20
