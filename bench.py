@@ -6,7 +6,10 @@ per-query map under ``"queries"`` in ``BENCH_DETAIL.json``; harness
 stdout capture keeps only a ~2000-char tail, which a 200+-entry line
 overflows). Queries are assigned to fresh-JVM batches by
 ``md5(name) mod n_batches`` — a HASH BUCKET, not a position in a
-sorted list (VERDICT r11 item 3): positional chunking of the
+sorted list (VERDICT r11 item 3; r15 adds pre+post box-speed
+calibration, a calibration-normalized total beside the raw one, and
+min-of-2 isolated timing when the yardstick spread exceeds 3x —
+VERDICT r14 item 4): positional chunking of the
 md5-sorted list meant ONE added registry entry shifted every later
 name into a different batch, so in-batch timings were not comparable
 across rounds whenever the registry grew. Bucketing is both
