@@ -169,3 +169,48 @@ def test_mtime_only_change_recomputes(tmp_path):
     st = os.stat(str(f))
     os.utime(str(f), ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert memo_per_path(spark, "k", str(f), lambda: 2) == 2
+
+
+def test_broken_entry_folds_error_marker_instead_of_freezing(tmp_path):
+    """ADVICE r14: a persistently unstat-able entry inside a dataset
+    dir (broken symlink, permission-denied part file) must fold a
+    (relpath, errno) marker into the digest, NOT collapse the stat
+    key to the missing-path None sentinel — None == None on the next
+    call would serve a stale memoized artifact forever while OTHER
+    files keep being rewritten."""
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_text("v1")
+    os.symlink(str(tmp_path / "nowhere"), str(d / "broken-link"))
+    dir_st = os.stat(str(d))
+    calls = []
+    v = memo_per_path(spark, "k", str(d), lambda: calls.append(1) or "a")
+    assert v == "a"
+    # deterministic marker: unchanged dir (broken link included)
+    # still memoizes
+    assert memo_per_path(spark, "k", str(d), lambda: "never") == "a"
+    assert len(calls) == 1
+    # THE regression case: rewriting another file must invalidate
+    # even with the broken entry present (dir mtime pinned so only
+    # the per-file digest can carry the change)
+    part.write_text("v2-longer")
+    os.utime(str(d), ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    assert memo_per_path(spark, "k", str(d), lambda: "b") == "b"
+
+
+def test_broken_entry_clearing_invalidates(tmp_path):
+    """The error marker is part of the key: the failure CLEARING
+    (symlink fixed in place) changes the digest and recomputes."""
+    spark = _FakeSession()
+    d = tmp_path / "ds.parquet"
+    d.mkdir()
+    (d / "part-00000.parquet").write_text("v1")
+    target = tmp_path / "target"
+    os.symlink(str(target), str(d / "link"))  # dangling at first
+    dir_st = os.stat(str(d))
+    assert memo_per_path(spark, "k", str(d), lambda: "a") == "a"
+    target.write_text("now exists")  # link resolves; marker clears
+    os.utime(str(d), ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    assert memo_per_path(spark, "k", str(d), lambda: "b") == "b"
