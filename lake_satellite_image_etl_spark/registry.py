@@ -173,6 +173,10 @@ _PRIORITY = (
     #   a round early) + the r13 tier's heads as space allows; keep
     #   net-new at zero in r16 unless a verdict item forces it —
     #   the r13 tier (49 rows, due r19) needs r17+r18 headroom.
+    # Validate any window edit with `python tools/rotation_audit.py`
+    # (r15): it recomputes the staleness tiers from CORRECTNESS_r*
+    # and exits 1 if a would-breach or never-checked entry is missing
+    # from the front-50.
     # ================= r14 driver window (50 slots) ================
     # Runs the pre-plan written at r13 (VERDICT r13 item 3), with the
     # round's rule-1/rule-2 influx resolved as follows:
