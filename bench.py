@@ -9,7 +9,12 @@ overflows). Queries are assigned to fresh-JVM batches by
 sorted list (VERDICT r11 item 3; r15 adds pre+post box-speed
 calibration, a calibration-normalized total beside the raw one, and
 min-of-2 isolated timing when the yardstick spread exceeds 3x —
-VERDICT r14 item 4): positional chunking of the
+VERDICT r14 item 4; r16 makes the artifact timeout-proof per VERDICT
+r15 item 1: the payload line + BENCH_DETAIL.json are written right
+after the batched phase AND again after isolation, the isolated
+phase runs under $SPARK_GRAFT_BENCH_BUDGET_SEC with coverage-before-
+precision degradation, and the calibration spread/basis use WARM
+samples only): positional chunking of the
 md5-sorted list meant ONE added registry entry shifted every later
 name into a different batch, so in-batch timings were not comparable
 across rounds whenever the registry grew. Bucketing is both
@@ -278,25 +283,207 @@ def _merge_calibration(pre: dict, post: dict) -> dict:
             out[key] = {"min": min(samples), "max": max(samples)}
     sg = out.get("spark_groupby_20m_sec")
     if sg and sg["min"] > 0:
-        out["spread"] = round(sg["max"] / sg["min"], 2)
-        all_g = sorted(
-            s for c in (pre, post) if c for s in c.get("spark_groupby_samples", [])
+        # spread + normalization basis over WARM samples only (ADVICE
+        # r15): the FIRST groupBy sample of every fresh calibration
+        # child is the structural JVM-warmup reading (~5-10x steady
+        # state on every run this repo has logged), so a spread over
+        # all samples fires the min-of-2 trigger on a perfectly
+        # healthy box and a median basis over them inflates
+        # value_normalized (r15: factor 0.48 vs ~1.0 warm). The
+        # top-level min/max above still span ALL samples on purpose —
+        # they stay round-comparable with the r14/r15 maps, and the
+        # warmup magnitude remains visible there.
+        warm = sorted(
+            s
+            for c in (pre, post)
+            if c
+            for s in c.get("spark_groupby_samples", [])[1:]
         )
-        if all_g:
-            basis = all_g[len(all_g) // 2]
+        if warm and warm[0] > 0:
+            out["spread"] = round(warm[-1] / warm[0], 2)
+            out["spread_basis"] = "warm"
+            basis = warm[len(warm) // 2]
             out["normalization"] = {
                 "nominal_groupby_sec": NOMINAL_GROUPBY_SEC,
                 "basis_groupby_sec": round(basis, 3),
                 "factor": round(NOMINAL_GROUPBY_SEC / basis, 4),
                 "note": "value_normalized = raw total x factor; raw is primary",
             }
+        else:
+            # calibration child predating the sample lists (or a
+            # truncated payload): min/max-based spread, no basis
+            out["spread"] = round(sg["max"] / sg["min"], 2)
+            out["spread_basis"] = "all"
     return out
+
+
+#: injectable clock for the budget tests (monkeypatched there; the
+#: real run uses the monotonic clock)
+_now = time.monotonic
+
+#: fresh-JVM startup estimate used by the isolated-phase budgeter —
+#: the ~10 s figure every batched/isolated child has shown since r6
+JVM_STARTUP_EST_SEC = 10.0
+
+
+def _budget_sec() -> float:
+    """Wall-clock budget for the WHOLE bench invocation (VERDICT r15
+    item 1b). The r15 driver artifact was rc 124 / parsed null: the
+    isolated phase grew to 36 fresh JVMs under min-of-2 and blew the
+    driver's window (observed: r14's ~700 s survived, r15's ~950 s
+    did not — so the ceiling is between them, likely 900). The
+    default leaves margin under that floor; the batched phase always
+    runs in full (it IS the artifact), the budget governs how much
+    isolated re-measurement fits after it."""
+    return float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "780"))
+
+
+def _time_one_isolated(name: str) -> float:
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run-batch", name],
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(proc.stderr)
+    try:
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        return float(payload["queries"][name])
+    except (IndexError, ValueError, KeyError, TypeError):
+        return float("nan")
+
+
+def _run_isolated_budgeted(
+    slow_names: list[str],
+    timings: dict[str, float],
+    iso_reps: int,
+    t_start: float,
+    budget: float,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, list[str]]]:
+    """Isolated re-runs under a wall-clock budget, COVERAGE before
+    PRECISION (VERDICT r15 items 1b/4): the schedule is rep-major —
+    one sample of every name first, the min-of-2 second samples only
+    after every name has one — so a depleting budget degrades
+    min-of-2 → min-of-1 → drops movers (they follow the slowest-10
+    within the pass) → drops the slowest-10's tail, never silently:
+    every skip is logged and recorded in the artifact. If ANY
+    first-rep item had to be skipped, the second-rep pass is not
+    attempted at all (two samples of half the names is worth less
+    than the skipped names' one sample)."""
+    isolated: dict[str, float] = {}
+    isolated_runs: dict[str, list[float]] = {}
+    skipped: dict[str, list[str]] = {"rep1": [], "rep2": []}
+    for rep in range(iso_reps):
+        if rep > 0 and skipped["rep1"]:
+            skipped["rep2"] = [n for n in slow_names if n not in skipped["rep1"]]
+            print(
+                "bench isolated: rep-2 pass dropped entirely "
+                f"(budget already cut {len(skipped['rep1'])} rep-1 runs)",
+                file=sys.stderr,
+                flush=True,
+            )
+            break
+        for si, name in enumerate(slow_names):
+            prior = isolated_runs.get(name) or []
+            t_batched = timings.get(name, float("nan"))
+            est_query = (
+                prior[0]
+                if prior and prior[0] == prior[0]
+                else (t_batched if t_batched == t_batched else 5.0)
+            )
+            est = JVM_STARTUP_EST_SEC + max(est_query, 2.0)
+            if _now() - t_start + est > budget:
+                skipped["rep1" if rep == 0 else "rep2"].append(name)
+                print(
+                    f"bench isolated SKIP [rep {rep + 1}] {name}: "
+                    f"budget {budget:.0f}s depleted "
+                    f"({_now() - t_start:.0f}s elapsed, est {est:.0f}s)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
+            print(
+                f"bench isolated [{si + 1}/{len(slow_names)}]"
+                f"[rep {rep + 1}/{iso_reps}] {name}",
+                file=sys.stderr,
+                flush=True,
+            )
+            isolated_runs.setdefault(name, []).append(
+                round(_time_one_isolated(name), 4)
+            )
+    for name, samples in isolated_runs.items():
+        good = [s for s in samples if s == s]
+        isolated[name] = min(good) if good else float("nan")
+    return isolated, isolated_runs, skipped
+
+
+def _print_summary(
+    payload: dict,
+    timings: dict[str, float],
+    isolated: dict[str, float],
+    pending: bool,
+) -> None:
+    """The driver-facing JSON line (the driver parses the LAST stdout
+    line). Printed TWICE per run (VERDICT r15 item 1a): once right
+    after the batched phase + calibration merge with
+    isolated_pending=true, and again after the isolated phase — so a
+    driver timeout during isolation degrades to 'no isolated column'
+    instead of 'no artifact' (BENCH_r15 was rc 124 / parsed null
+    because the only print sat at the very end of main)."""
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items() if v == v),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
+    errors = sorted(k for k, v in timings.items() if v != v)
+    line = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        # raw-total x (nominal / warm-median groupBy control): the
+        # round-over-round comparison column on bimodal boxes
+        # (VERDICT r14 item 4) — RAW stays primary
+        "value_normalized": payload["value_normalized"],
+        "unit": payload["unit"],
+        # the FULL per-query map lives in BENCH_DETAIL.json under
+        # "queries"; this line carries only the top-20 tail, so the
+        # key says so (a consumer parsing "queries" as the full map
+        # would silently see a subset — VERDICT r9 item 4)
+        "slowest": slowest,
+        "isolated": {k: round(v, 2) for k, v in isolated.items()},
+        "isolated_pending": pending,
+        "isolated_skipped": payload.get("isolated_skipped", {}),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors[:10],
+        "calibration": payload["calibration"],
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": payload["sf"],
+        "batch_size": payload["batch_size"],
+        "n_batches": payload["n_batches"],
+    }
+    print(json.dumps(line), flush=True)
+
+
+def _write_detail(payload: dict) -> None:
+    # full per-query detail to a file: the harness capturing stdout
+    # keeps only a tail of it, and 200+ query entries push a single
+    # JSON line past that window (r7's artifact recorded parsed: null
+    # for exactly this reason). Written twice, like the summary line:
+    # after the batched phase and again after isolation. FILTERED
+    # (smoke) runs must not clobber the committed full map — it is
+    # both the round artifact and the previous-round baseline the
+    # mover adjudication reads.
+    if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+        return
+    with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(payload, f)
 
 
 def main() -> None:
     import hashlib
     import math
 
+    t_start = _now()
     names = _query_names()
     # box-speed yardstick (one fresh JVM BEFORE the batches and one
     # AFTER, so drift during the run is visible and the normalization
@@ -366,14 +553,46 @@ def main() -> None:
         round(total * norm["factor"], 4) if norm.get("factor") else None
     )
 
+    # previous committed map, read BEFORE the early detail write
+    # below overwrites it — it is the mover-adjudication baseline
+    try:
+        with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json")) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev = {}
+
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 4),
+        "value_normalized": value_normalized,
+        "unit": "sec",
+        "queries": timings,
+        "isolated": {},
+        "isolated_runs": {},
+        "isolated_skipped": {},
+        "streaming_split": streaming_split,
+        "calibration": calibration,
+        "sf": _sf_label(SF_DIR),
+        "batch_size": BATCH,
+        "n_batches": len(chunks),
+    }
+    # EARLY artifact emit (VERDICT r15 item 1a): the batched total,
+    # calibration, and full per-query map are now on stdout and disk
+    # BEFORE any isolated JVM starts — a driver timeout during the
+    # isolated phase loses only the isolated column, never the run.
+    _write_detail(payload)
+    _print_summary(payload, timings, {}, pending=True)
+
     # isolated re-run of the slowest 10 PLUS round-over-round movers
     # (VERDICT r10 item 2 / ADVICE r11): one query per FRESH JVM, so
     # every future verdict can split "the plan is expensive" from
-    # "the batch placement inflated it"
-    # without re-running. Skipped when the run is already filtered
-    # (smoke invocations) or via SPARK_GRAFT_BENCH_ISOLATED=0.
+    # "the batch placement inflated it" without re-running. Skipped
+    # when the run is already filtered (smoke invocations) or via
+    # SPARK_GRAFT_BENCH_ISOLATED=0; wall-clock-budgeted (VERDICT r15
+    # item 1b) so it can never again blow the driver's window.
     isolated: dict[str, float] = {}
     isolated_runs: dict[str, list[float]] = {}
+    isolated_skipped: dict[str, list[str]] = {}
     run_isolated = (
         os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0"
         and not os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -392,11 +611,6 @@ def main() -> None:
         # re-run — so a verdict reading a delta always has the
         # placement-vs-plan separation in hand, not just for the
         # slowest 10. Capped at 8 extra JVMs per run.
-        try:
-            with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json")) as f:
-                prev = json.load(f).get("queries", {})
-        except (OSError, ValueError):
-            prev = {}
         movers = sorted(
             (
                 k
@@ -412,10 +626,10 @@ def main() -> None:
         )[:8]
         slow_names += movers
         # min-of-2 on a bimodal box (VERDICT r14 item 4b): when the
-        # merged yardstick spread exceeds the threshold, one isolated
-        # sample can land in either machine mode — two fresh JVMs per
-        # query, record the min as the plan-cost reading, keep both
-        # samples in the detail map for the audit trail.
+        # merged WARM yardstick spread exceeds the threshold, one
+        # isolated sample can land in either machine mode — two fresh
+        # JVMs per query, record the min as the plan-cost reading,
+        # keep both samples in the detail map for the audit trail.
         spread = calibration.get("spread") or 1.0
         iso_reps = 2 if spread > ISOLATED_MIN_OF_2_SPREAD else 1
         if iso_reps == 2:
@@ -425,100 +639,20 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
-        for si, name in enumerate(slow_names):
-            samples: list[float] = []
-            for rep in range(iso_reps):
-                print(
-                    f"bench isolated [{si + 1}/{len(slow_names)}]"
-                    f"[rep {rep + 1}/{iso_reps}] {name}",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                proc = subprocess.run(
-                    [
-                        sys.executable,
-                        os.path.abspath(__file__),
-                        "--run-batch",
-                        name,
-                    ],
-                    capture_output=True,
-                    text=True,
-                )
-                sys.stderr.write(proc.stderr)
-                try:
-                    iso_payload = json.loads(
-                        proc.stdout.strip().splitlines()[-1]
-                    )
-                    samples.append(float(iso_payload["queries"][name]))
-                except (IndexError, ValueError, KeyError, TypeError):
-                    samples.append(float("nan"))
-            good = [s for s in samples if s == s]
-            isolated[name] = min(good) if good else float("nan")
-            if iso_reps > 1:
-                isolated_runs[name] = [round(s, 4) for s in samples]
+        isolated, isolated_runs, isolated_skipped = _run_isolated_budgeted(
+            slow_names, timings, iso_reps, t_start, _budget_sec()
+        )
+        isolated_skipped = {
+            k: v for k, v in isolated_skipped.items() if v
+        }
 
-    payload = {
-        "metric": "total_query_wall_seconds",
-        "value": round(total, 4),
-        "value_normalized": value_normalized,
-        "unit": "sec",
-        "queries": timings,
-        "isolated": isolated,
-        "isolated_runs": isolated_runs,
-        "streaming_split": streaming_split,
-        "calibration": calibration,
-        "sf": _sf_label(SF_DIR),
-        "batch_size": BATCH,
-        "n_batches": len(chunks),
+    payload["isolated"] = isolated
+    payload["isolated_runs"] = {
+        k: v for k, v in isolated_runs.items() if len(v) > 1
     }
-    # full per-query detail to a file: the harness capturing stdout
-    # keeps only a tail of it, and ~184 query entries push the single
-    # JSON line past that window (r7's artifact recorded parsed: null
-    # for exactly this reason) — so the LAST stdout line is a compact
-    # summary that always fits, with the slowest entries inline and
-    # the full map on disk. FILTERED (smoke) runs must not clobber
-    # the committed full map — it is both the round artifact and the
-    # previous-round baseline the mover adjudication reads.
-    if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
-        detail_path = os.path.join(REPO_ROOT, "BENCH_DETAIL.json")
-        with open(detail_path, "w") as f:
-            json.dump(payload, f)
-    slowest = dict(
-        sorted(
-            ((k, round(v, 2)) for k, v in timings.items() if v == v),
-            key=lambda kv: -kv[1],
-        )[:20]
-    )
-    errors = sorted(k for k, v in timings.items() if v != v)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 4),
-                # raw-total x (nominal / median groupBy control):
-                # the round-over-round comparison column on bimodal
-                # boxes (VERDICT r14 item 4) — RAW stays primary
-                "value_normalized": value_normalized,
-                "unit": "sec",
-                # the FULL per-query map lives in BENCH_DETAIL.json
-                # under "queries"; this line carries only the top-20
-                # tail, so the key says so (a consumer parsing
-                # "queries" as the full map would silently see a
-                # subset — VERDICT r9 item 4)
-                "slowest": slowest,
-                "isolated": {k: round(v, 2) for k, v in isolated.items()},
-                "n_queries": len(timings),
-                "n_errors": len(errors),
-                "errors": errors[:10],
-                "calibration": calibration,
-                "detail_file": "BENCH_DETAIL.json",
-                "sf": _sf_label(SF_DIR),
-                "batch_size": BATCH,
-                "n_batches": len(chunks),
-            }
-        ),
-        flush=True,
-    )
+    payload["isolated_skipped"] = isolated_skipped
+    _write_detail(payload)
+    _print_summary(payload, timings, isolated, pending=False)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ cosine ordering can never diverge between engines.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2259,11 +2260,13 @@ def _gram_int_exact(a, b_t, a_absmax=None, b_absmax=None):
     # envelope check in EXACT Python integer arithmetic (ADVICE
     # r14): the float64 product amax*bmax*d can itself round down a
     # few ulps near 2^53 and admit a gram whose true bound is
-    # marginally above it. int(amax)/int(bmax) are exact whenever
-    # the check could pass (a max ≥ 2^53 would fail it regardless of
-    # float rounding, since the other factors are ≥ 1 — or the
-    # product is 0 and trivially exact).
-    if int(amax) * int(bmax) * a.shape[1] < _F64_EXACT_BOUND:
+    # marginally above it. ceil, not int (ADVICE r15): int() truncates
+    # toward zero, so a contract-violating FRACTIONAL max (inputs are
+    # supposed to be integer-valued) would weaken the bound (2.9 → 2)
+    # and could admit the inexact-float path for out-of-contract
+    # data; ceil only ever tightens. For in-contract integer maxima
+    # ceil == int, so the branch taken is unchanged.
+    if math.ceil(amax) * math.ceil(bmax) * a.shape[1] < _F64_EXACT_BOUND:
         return a.astype(_np.float64) @ b_t.astype(_np.float64)
     return (a @ b_t).astype(_np.float64)
 

@@ -25,11 +25,13 @@ def test_merge_spans_both_runs_and_takes_median_basis():
     # top-level keys keep the r14 shape, spanning BOTH runs
     assert m["spark_groupby_20m_sec"] == {"min": 0.65, "max": 8.0}
     assert m["numpy_matmul_1500_sec"] == {"min": 0.02, "max": 1.2}
-    assert m["spread"] == round(8.0 / 0.65, 2)
-    # basis = median of all 6 groupBy samples (sorted
-    # [0.65, 0.7, 0.9, 1.0, 1.3, 8.0] -> index 3 = 1.0): the upper
-    # middle deliberately sits past the structural fresh-JVM
-    # warmup outliers without being one
+    # spread + basis over WARM samples only (ADVICE r15): the first
+    # groupBy sample of each child is the structural fresh-JVM
+    # warmup, so it is dropped — warm samples are
+    # [1.3, 1.0] + [0.65, 0.7], sorted [0.65, 0.7, 1.0, 1.3]:
+    # spread 1.3/0.65, basis index 2 = 1.0
+    assert m["spread"] == round(1.3 / 0.65, 2)
+    assert m["spread_basis"] == "warm"
     norm = m["normalization"]
     assert norm["basis_groupby_sec"] == 1.0
     assert norm["factor"] == round(bench.NOMINAL_GROUPBY_SEC / 1.0, 4)
@@ -56,6 +58,7 @@ def test_merge_r14_shape_without_sample_lists():
     m = bench._merge_calibration(pre, {})
     assert m["spark_groupby_20m_sec"] == {"min": 1.0, "max": 6.0}
     assert m["spread"] == 6.0
+    assert m["spread_basis"] == "all"
     assert "normalization" not in m
 
 
@@ -67,8 +70,15 @@ def test_spread_decides_min_of_2_threshold():
     quiet = bench._merge_calibration(
         _cal([0.7, 0.65, 0.68], [0.02, 0.02, 0.02]), {}
     )
+    # loud must be loud in the WARM samples (ADVICE r15): a first-
+    # sample-only outlier is JVM warmup, not box bimodality, and no
+    # longer triggers min-of-2
     loud = bench._merge_calibration(
-        _cal([7.0, 1.2, 0.9], [1.2, 0.4, 0.02]), {}
+        _cal([7.0, 6.0, 0.9], [1.2, 0.4, 0.02]), {}
     )
+    warmup_only = bench._merge_calibration(
+        _cal([8.0, 1.0, 0.9], [0.02, 0.02, 0.02]), {}
+    )
+    assert warmup_only["spread"] <= bench.ISOLATED_MIN_OF_2_SPREAD
     assert quiet["spread"] <= bench.ISOLATED_MIN_OF_2_SPREAD
     assert loud["spread"] > bench.ISOLATED_MIN_OF_2_SPREAD

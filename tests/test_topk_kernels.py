@@ -14,6 +14,8 @@ Driver-side only; no Spark session.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from lake_satellite_image_etl_spark.operators.similarity import (
@@ -138,3 +140,23 @@ def test_gram_envelope_boundary_is_data_driven():
     assert np.array_equal(_gram_int_exact(a, a.T), (a @ a.T).astype(np.float64))
     a[2, 17] = 2**25  # amax²·64 = 2^56 > 2^53 — int64 route
     assert np.array_equal(_gram_int_exact(a, a.T), (a @ a.T).astype(np.float64))
+
+
+def test_gram_envelope_fractional_maxima_cannot_loosen_guard():
+    """ADVICE r15: the exact-integer envelope check must CEIL the
+    maxima, not truncate them — int() on an out-of-contract
+    fractional max (inputs are supposed to be integer-valued) would
+    weaken the bound (2.9 contributes 2) and could admit the
+    inexact-float path. Constructed at the boundary: absmax
+    94906265.5 truncates to a value whose square is just BELOW 2^53
+    (old check would take the f64 route) but ceils to one just ABOVE
+    it (new check routes to the exact fallback) — and the actual
+    product here is odd and > 2^53, so the f64 route really rounds."""
+    x, y = 94906267, 94906269  # odd·odd = 9007199705687823 > 2^53
+    assert x * y > 2**53 and float(x * y) != x * y
+    frac = 94906265.5
+    assert math.trunc(frac) ** 2 * 1 < 2**53 < math.ceil(frac) ** 2 * 1
+    a = np.array([[x]], dtype=np.int64)
+    b = np.array([[y]], dtype=np.int64)
+    got = _gram_int_exact(a, b.T, a_absmax=frac, b_absmax=frac)
+    assert got[0, 0] == float(np.int64(x) * np.int64(y))

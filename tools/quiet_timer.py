@@ -14,7 +14,10 @@ would be meaningful:
    sample) min-of-N (default 3) via bench.py --run-batch, re-checking
    the yardstick AFTER the runs so a mid-measurement mode flip is
    visible;
-4. print one JSON line with the calibrations and per-query samples.
+4. print one JSON line with the calibrations and per-query samples;
+   exit 3 (after printing) if the POST yardstick is loud — the box
+   mode flipped mid-measurement, so the samples were not all taken
+   under the quiet gate they claim (ADVICE r15).
 
 Usage:
     python tools/quiet_timer.py [--reps 3] [--force] name [name ...]
@@ -99,10 +102,11 @@ def main() -> int:
             "min": round(min(good), 3) if good else None,
         }
     cal_post = _calibrate()
+    quiet_post = _is_quiet(cal_post)
     print(
         json.dumps(
             {
-                "quiet": quiet and _is_quiet(cal_post),
+                "quiet": quiet and quiet_post,
                 "calibration_pre": cal_pre,
                 "calibration_post": cal_post,
                 "reps": args.reps,
@@ -113,6 +117,13 @@ def main() -> int:
             }
         )
     )
+    # a mid-measurement mode flip invalidates the quiet gate the
+    # measurement was taken under — exit 3 (ADVICE r15), mirroring
+    # the pre-gate's exit 2, so exit-code consumers can't accept a
+    # payload whose quiet=false they never read. --force opts out of
+    # gating entirely, same as it does for the pre-gate.
+    if not quiet_post and not args.force:
+        return 3
     return 0
 
 

@@ -65,7 +65,11 @@ def main() -> int:
     names = list(queries)
     latest = load_latest_rounds()
     max_round = max(latest.values(), default=0)
-    next_round = args.next_round or (max_round + 1)
+    # `is not None`, not `or` (ADVICE r15): an explicit --next-round 0
+    # must audit round 0, not silently fall back to max_round + 1
+    next_round = (
+        args.next_round if args.next_round is not None else max_round + 1
+    )
 
     hist: dict[int, int] = {}
     for n in names:
