@@ -97,6 +97,13 @@ DIM = 64
 #: ≈ 32 MB; trips loudly past it, same contract as the codebook cap.
 EVAL_SAMPLE_CAP = 65536
 
+#: collect cap for dq_knn_recall_eval's FULL exact side (its corpus
+#: matrix broadcast, VERDICT r15 item 3): the full all-pairs graph is
+#: fixture-scale by contract — n² pair work makes it impractical long
+#: before the collect does — so past this the harness refuses loudly
+#: and names eval_sample_den, the sampled shape that ships at scale.
+EVAL_FULL_EXACT_CAP = 131072
+
 
 def _plane_weight(p: int, d: int) -> int:
     """Deterministic integer hyperplane component in [-1000, 1000]:
@@ -2667,8 +2674,9 @@ def dq_knn_recall_eval(
     ``eval_sample_den`` and recall is measured over the ~1/den
     deterministic md5-sampled subset of vectors
     (``eval_sample_pred``). The sampled exact side switches SHAPE:
-    instead of the one-group blocked gram (right at fixture scale,
-    where the whole corpus fits one Arrow batch), the collected
+    instead of the broadcast-corpus gram (bounded by
+    EVAL_FULL_EXACT_CAP — right at fixture scale, wrong at 100 TB),
+    the collected
     sample matrix (bounded by EVAL_SAMPLE_CAP) streams the full
     candidate set through mapInPandas — per-Arrow-batch partial
     top-k grams, then one global per-query top-k window over the
@@ -2690,59 +2698,106 @@ def dq_knn_recall_eval(
     ).filter(F.col("qv").isNotNull())
     n = q.select("vec_id", "qv", norm(F.col("qv")).alias("nrm"))
 
-    # exact side: ONE blocked integer gram over the (sampled) corpus
-    # via _gram_int_exact (exactness-checked float64 BLAS, int64
-    # fallback outside the 2^53 envelope) + _topk_cols_stable
-    # (argpartition with the id-stable tie rule) — bit-identical to
-    # the int64-matmul + full stable argsort it replaced (r14,
-    # VERDICT r13 item 1) and to the oracle's relational dot +
-    # IEEE divide, while ~40× cheaper than spelling the 64-term dot
-    # per pair in codegen (measured 35 s → <2 s at sf0.1's 2 000
-    # vectors / 4 M pairs). Row blocks keep memory bounded; one group
-    # is the right shape for a sampled eval.
-    def exact_knn(pdf):
-        import numpy as _np
-        import pandas as _pd
-
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = len(pdf)
-        if m < 2:
-            return _pd.DataFrame(
-                {
-                    "vec_id": _np.array([], dtype=_np.int64),
-                    "neighbor_id": _np.array([], dtype=_np.int64),
-                }
-            )
-        x = _np.stack(pdf["qv"].values).astype(_np.int64, copy=False)
-        nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        kk = min(KNN_K, m - 1)
-        block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
-        x_absmax = _np.abs(x).max(initial=0)  # loop-invariant bound
-        out_v, out_n = [], []
-        for lo in range(0, m, block):
-            hi = min(lo + block, m)
-            # f64 BLAS gram (exactness-checked) + argpartition top-k:
-            # the two lines that were 6.1 s + 15.2 s of the r13
-            # regression (VERDICT r13 item 1), bit-identical output
-            cos = _gram_int_exact(x[lo:hi], x.T, b_absmax=x_absmax) / (
-                nrm[lo:hi, None] * nrm[None, :]
-            )
-            cos[ids[None, :] == ids[lo:hi, None]] = -_np.inf  # self
-            rows, cols = _topk_cols_stable(cos, kk)
-            out_v.append(ids[lo:hi][rows])
-            out_n.append(ids[cols])
-        return _pd.DataFrame(
-            {
-                "vec_id": _np.concatenate(out_v),
-                "neighbor_id": _np.concatenate(out_n),
-            }
-        )
-
+    # exact side (full path): a DISTRIBUTED blocked integer gram via
+    # _gram_int_exact (exactness-checked float64 BLAS, int64 fallback
+    # outside the 2^53 envelope) + _topk_cols_stable (argpartition
+    # with the id-stable tie rule) — bit-identical to the oracle's
+    # relational dot + IEEE divide, while ~40× cheaper than spelling
+    # the 64-term dot per pair in codegen (measured 35 s → <2 s at
+    # sf0.1's 2 000 vectors / 4 M pairs, VERDICT r13 item 1).
     if eval_sample_den is None:
-        exact = n.groupBy(F.lit(1).alias("_g")).applyInPandas(
-            exact_knn, schema="vec_id long, neighbor_id long"
+        # VERDICT r15 item 3: the former one-group applyInPandas gram
+        # was a SINGLE ~0.5 s numpy task, and a single-task stage is
+        # maximally exposed to per-core throttling — the r15
+        # adjudication measured the same stage at [1.55, 22.5, 0.76] s
+        # on consecutive identical runs. Now the id-sorted corpus
+        # matrix rides a broadcast (a bounded model artifact, memoized
+        # per path like the IVF codebook) while query rows stream
+        # through mapInPandas over a hash repartition, so the stage
+        # averages over cores like the graph side does. Per query row
+        # the arithmetic is unchanged — same gram against the same
+        # id-sorted corpus columns, same self-mask, same argpartition
+        # top-k — so the output SET is bit-identical to the one-group
+        # form (each row's neighbors never depended on which batch the
+        # row sat in). The full exact side stays fixture-scale by
+        # contract (n² pair work; the 100 TB shape is eval_sample_den)
+        # and the collect cap makes that contract loud, not an OOM.
+        def _corpus_matrix():
+            rows = n.collect()
+            if len(rows) > EVAL_FULL_EXACT_CAP:
+                raise ValueError(
+                    f"dq_knn_recall_eval: full exact side collected "
+                    f"{len(rows)} vectors (cap {EVAL_FULL_EXACT_CAP}) — "
+                    "the all-pairs exact graph is fixture-scale only; "
+                    "pass eval_sample_den for the sampled shape that "
+                    "ships at scale"
+                )
+            if len(rows) < 2:
+                return None
+            ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+            o = np.argsort(ids, kind="stable")
+            return spark.sparkContext.broadcast(
+                (
+                    ids[o],
+                    np.stack([rows[i]["qv"] for i in o]).astype(np.int64),
+                    np.array(
+                        [rows[i]["nrm"] for i in o], dtype=np.float64
+                    ),
+                )
+            )
+
+        bc_full = memo_per_path(
+            spark,
+            "knn_eval_full_corpus",
+            _emb_path(sf_dir),
+            _corpus_matrix,
+            on_evict=lambda old: (
+                old.unpersist(blocking=False) if old is not None else None
+            ),
         )
+        if bc_full is None:
+            # degenerate corpus (< 2 vectors): no exact edges, same
+            # contract as the old one-group kernel's m < 2 guard
+            exact = spark.createDataFrame(
+                [], "vec_id long, neighbor_id long"
+            )
+        else:
+
+            def exact_full(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                c_ids, c_mat, c_nrm = bc_full.value
+                m = c_ids.shape[0]
+                kk = min(KNN_K, m - 1)
+                c_absmax = _np.abs(c_mat).max(initial=0)  # invariant
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+                    x = _np.stack(pdf["qv"].values).astype(
+                        _np.int64, copy=False
+                    )
+                    nrm = pdf["nrm"].to_numpy(dtype=_np.float64)
+                    ids = pdf["vec_id"].to_numpy()
+                    block = max(1, KNN_GRAM_BLOCK_ELEMS // m)
+                    for lo in range(0, len(pdf), block):
+                        hi = min(lo + block, len(pdf))
+                        cos = _gram_int_exact(
+                            x[lo:hi], c_mat.T, b_absmax=c_absmax
+                        ) / (nrm[lo:hi, None] * c_nrm[None, :])
+                        cos[c_ids[None, :] == ids[lo:hi, None]] = -_np.inf
+                        rows_i, cols_i = _topk_cols_stable(cos, kk)
+                        yield _pd.DataFrame(
+                            {
+                                "vec_id": ids[lo:hi][rows_i],
+                                "neighbor_id": c_ids[cols_i],
+                            }
+                        )
+
+            exact = n.repartition("vec_id").mapInPandas(
+                exact_full, schema="vec_id long, neighbor_id long"
+            )
         graph = similarity_knn_graph(spark, sf_dir).select(
             "vec_id", "neighbor_id"
         )
@@ -2910,7 +2965,7 @@ def dq_knn_recall_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r13 item 2): at 100 TB the shape that ships is the
     ``eval_sample_den`` one — collected-sample query matrix
     broadcast into a distributed |sample| × n mapInPandas stream,
-    NOT the one-group gram — so the rotation should hash-verify that
+    NOT the broadcast-corpus gram — so the rotation should hash-verify that
     plan every cycle, not only a pytest path. Denominator pinned at
     {EVAL_SAMPLE_DEN_REGISTERED} (~1/4 of vectors); the md5-bucket
     predicate is deterministic and SQL-expressible, so this sibling

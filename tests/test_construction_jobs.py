@@ -119,6 +119,11 @@ def test_construction_job_sweep(spark):
         # query-sample broadcast first-touch (memoized per
         # (path, den), the candidate-matrix pattern)
         "dq_knn_recall_eval_sampled",
+        # r16: the FULL kNN eval's exact side now broadcasts the
+        # id-sorted corpus matrix (VERDICT r15 item 3 — the one-group
+        # gram was a single-task core lottery); same memo_per_path
+        # first-touch contract
+        "dq_knn_recall_eval",
     ):
         qs[warm_name](spark, SF_ORACLE)
 

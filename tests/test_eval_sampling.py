@@ -62,17 +62,22 @@ def test_knn_sampled_exact_side_is_distributed(spark):
     sampled_plan = dq_knn_recall_eval(
         spark, SF, eval_sample_den=2
     )._jdf.queryExecution().executedPlan().toString()
-    # one FlatMapGroupsInPandas remains: the registered graph
-    # KERNEL's hot-cell gram (production path, unchanged); the
-    # sampled exact side contributes a streaming MapInPandas instead
-    # of a second one-group gram.
+    # the only FlatMapGroupsInPandas in EITHER plan is the registered
+    # graph KERNEL's per-cell gram (production path, unchanged): the
+    # sampled exact side streams candidates through MapInPandas, and
+    # since r16 (VERDICT r15 item 3) the FULL exact side is a
+    # MapInPandas stream too — query rows over a hash repartition
+    # against the broadcast id-sorted corpus matrix, instead of the
+    # single-task one-group gram that drew the per-core throttling
+    # lottery.
     full_plan = dq_knn_recall_eval(
         spark, SF
     )._jdf.queryExecution().executedPlan().toString()
     assert full_plan.count("FlatMapGroupsInPandas") == sampled_plan.count(
         "FlatMapGroupsInPandas"
-    ) + 1
+    )
     assert "MapInPandas" in sampled_plan
+    assert "MapInPandas" in full_plan
 
 
 def test_knn_sampled_cap_trips(spark):
