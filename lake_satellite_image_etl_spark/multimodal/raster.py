@@ -726,7 +726,14 @@ def raster_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the PNG artifact, and its pixels are pinned equal to
     the fp twin's on this fixture plus goldens in
     tests/test_raster.py."""
-    stacked = stack_bands(synth_band_rows(spark, sf_dir))
+    from lake_satellite_image_etl_spark.caching import persist_bounded
+
+    # bounded lazy persist (r16, guide §2.4): the stats branch and the
+    # thumbnail branch both consume ``stacked``, and Catalyst does not
+    # reuse non-exchange subtrees — without the persist the synth →
+    # stack pipeline (a mapInPandas pass + an entity-keyed shuffle +
+    # an applyInPandas group pass) physically ran TWICE per action.
+    stacked = persist_bounded(stack_bands(synth_band_rows(spark, sf_dir)))
     stats = stacked.select(
         "entity_id",
         "width",

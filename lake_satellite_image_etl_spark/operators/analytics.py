@@ -486,29 +486,33 @@ def analytics_markov_steady_state(
     across engines — the graph_pagerank exactness rule applied to a
     row-stochastic chain.
 
-    Plan: the transition table is built once ({MKV_ITERS} joins never
-    re-read events) and each superstep is one |types|-keyed join +
-    aggregate over |edges| ≤ |types|² rows with a per-round
-    localCheckpoint — iterative linear algebra at constant per-round
-    cost once the chain is aggregated."""
+    Plan: the transition table is built once behind a plan-lazy
+    bounded persist ({MKV_ITERS} joins never re-read events) and the
+    supersteps compose into ONE lazy plan (r16, guide §1.2/§2.4 —
+    the graph_pagerank rationale: a FIXED small round count over
+    |types|-bounded state makes the former per-round eager
+    localCheckpoint pure overhead, one driver-blocking job +
+    materialization per round). The uniform start mass rides a
+    1-row broadcast count into the plan instead of a driver-side
+    ``t.count()``, so construction runs zero Spark jobs; integer
+    ``div`` arithmetic is unchanged."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
-    e = (
+    e = persist_bounded(
         seq.groupBy(
             F.col("event_type").alias("src"), F.col("nxt").alias("dst")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=True)
     )
     o = e.groupBy("src").agg(F.sum("c").cast("long").alias("co"))
-    eo = e.join(o, "src").localCheckpoint(eager=True)
+    eo = persist_bounded(e.join(o, "src"))
     t = ev.select(F.col("event_type").alias("node")).distinct()
-    n_types = t.count()
-    ranks = t.select(
-        "node", F.lit(MKV_SCALE // n_types).cast("long").alias("r")
+    consts = t.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    ranks = t.crossJoin(F.broadcast(consts)).select(
+        "node", F.expr(f"{MKV_SCALE}L div nn").cast("long").alias("r")
     )
     for _ in range(MKV_ITERS):
         ranks = (
@@ -525,7 +529,6 @@ def analytics_markov_steady_state(
             )
             .groupBy("node")
             .agg(F.sum("m").cast("long").alias("r"))
-            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("node").alias("event_type"),

@@ -999,9 +999,16 @@ def corpus_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pr.l_sym", "pr.r_sym")
             .agg(F.sum("freq").alias("cnt"))
         )
+        # eager cut on the 1-row argmax (r16): ``best`` has TWO
+        # consumers — the broadcast merge application below and the
+        # final merge-table union — and without the cut the union's
+        # action re-ran every round's pair aggregation a second time
+        # (8 extra vocabulary-sized explode+groupBy passes per run,
+        # measured ~2x the whole query). One tiny job per round
+        # materializes the argmax once for both.
         best = pairs.orderBy(
             F.desc("cnt"), F.asc("l_sym"), F.asc("r_sym")
-        ).limit(1)
+        ).limit(1).localCheckpoint(eager=True)
         merges.append(
             best.select(
                 F.lit(r + 1).cast("long").alias("rank"),

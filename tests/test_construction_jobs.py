@@ -52,15 +52,23 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "build (r13 audit: memo pattern does not apply)",
     "pipeline_corpus_dedup": "training: composes corpus_bpe_learn's "
     "merge loop (same reasoning — the training IS the query)",
-    # -- iterative: fixed-superstep loops, frontier materialized/round --
+    # -- iterative: loops whose control flow needs a materialized
+    #    frontier (convergence checks) -- (r16: the FIXED-round loops
+    #    graph_pagerank / graph_shortest_path_weighted /
+    #    analytics_markov_steady_state left this list — with a small
+    #    constant round count over bounded state their per-round eager
+    #    localCheckpoint was pure overhead; the rounds now compose
+    #    into one lazy plan and construction runs zero jobs;
+    #    graph_pagerank keeps its per-round checkpoint — measured
+    #    faster than the lazy mega-plan — but its edge build and
+    #    node-count constants are now plan-lazy, so the remaining
+    #    construction jobs are exactly the {PR_ITERS} round cuts)
     "graph_pagerank": "iterative: rank relaxation rounds",
+    "graph_shortest_path_weighted": "iterative: Bellman-Ford rounds",
     "graph_components_star": "iterative: star-contraction rounds",
     "graph_bfs_distance": "iterative: level-synchronous frontier rounds",
-    "graph_shortest_path_weighted": "iterative: Bellman-Ford rounds",
     "graph_clustering_coefficient": "iterative: shares the triangle/"
     "degree checkpointed build",
-    "analytics_markov_steady_state": "iterative: power-method rounds "
-    "after relational reduction",
     "dedup_cluster_assign": "iterative: label-propagation rounds",
     "dedup_canonical_keep": "iterative: composes dedup_cluster_assign's "
     "label-propagation rounds",
