@@ -423,12 +423,20 @@ def _print_summary(
     pending: bool,
 ) -> None:
     """The driver-facing JSON line (the driver parses the LAST stdout
-    line). Printed TWICE per run (VERDICT r15 item 1a): once right
-    after the batched phase + calibration merge with
+    line). Printed after EVERY batch (r16, cumulative partial — see
+    main's batch loop) and then twice more per VERDICT r15 item 1a:
+    once right after the batched phase + calibration merge with
     isolated_pending=true, and again after the isolated phase — so a
-    driver timeout during isolation degrades to 'no isolated column'
-    instead of 'no artifact' (BENCH_r15 was rc 124 / parsed null
-    because the only print sat at the very end of main)."""
+    driver timeout at ANY point degrades to the most recent partial
+    artifact instead of 'no artifact'. (BENCH_r15 was rc 124 / parsed
+    null because the only print sat at the very end of main; the r16
+    session then measured the box's slow mode stretching the batched
+    phase alone to ~1,560 s — past the driver window the r15 artifact
+    died at — so the batched phase itself needs incremental emits,
+    not just a post-phase one.) Partial lines carry
+    ``"batched_pending": true`` + ``n_batches_done`` so a consumer
+    can tell a truncated run from a complete one; the final line is
+    always last, superseding them."""
     slowest = dict(
         sorted(
             ((k, round(v, 2)) for k, v in timings.items() if v == v),
@@ -461,6 +469,9 @@ def _print_summary(
         "batch_size": payload["batch_size"],
         "n_batches": payload["n_batches"],
     }
+    if "n_batches_done" in payload:
+        line["batched_pending"] = bool(payload.get("batched_pending"))
+        line["n_batches_done"] = payload["n_batches_done"]
     print(json.dumps(line), flush=True)
 
 
@@ -537,6 +548,36 @@ def main() -> None:
             )
             batch_timings = {n: float("nan") for n in chunk}
         timings.update(batch_timings)
+        # incremental partial artifact after EVERY batch (r16): on a
+        # slow box the batched phase alone can outlast the driver's
+        # window (measured ~1,560 s this session vs the ~900 s window
+        # r15 died inside), and the first full emit below only
+        # happens after the LAST batch — so a timeout mid-phase must
+        # degrade to "partial map through batch k", never "parsed:
+        # null". The driver parses the LAST stdout line; every later
+        # emit supersedes these. Skipped on filtered (smoke) runs,
+        # which have a single chunk anyway.
+        if not os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+            _print_summary(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": round(
+                        sum(t for t in timings.values() if t == t), 4
+                    ),
+                    "value_normalized": None,
+                    "unit": "sec",
+                    "calibration": _merge_calibration(cal_pre, {}),
+                    "isolated_skipped": {},
+                    "sf": _sf_label(SF_DIR),
+                    "batch_size": BATCH,
+                    "n_batches": len(chunks),
+                    "batched_pending": ci + 1 < len(chunks),
+                    "n_batches_done": ci + 1,
+                },
+                timings,
+                {},
+                pending=True,
+            )
 
     total = sum(t for t in timings.values() if t == t)
 

@@ -221,7 +221,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_pairs(
-    docs: DataFrame, min_jaccard: float | None = JACCARD_THRESHOLD
+    docs: DataFrame,
+    min_jaccard: float | None = JACCARD_THRESHOLD,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """The MinHash+LSH pair pipeline over any (doc_id, text) relation
     (see dedup_minhash_lsh for the algorithm and scale notes) —
@@ -230,10 +232,17 @@ def minhash_pairs(
     pipeline_corpus_dedup (exact-dedup survivor set).
     ``min_jaccard=None`` returns EVERY banded candidate with its
     unrounded exact jaccard — the dq_dedup_recall_eval harness needs
-    the pre-verification candidate set to measure banding recall."""
-    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
-        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
-    )
+    the pre-verification candidate set to measure banding recall.
+    ``sh`` (r16) optionally supplies a prebuilt (doc_id, hsh)
+    hashed-shingle frame — callers that already materialize the
+    identical shingle table (the recall eval persists it for its
+    truth side) pass it in so the tokenize→shingle→md5 chain runs
+    once per action instead of once per consumer; None keeps the
+    self-contained build."""
+    if sh is None:
+        sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+            "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
+        )
     sig = sh.select(
         "doc_id",
         "hsh",
@@ -1195,10 +1204,20 @@ def dq_dedup_recall_eval(
     )
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.withColumn("_toks", tokens_of(F.col("text"))).select(
-        "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
+    # bounded lazy persists (r16, guide §2.3/§2.4): the hashed-shingle
+    # table feeds FIVE consumers per action — the truth side's two
+    # explodes and two size lookups (via ``d``) plus the candidate
+    # side's signature build (passed into minhash_pairs below) — and
+    # Catalyst re-evaluates the tokenize→shingle→md5 chain once per
+    # reference without the persist (~5 full text passes per run).
+    sh = persist_bounded(
+        docs.withColumn("_toks", tokens_of(F.col("text"))).select(
+            "doc_id", hashed_shingles(F.col("_toks")).alias("hsh")
+        )
     )
-    d = sh.select("doc_id", F.array_distinct("hsh").alias("ds"))
+    d = persist_bounded(
+        sh.select("doc_id", F.array_distinct("hsh").alias("ds"))
+    )
     da = (
         d
         if eval_sample_den is None
@@ -1231,7 +1250,7 @@ def dq_dedup_recall_eval(
             >= JACCARD_THRESHOLD
         )
     )
-    cand = minhash_pairs(docs, min_jaccard=None)
+    cand = minhash_pairs(docs, min_jaccard=None, sh=sh)
     if eval_sample_den is not None:
         # same predicate, same pair orientation: the candidate side
         # is the production banded kernel unchanged, post-filtered —
@@ -1613,13 +1632,22 @@ def embedding_cosine_lsh_pairs(
     q = emb.select(
         "vec_id", qvec_of(F.col("embedding")).alias("qv")
     ).filter(F.col("qv").isNotNull())
-    bkt = q.select(
-        "vec_id",
-        "qv",
-        norm(F.col("qv")).alias("nrm"),
+    # bounded lazy persists (r16, guide §2.4): the band self-join
+    # references ``bands`` twice and the verify stage references
+    # ``bkt`` twice (va/vc) — without the persists the numpy band-key
+    # kernel and the norm scan each physically ran TWICE per action
+    # (Catalyst does not reuse non-exchange subtrees). This is the
+    # in-plan form of the "persist the signature table once" advice
+    # the MinHash docstring gives for 100 TB.
+    bkt = persist_bounded(
+        q.select(
+            "vec_id",
+            "qv",
+            norm(F.col("qv")).alias("nrm"),
+        )
     )
-    bands = _band_keys_frame(
-        q.select("vec_id", "qv"), n_planes, band_bits
+    bands = persist_bounded(
+        _band_keys_frame(q.select("vec_id", "qv"), n_planes, band_bits)
     )
     cand = (
         bands.select(F.col("vec_id").alias("vec_a"), "band", "band_key")
@@ -1802,12 +1830,20 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the identically-derived pair set)."""
     docs = read_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    hashed = docs.select(
-        "doc_id", norm.alias("text"), F.md5(norm).alias("norm_hash")
+    # bounded lazy persists (r16, guide §2.4): ``hashed`` is consumed
+    # three times (reps, the survivor join, the final decision join)
+    # and ``reps`` twice — without the persists the normalize+md5
+    # pass over the corpus re-ran once per reference.
+    hashed = persist_bounded(
+        docs.select(
+            "doc_id", norm.alias("text"), F.md5(norm).alias("norm_hash")
+        )
     )
-    reps = hashed.groupBy("norm_hash").agg(
-        F.min("doc_id").alias("exact_rep"),
-        F.count(F.lit(1)).alias("n_copies"),
+    reps = persist_bounded(
+        hashed.groupBy("norm_hash").agg(
+            F.min("doc_id").alias("exact_rep"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
     )
     surv = (
         reps.select("exact_rep")

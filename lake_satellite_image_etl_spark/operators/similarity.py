@@ -1121,9 +1121,19 @@ def ivf_assign(
                 order = _np.argsort(-cos, axis=1, kind="stable")[:, :kk]
                 rows = _np.repeat(_np.arange(b), kk)
                 cols = order.ravel()
+                # qv/nrm ride ALONG in the kernel output (r16, guide
+                # §2.4): the batch already holds them, so re-attaching
+                # them with a post-kernel equi-join on vec_id — which
+                # every consumer of the assignment then paid as a full
+                # shuffle of the vector table per action — is a free
+                # column copy here instead. keep ≤ n_probe bounds the
+                # duplication at n_probe vectors per input vector, and
+                # no exchange replaces a removed one.
                 yield _pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"].to_numpy()[rows],
+                        "qv": pdf["qv"].values[rows],
+                        "nrm": nrm[rows],
                         "c_label": lab[cols],
                         "c_cos": cos[rows, cols],
                         "crank": _np.tile(
@@ -1132,15 +1142,12 @@ def ivf_assign(
                     }
                 )
 
-        ranked = rows.mapInPandas(
+        return rows.mapInPandas(
             rank_batches,
             schema=(
-                f"vec_id long, c_label {label_type}, "
-                "c_cos double, crank int"
+                f"vec_id long, qv array<long>, nrm double, "
+                f"c_label {label_type}, c_cos double, crank int"
             ),
-        )
-        return ranked.join(rows, "vec_id").select(
-            "vec_id", "qv", "nrm", "c_label", "c_cos", "crank"
         )
 
     # trained-codebook memo (VERDICT r11 item 4): frozen-geometry

@@ -125,6 +125,39 @@ def test_payload_emitted_before_isolation_starts(bench_env, capsys):
     assert detail["isolated_skipped"] == {}
 
 
+def test_partial_payload_emitted_after_every_batch(bench_env, capsys):
+    """r16: the batched phase emits a cumulative payload line after
+    EVERY fresh-JVM batch — on a slow box the batched phase alone can
+    outlast the driver's window (measured ~1,560 s this session), and
+    the r15 fix's first emit only landed after the LAST batch. A
+    timeout mid-phase must degrade to 'partial map through batch k',
+    never 'parsed: null'. Partial lines carry batched_pending +
+    n_batches_done; every later line supersedes them."""
+    names, timings, clock, monkeypatch, tmp_path = bench_env
+    fake = FakeChildren(clock, timings, [5.0, 0.6, 0.65])
+    monkeypatch.setattr(bench.subprocess, "run", fake)
+    monkeypatch.setattr(bench, "BATCH", 2)  # force >= 2 chunks
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ISOLATED", "0")
+    bench.main()
+    lines = _summaries(capsys.readouterr().out)
+    partials = [d for d in lines if "n_batches_done" in d]
+    assert len(partials) >= 2, "expected one partial line per batch"
+    # cumulative: n_batches_done strictly increases, value never drops
+    done = [d["n_batches_done"] for d in partials]
+    assert done == sorted(set(done))
+    values = [d["value"] for d in partials]
+    assert values == sorted(values)
+    # all but the last batch are marked mid-phase
+    assert all(d["batched_pending"] for d in partials[:-1])
+    assert partials[-1]["batched_pending"] is False
+    assert partials[-1]["value"] == pytest.approx(sum(timings.values()))
+    # the definitive line still comes last and is complete
+    final = lines[-1]
+    assert "batched_pending" not in final
+    assert final["isolated_pending"] is False
+    assert final["value"] == pytest.approx(sum(timings.values()))
+
+
 def test_budget_degrades_min_of_2_before_dropping_names(bench_env, capsys):
     """Loud warm yardstick → min-of-2; budget fits one rep of all 4
     names but only two second reps — the rep-2 TAIL is skipped, never

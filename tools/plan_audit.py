@@ -71,6 +71,10 @@ ALLOWED_BNLJ = {
     "sketch_distinct_loglog",
     "corpus_token_entropy",
     "corpus_bpe_learn",
+    # - analytics_markov_steady_state (r16): crossJoin vs the 1-row
+    #   broadcast type-count anchor that replaced the driver-side
+    #   t.count() (uniform start mass — jobless construction)
+    "analytics_markov_steady_state",
     # - dq_check_rules: crossJoin vs the 1-row broadcast order-count
     #   anchor (profiling.py:209)
     # - snapshot_diff: crossJoin vs the 1-row broadcast version-cutoff
