@@ -23,7 +23,10 @@ from lake_satellite_image_etl_spark.functions.text import (
     tok_hash60,
     tokens_of,
 )
-from lake_satellite_image_etl_spark.caching import memo_per_path
+from lake_satellite_image_etl_spark.caching import (
+    memo_per_path,
+    persist_bounded,
+)
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.operators.dedup import (
     _SQL_HSHINGLES,
@@ -1594,7 +1597,11 @@ def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     df/total_tf are plain partial-agg sums; the tf table itself is
     one map-side-collapsed shuffle of (term, doc) pairs."""
     docs = read_table(spark, sf_dir, "documents")
-    tf = (
+    # bounded lazy persist (r16, guide §2.4): ``tf`` feeds both the
+    # df/total_tf aggregate and the salted top-k window — without it
+    # the tokenize+explode+count pass over the corpus ran twice per
+    # action.
+    tf = persist_bounded(
         docs.select(
             "doc_id", F.explode(tokens_of(F.col("text"))).alias("term")
         )

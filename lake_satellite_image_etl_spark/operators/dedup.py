@@ -1000,7 +1000,13 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each round is one shuffle of (node, label) joined against
     the checkpointed edge list; the edge list comes from the
     already-bucketed MinHash join, never all-pairs."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # bounded lazy persist (r16, guide §2.4): the symmetrizing union
+    # references ``pairs`` twice, so the edge checkpoint inside
+    # label_propagate_components was executing the ENTIRE MinHash
+    # pipeline (shingle → signature → banding → verify) twice.
+    pairs = persist_bounded(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -1850,7 +1856,10 @@ def pipeline_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hashed, reps.exact_rep == hashed.doc_id)
         .select("doc_id", "text")
     )
-    pairs = minhash_pairs(surv).select("doc_a", "doc_b")
+    # persist before the symmetrizing union (r16): same two-reference
+    # trap as dedup_cluster_assign — without it the survivor MinHash
+    # pipeline ran twice inside the edge checkpoint.
+    pairs = persist_bounded(minhash_pairs(surv).select("doc_a", "doc_b"))
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -2313,7 +2322,10 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("blk"),
     )
     a, b = c.alias("a"), c.alias("b")
-    hits = (
+    # bounded lazy persist (r16, guide §2.4): the symmetrization below
+    # references ``hits`` twice — without the persist the blocked
+    # self-join AND its levenshtein matcher ran twice per action.
+    hits = persist_bounded(
         a.join(b, "blk")
         .where(F.col("a.k") < F.col("b.k"))
         .where(

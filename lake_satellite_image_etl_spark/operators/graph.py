@@ -509,10 +509,16 @@ def bfs_distances(
     a provably empty result. Level-synchronous visiting makes
     first-found == minimum distance, which is what the oracle's
     min() over the (node, d)-deduped recursive walk checks."""
-    canon = _canon_edges(
-        edges.select(
-            F.col(edges.columns[0]).alias("x"),
-            F.col(edges.columns[1]).alias("y"),
+    # canon persisted too (r16): the symmetrizing union references it
+    # twice, so materializing ``sym`` was running the upstream edge
+    # build (the co-purchase self-join + distinct — the dominant
+    # cost) twice.
+    canon = persist_bounded(
+        _canon_edges(
+            edges.select(
+                F.col(edges.columns[0]).alias("x"),
+                F.col(edges.columns[1]).alias("y"),
+            )
         )
     )
     sym = persist_bounded(

@@ -68,94 +68,113 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: value. Names not listed keep insertion order after the listed ones.
 _PRIORITY = (
     # ================= r16 driver window (50 slots) ================
-    # Runs the r16/r17 SLA-crunch pre-plan written at r15 (below, and
-    # machine-validated by tools/rotation_audit.py — re-run after this
-    # edit: ok=true, window composition r11:36 + r12:11 + rule-1:3).
-    # Rule 1 (changed kernel), 3 rows:
-    #   - dq_knn_recall_eval: the FULL path's exact side is now
-    #     DISTRIBUTED (VERDICT r15 item 3) — the one-group
-    #     applyInPandas gram was a single ~0.5 s numpy task that the
-    #     box's per-core throttling could stretch to 22 s; the
-    #     id-sorted corpus matrix now rides a memoized broadcast while
-    #     query rows stream through mapInPandas over a hash
-    #     repartition. Per-row arithmetic unchanged (same gram, same
-    #     id-stable top-k, same self-mask) so the output SET is
-    #     bit-identical — oracle re-verified locally — but changed
-    #     kernel ⇒ window per rule 1;
-    #   - similarity_knn_graph + dq_knn_recall_eval_sampled: the
-    #     _gram_int_exact envelope check ceils its maxima instead of
-    #     truncating (ADVICE r15). In-contract (integer-valued) maxima
-    #     ceil identically, so the branch taken is unchanged at any
-    #     scale with integer inputs — but changed kernel ⇒ window for
-    #     all three consumers, same adjudication as the r15 envelope
-    #     change.
-    # Rule 2 (net-new): ZERO — VERDICT r15 item 5, the influx budget
-    #   this round belongs to the r11 SLA tier (due r17).
-    # NOT re-queued under rule 1 (auditable): bench.py's early-emit /
-    #   budget / warm-spread rework, quiet_timer's exit-3, and
-    #   rotation_audit's --next-round fix are measurement tooling —
-    #   no registered kernel or oracle string changed (md5-swept).
-    # Slots 4-39 = the full 36-row r11 tier (due r17, landing a round
-    # early), complex families first per the pre-plan. Slots 40-50 =
-    # 11 r12-heavy pulls (flagship, raster pipeline, the IVF/ANN
-    # family, stream-stream join, pagerank) to shave the r17 crunch.
+    # REWRITTEN during the r16 OPTIMIZATION round: the round changed
+    # 34 additional kernels beyond the pre-planned rule-1 trio
+    # (per-operator shuffle/pass removal — see OPTIMIZATION_r16.md;
+    # every change oracle-verified locally with tools/compare.py,
+    # all outputs hash-identical), and rule 1 (changed kernel ⇒
+    # driver re-verifies) outranks the opportunistic parts of the
+    # pre-plan. Composition now: rule-1 37 + r11 SLA keeps 13.
+    # Rule 1 (changed kernel), 37 rows — the inherited trio
+    #   (dq_knn_recall_eval distributed exact side + the envelope
+    #   ceil, VERDICT r15 item 3 / ADVICE r15) plus every r16
+    #   optimization consumer: the IVF family (ivf_assign now emits
+    #   qv/nrm from the kernel instead of a re-attach join), the PQ
+    #   pair (one-aggregation codebook training), the dedup/eval
+    #   family (persisted shingle/pair tables, minhash_pairs sh
+    #   param), the iterative graph kernels (lazy invariants,
+    #   convergence-check cuts), markov (lazy rounds + broadcast
+    #   count anchor), bpe (eager argmax cut), raster stats
+    #   (persisted stack), and the five streaming drains
+    #   (STREAM_STATE_PARTITIONS 8 → 4).
+    # Rule 2 (net-new): ZERO (VERDICT r15 item 5 holds).
+    # Displaced to the r17 head (rule-1 displaces from the BACK —
+    # here the simple untouched r11 rows and the two untouched r12
+    # pulls): 13 r11 rows listed immediately after slot 50 below.
+    # They are exactly at the SLA bound at r17 (6 rounds stale) and
+    # MUST lead the r17 window; tools/rotation_audit.py re-run after
+    # this edit: ok=true (the displaced rows are due r17, so they
+    # gate r17's window, not r16's).
     "dq_knn_recall_eval",
     "similarity_knn_graph",
     "dq_knn_recall_eval_sampled",
-    # -- r11 tier (all 36), complex first --
-    "raster_clip_vector_boundary",
-    "raster_stats_pipeline",
-    "pipeline_image_records",
-    "stream_dedup_batch",
-    "stream_sessionize_batch",
-    "stream_window_batch",
-    "similarity_pq_adc",
-    "similarity_lsh_bucketed",
-    "similarity_topk_bruteforce",
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine_lsh",
-    "dedup_cluster_assign",
-    "dedup_canonical_keep",
-    "dedup_exact_hash",
-    "dedup_span_exact",
-    "dedup_primary_key",
-    "sample_cluster_safe_split",
-    "sample_train_test_split",
-    "sample_balanced_downsample",
-    "sample_deterministic",
-    "skew_salted_join",
-    "join_asof",
-    "join_range_bucket",
-    "join_cross_configs",
-    "join_dim_enrich",
-    "join_fanout_1n",
-    "incremental_lookback",
-    "geo_point_in_polygon",
-    "agg_tpch_q1",
-    "agg_approx_distinct",
-    "filter_membership_array",
-    "corpus_pack_sequences",
-    "text_edit_distance",
-    "vector_norms",
-    # -- r12-heavy pulls (11) --
-    "flagship_catalog",
-    "raster_clip_pipeline",
-    "stream_stream_join_batch",
-    "graph_pagerank",
+    # -- r16 rule-1: IVF / PQ / ANN family --
     "similarity_ivf_pq",
     "similarity_ivf_probe",
     "similarity_ivf_scaled",
     "similarity_ivf_autocells",
     "similarity_ann_filtered",
     "similarity_ann_filtered_sparse",
+    "similarity_pq_adc",
+    "similarity_incremental_assign",
+    "dedup_semantic_cells",
     "dq_ivf_balance_eval",
-    # ---- r16 first 50 end here. R17 PRE-PLAN: the remaining 32 r12
-    # rows (due r18, landing a round early) first, then the r13
-    # tier's heads (49 rows, due r19 — r17+r18 split them) as rule-1
-    # influx allows; net-new stays zero unless a verdict item forces
-    # it. Validate any edit with tools/rotation_audit.py.
+    "dq_ann_recall_eval",
+    "dq_ann_recall_eval_sampled",
+    # -- r16 rule-1: dedup / corpus pipelines --
+    "dq_dedup_recall_eval",
+    "dq_dedup_recall_eval_sampled",
+    "dedup_minhash_lsh",
+    "dedup_cluster_assign",
+    "dedup_canonical_keep",
+    "sample_cluster_safe_split",
+    "pipeline_corpus_dedup",
+    "dedup_embedding_cosine_lsh",
+    "dedup_fuzzy_blocked",
+    "corpus_bpe_learn",
+    "corpus_inverted_index",
+    # -- r16 rule-1: iterative graph / analytics --
+    "graph_pagerank",
+    "graph_shortest_path_weighted",
+    "graph_components_star",
+    "graph_bfs_distance",
+    "analytics_markov_steady_state",
+    # -- r16 rule-1: raster + streaming drains --
+    "raster_stats_pipeline",
+    "stream_dedup_batch",
+    "stream_sessionize_batch",
+    "stream_window_batch",
+    "stream_stream_join_batch",
+    "stream_cdc_batch",
+    # -- r11 tier keeps (13, complex first; untouched kernels) --
+    "raster_clip_vector_boundary",
+    "pipeline_image_records",
+    "similarity_lsh_bucketed",
+    "similarity_topk_bruteforce",
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "skew_salted_join",
+    "join_asof",
+    "join_range_bucket",
+    "join_cross_configs",
+    "incremental_lookback",
+    "agg_tpch_q1",
+    "corpus_pack_sequences",
+    # ---- r16 first 50 end here. R17 PRE-PLAN (updated during the
+    # r16 optimization round): slots 1-13 MUST be the 13 displaced
+    # r11 rows just below (exactly at the 6-round SLA bound at r17);
+    # then the two untouched r12 pulls (flagship_catalog,
+    # raster_clip_pipeline) and the remaining r12 tier (due r18,
+    # landing early) as rule-1 influx allows; then r13 heads.
+    # Net-new stays zero unless a verdict item forces it. Validate
+    # any edit with tools/rotation_audit.py.
+    # -- displaced r11 rows (r17 window heads) --
+    "dedup_exact_hash",
+    "dedup_span_exact",
+    "dedup_primary_key",
+    "sample_train_test_split",
+    "sample_balanced_downsample",
+    "sample_deterministic",
+    "join_dim_enrich",
+    "join_fanout_1n",
+    "geo_point_in_polygon",
+    "agg_approx_distinct",
+    "filter_membership_array",
+    "text_edit_distance",
+    "vector_norms",
+    # -- displaced r12 pulls --
+    "flagship_catalog",
+    "raster_clip_pipeline",
 
     # ================= r15 driver window (50 slots) ================
     # Runs the pre-plan written at r14 (VERDICT r14 items 1/3/6).
