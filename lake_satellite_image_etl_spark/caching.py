@@ -25,11 +25,28 @@ stopped-session DataFrames from being pinned by a live registry.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 #: (session key, semanticHash) -> DataFrame, insertion == recency order
 _PERSISTED: dict[tuple[int, int], DataFrame] = {}
-_MAX = 8
+#: sized with headroom over the largest per-query registration count
+#: (ADVICE r16: r16's optimizations register 3-4 frames per query and
+#: _MAX=8 left a composed pipeline one eviction away from silently
+#: reverting a still-referenced frame to full recompute; the largest
+#: observed single-query count is 5 — pipeline_corpus_dedup — so 16
+#: covers two composed pipelines). Frames are reduced intermediates
+#: (signature/pair/centroid tables), so the memory bound stays modest.
+_MAX = 16
+
+#: capacity evictions since process start (ADVICE r16): eviction of
+#: the LRU slot while a query is still being constructed can revert a
+#: referenced frame to full recompute with no other signal — the
+#: counter plus the warning below make that visible/testable.
+CAPACITY_EVICTIONS = 0
 
 
 def _key(df: DataFrame) -> tuple[int, int]:
@@ -63,8 +80,17 @@ def persist_bounded(df: DataFrame) -> DataFrame:
                 pass
     _PERSISTED[key] = df
     while len(_PERSISTED) > _MAX:
+        global CAPACITY_EVICTIONS
+        CAPACITY_EVICTIONS += 1
         oldest = next(iter(_PERSISTED))
         old = _PERSISTED.pop(oldest)
+        _log.warning(
+            "persist_bounded: capacity eviction at _MAX=%d (total %d) — "
+            "if the evicted frame is still referenced by an in-flight "
+            "plan it silently reverts to full recompute",
+            _MAX,
+            CAPACITY_EVICTIONS,
+        )
         try:
             old.unpersist()
         except Exception:

@@ -75,6 +75,10 @@ def bench_env(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "REPO_ROOT", str(tmp_path))
     monkeypatch.setattr(bench, "_query_names", lambda: list(names))
     monkeypatch.setattr(bench, "_now", lambda: clock[0])
+    # pin the detail-file core-count label (r17: per-cpus detail
+    # files) so the asserts below can read the plain 32-core name
+    # regardless of the test runner's $SPARK_GRAFT_CPUS
+    monkeypatch.setattr(bench, "_CPUS", "32")
     monkeypatch.delenv("SPARK_GRAFT_BENCH_QUERIES", raising=False)
     monkeypatch.delenv("SPARK_GRAFT_BENCH_ISOLATED", raising=False)
     return names, timings, clock, monkeypatch, tmp_path
@@ -165,8 +169,9 @@ def test_budget_degrades_min_of_2_before_dropping_names(bench_env, capsys):
     names, timings, clock, monkeypatch, tmp_path = bench_env
     fake = FakeChildren(clock, timings, [9.0, 5.0, 0.5])  # warm spread 10x
     monkeypatch.setattr(bench.subprocess, "run", fake)
-    # elapsed at iso start = 2 cal + 1 batch = 50; each iso child
-    # costs 20 on the clock, est = 10 + batched-time ≈ 12-14
+    # elapsed at iso start = 2 cal + 1 batch = 50, so the r17
+    # phase-anchored budget is max(175-50, floor≈77) = 125; each iso
+    # child costs 20 on the clock, est = 10 + batched-time ≈ 12-14
     monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_SEC", "175")
     bench.main()
     final = _summaries(capsys.readouterr().out)[-1]
@@ -185,9 +190,14 @@ def test_budget_skipping_rep1_cancels_rep2_entirely(bench_env, capsys):
     """If the budget cuts any FIRST sample, the second-rep pass is
     dropped wholesale (two samples of half the names is worth less
     than one sample of all) — and the dropped tail is the LEAST-slow
-    names, because the slowest run first."""
+    names, because the slowest run first. The r17 floor guarantees
+    the slowest-10 rep-1 fits AT ESTIMATE (1.5× margin); here each
+    isolated child overruns its ~12-14s estimate 3×, so the floor
+    (~77s) still cuts rep 1 after two names — the degradation path
+    survives real overruns."""
     names, timings, clock, monkeypatch, tmp_path = bench_env
     fake = FakeChildren(clock, timings, [9.0, 5.0, 0.5])
+    fake.costs["iso"] = 40.0
     monkeypatch.setattr(bench.subprocess, "run", fake)
     monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_SEC", "100")
     bench.main()
@@ -198,3 +208,52 @@ def test_budget_skipping_rep1_cancels_rep2_entirely(bench_env, capsys):
     # the artifact parsed end-to-end despite the constrained budget
     assert final["value"] == pytest.approx(sum(timings.values()))
     assert final["n_errors"] == 0
+
+
+def test_floor_restores_coverage_when_batched_phase_ate_the_budget(
+    bench_env, capsys
+):
+    """The r16 failure mode (VERDICT r16 item 2): the batched phase
+    alone outlasted the whole start-anchored budget and BOTH driver
+    runs recorded isolated: {}. The r17 phase-anchored budget is
+    floored at the slowest-10 rep-1 estimate, so even a budget
+    already depleted at iso start yields one sample of every name —
+    and every sample lands on stdout incrementally, so a timeout
+    mid-phase keeps the samples taken so far."""
+    names, timings, clock, monkeypatch, tmp_path = bench_env
+    fake = FakeChildren(clock, timings, [9.0, 5.0, 0.5])
+    monkeypatch.setattr(bench.subprocess, "run", fake)
+    # elapsed at iso start = 50 > budget: pre-r17 this skipped all
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_SEC", "40")
+    bench.main()
+    lines = _summaries(capsys.readouterr().out)
+    final = lines[-1]
+    assert set(final["isolated"]) == set(names)  # rep-1 coverage held
+    assert "rep1" not in final["isolated_skipped"]
+    # per-sample partial emits: isolated map grows monotonically
+    iso_partials = [
+        len(d["isolated"]) for d in lines if d.get("isolated_pending")
+    ]
+    assert max(iso_partials) == len(names)
+    assert iso_partials == sorted(iso_partials)
+
+
+def test_detail_file_keyed_on_cpus(bench_env, capsys):
+    """VERDICT r16 item 3: an 8-core run must not clobber the 32-core
+    mover baseline — it writes BENCH_DETAIL_c8.json only."""
+    names, timings, clock, monkeypatch, tmp_path = bench_env
+    fake = FakeChildren(clock, timings, [5.0, 0.6, 0.65])
+    monkeypatch.setattr(bench.subprocess, "run", fake)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BUDGET_SEC", "100000")
+    monkeypatch.setattr(bench, "_CPUS", "8")
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"queries": {"q_slow": 1.0}})
+    )
+    bench.main()
+    final = _summaries(capsys.readouterr().out)[-1]
+    assert final["detail_file"] == "BENCH_DETAIL_c8.json"
+    c8 = json.loads((tmp_path / "BENCH_DETAIL_c8.json").read_text())
+    assert set(c8["queries"]) == set(names)
+    # the 32-core baseline is untouched
+    plain = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert plain == {"queries": {"q_slow": 1.0}}

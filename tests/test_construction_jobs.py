@@ -53,16 +53,16 @@ CONSTRUCTION_JOB_ALLOWLIST: dict[str, str] = {
     "pipeline_corpus_dedup": "training: composes corpus_bpe_learn's "
     "merge loop (same reasoning — the training IS the query)",
     # -- iterative: loops whose control flow needs a materialized
-    #    frontier (convergence checks) -- (r16: the FIXED-round loops
-    #    graph_pagerank / graph_shortest_path_weighted /
-    #    analytics_markov_steady_state left this list — with a small
-    #    constant round count over bounded state their per-round eager
-    #    localCheckpoint was pure overhead; the rounds now compose
-    #    into one lazy plan and construction runs zero jobs;
-    #    graph_pagerank keeps its per-round checkpoint — measured
-    #    faster than the lazy mega-plan — but its edge build and
-    #    node-count constants are now plan-lazy, so the remaining
-    #    construction jobs are exactly the {PR_ITERS} round cuts)
+    #    frontier (convergence checks) -- (r16, per the measured
+    #    loop-form results in OPTIMIZATION_r16.md §10: ONLY
+    #    analytics_markov_steady_state left this list — its 8
+    #    straight-line rounds over tiny state compose into one lazy
+    #    plan with zero construction jobs. graph_pagerank and
+    #    graph_shortest_path_weighted STAY listed: their lazy
+    #    mega-plan forms measured slower (91 / 825 exchanges), so
+    #    they keep per-round localCheckpoints — but their edge builds
+    #    and node-count constants are now plan-lazy, leaving exactly
+    #    the round cuts as construction jobs.)
     "graph_pagerank": "iterative: rank relaxation rounds",
     "graph_shortest_path_weighted": "iterative: Bellman-Ford rounds",
     "graph_components_star": "iterative: star-contraction rounds",

@@ -473,11 +473,17 @@ def test_persist_registry_is_bounded(spark):
     the newest _MAX frames and unpersists evicted ones."""
     import lake_satellite_image_etl_spark.caching as C
 
+    C.release_all()  # deterministic start for the eviction arithmetic
+    evictions_before = C.CAPACITY_EVICTIONS
     frames = [
         C.persist_bounded(spark.range(i + 1, numPartitions=1))
         for i in range(C._MAX + 3)
     ]
     assert len(C._PERSISTED) == C._MAX
+    # capacity evictions are counted (ADVICE r16): a silent LRU
+    # eviction while a query is being constructed would revert a
+    # still-referenced frame to full recompute with no signal
+    assert C.CAPACITY_EVICTIONS == evictions_before + 3
     for df in frames[: -C._MAX]:
         assert not df.storageLevel.useMemory, "evicted frame still cached"
     for df in frames[-C._MAX :]:

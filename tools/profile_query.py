@@ -53,10 +53,17 @@ def main() -> None:
             continue
         fn = queries[name]
         if not args.no_explain:
+            import contextlib
+            import io
+
             df = fn(spark, args.sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public-API plan capture (ADVICE r16: the former
+            # _jdf.queryExecution()/PythonSQLUtils path breaks across
+            # PySpark versions)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
             suffix = f"_{args.suffix}" if args.suffix else ""
             path = os.path.join(args.plans_dir, f"{name}{suffix}.txt")
             with open(path, "w") as f:
