@@ -378,6 +378,17 @@ def _time_one_isolated(name: str) -> float:
         return float("nan")
 
 
+def _iso_est_sec(query_sec: float) -> float:
+    """Wall estimate for ONE isolated child: JVM startup plus TWO
+    executions of the query — the warm pass and the timed cold run
+    (the r17 protocol releases caches between them, so the warm pass
+    costs a full execution too). The first floored run this session
+    measured ~27 s/child for ~5 s queries — ≈ 15 + 2·q — against the
+    old ``10 + q`` estimate, which is why its floor ran out at 8 of
+    the slowest 10."""
+    return JVM_STARTUP_EST_SEC + 2.0 * max(query_sec, 2.0)
+
+
 def _iso_rep1_floor(slow_names: list[str], timings: dict[str, float]) -> float:
     """Minimum isolated-phase budget: enough (with a 1.5× overrun
     margin) for ONE sample of each of the slowest-10 — the smallest
@@ -388,7 +399,7 @@ def _iso_rep1_floor(slow_names: list[str], timings: dict[str, float]) -> float:
     est = 0.0
     for n in slow_names[:10]:
         t = timings.get(n, float("nan"))
-        est += JVM_STARTUP_EST_SEC + max(t if t == t else 2.0, 2.0)
+        est += _iso_est_sec(t if t == t else 2.0)
     return 1.5 * est
 
 
@@ -439,7 +450,7 @@ def _run_isolated_budgeted(
                 if prior and prior[0] == prior[0]
                 else (t_batched if t_batched == t_batched else 5.0)
             )
-            est = JVM_STARTUP_EST_SEC + max(est_query, 2.0)
+            est = _iso_est_sec(est_query)
             if _now() - t_start + est > budget:
                 skipped["rep1" if rep == 0 else "rep2"].append(name)
                 print(

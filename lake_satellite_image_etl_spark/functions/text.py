@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lake_satellite_image_etl_spark.caching import memo_per_path
+from lake_satellite_image_etl_spark.caching import (
+    memo_per_path,
+    persist_bounded,
+)
 from lake_satellite_image_etl_spark.io import read_table
 from lake_satellite_image_etl_spark.registry import query
 
@@ -518,8 +521,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_of(F.col("text"))).alias("n_tokens"),
         F.explode(tokens_of(F.col("text"))).alias("term"),
     )
-    tf = words.groupBy("doc_id", "term", "n_tokens").agg(
-        (F.count(F.lit(1)).cast("double") / F.col("n_tokens")).alias("tf")
+    # tf feeds TWO consumers (the df derivation and the scored join) —
+    # Catalyst does not reuse non-exchange subtrees, so without the
+    # bounded lazy persist the explode + (doc, term) aggregation ran
+    # twice per action (r17, guide §2.4; at 100 TB that is the whole
+    # corpus-statistics shuffle paid twice)
+    tf = persist_bounded(
+        words.groupBy("doc_id", "term", "n_tokens").agg(
+            (F.count(F.lit(1)).cast("double") / F.col("n_tokens")).alias(
+                "tf"
+            )
+        )
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
@@ -1455,7 +1467,17 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(_W.partitionBy("doc_id").orderBy("pos"))
         .alias("grp"),
     )
-    w = g.where(~F.col("stop")).select("doc_id", "grp", "pos", "tok")
+    # Three shared subtrees, each with TWO consumers (guide §2.4 —
+    # Catalyst recomputes non-exchange subtrees per reference): the
+    # segmented word table w feeds ph and wo; the candidate table
+    # feeds wo and the final phrase join; the word-occurrence table
+    # wo feeds the word stats and the phrase scores. Without the
+    # bounded lazy persists the tokenize + posexplode + running-
+    # stopword window ran FIVE times per action (1 via cand's own
+    # build + 2 in wo's two references + 2 more inside wscore's wo).
+    w = persist_bounded(
+        g.where(~F.col("stop")).select("doc_id", "grp", "pos", "tok")
+    )
     ph = w.groupBy("doc_id", "grp").agg(
         F.count(F.lit(1)).cast("long").alias("len"),
         F.array_join(
@@ -1466,8 +1488,10 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("phrase"),
     )
-    cand = ph.where(F.col("len") <= RAKE_MAX_WORDS)
-    wo = w.join(cand.select("doc_id", "grp", "len"), ["doc_id", "grp"])
+    cand = persist_bounded(ph.where(F.col("len") <= RAKE_MAX_WORDS))
+    wo = persist_bounded(
+        w.join(cand.select("doc_id", "grp", "len"), ["doc_id", "grp"])
+    )
     ws = wo.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum("len").cast("long").alias("deg"),

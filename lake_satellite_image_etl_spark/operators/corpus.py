@@ -1368,7 +1368,10 @@ def corpus_token_budget_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens_of(F.col("text"))).cast("long").alias("n_tokens"),
         tok_hash60(F.col("doc_id").cast("string")).alias("hkey"),
     )
-    banded = t.withColumn("band", F.shiftright("hkey", 52))
+    # banded feeds the band-total aggregate AND the offset join —
+    # without the bounded lazy persist the tokenize-count + md5 hash
+    # pass over documents ran twice per action (r17, guide §2.4)
+    banded = persist_bounded(t.withColumn("band", F.shiftright("hkey", 52)))
     btot = banded.groupBy("band").agg(F.sum("n_tokens").alias("btok"))
     w_off = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.orderBy("band").rowsBetween(

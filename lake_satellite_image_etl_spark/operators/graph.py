@@ -348,14 +348,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_b = li.join(
         brand_parts, li["l_partkey"] == F.col("pk"), "leftsemi"
     ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey"))
-    a = li_b.select("ok", F.col("l_partkey").alias("pa"))
-    b = li_b.select("ok", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    pairs = copurchase_pairs(li_b, "ok", "l_partkey")
     return triangle_counts(pairs).select(
         F.col("node").alias("l_partkey"), "n_triangles"
     )
@@ -549,6 +542,38 @@ def bfs_distances(
     return dist
 
 
+def copurchase_pairs(li: DataFrame, order_col: str, part_col: str) -> DataFrame:
+    """Distinct co-purchase part pairs (pa < pb) per order, built as
+    one groupBy + in-memory pair expansion instead of a lineitem
+    self-join (r17, guide §2.3 "aggregate before you shuffle" / §3.3
+    "explode after the join"): the self-join form shuffled the line
+    table, sorted both sides, and pushed sum-of-basket² rows through
+    join machinery before the final distinct; this form shuffles the
+    projected line table ONCE (partial-aggregated collect_set),
+    expands C(basket, 2) pairs in memory (baskets cap at 13 parts on
+    the fixture; real A-Priori caps basket size the same way —
+    analytics_market_basket's shape), and feeds the same distinct.
+    Same pair set by construction: within-order collect_set dedup
+    only removes duplicates the final distinct removed anyway, and
+    sort_array + i<j expansion reproduces pa < pb exactly. Measured
+    interleaved at sf0.1 (full lineitem): 1.85-2.2 s → 1.32-1.6 s.
+    NOT usable where pair multiplicity matters
+    (graph_shortest_path_weighted weights edges by the ROW-pair
+    count, which the set semantics here would change)."""
+    from lake_satellite_image_etl_spark.operators.dedup import pair_combos
+
+    baskets = (
+        li.groupBy(order_col)
+        .agg(F.sort_array(F.collect_set(part_col)).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    return (
+        baskets.select(F.explode(pair_combos(F.col("m"))).alias("p"))
+        .select(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .distinct()
+    )
+
+
 @query("graph_bfs_distance", oracle=_SQL_BFS)
 def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum hop distance (BFS, ≤ {BFS_MAX_HOPS} hops) from the
@@ -560,14 +585,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nodes| × hops."""
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-    )
+    pairs = copurchase_pairs(li, "l_orderkey", "l_partkey")
     seeds = part.where(
         F.col("p_partkey") % BFS_SEED_MOD == 0
     ).select("p_partkey")
@@ -764,14 +782,8 @@ def graph_clustering_coefficient(
     li_b = li.join(
         brand_parts, li["l_partkey"] == F.col("pk"), "leftsemi"
     ).select(F.col("l_orderkey").alias("ok"), F.col("l_partkey"))
-    a = li_b.select("ok", F.col("l_partkey").alias("pa"))
-    b = li_b.select("ok", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "ok")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-        .localCheckpoint(eager=True)
+    pairs = copurchase_pairs(li_b, "ok", "l_partkey").localCheckpoint(
+        eager=True
     )
     deg = (
         pairs.select(F.col("pa").alias("node"))

@@ -1947,9 +1947,14 @@ def pq_adc_topk(
         # routed scan: the (query, candidate) pair set drives the code
         # lookup — each pair expands to its PQ_M codes, each code hits
         # the broadcast per-query table once. Pairs are unique by
-        # construction (a candidate lives in exactly one IVF list).
+        # construction (a candidate lives in exactly one IVF list), so
+        # grouping additionally by the router's IVF cell (when it
+        # carries one) keeps the same groups — the label is constant
+        # within each (query, candidate) pair — and feeds the
+        # two-stage top-k below.
+        route_cell = ["c_label"] if "c_label" in router.columns else []
         score = (
-            router.select("query_id", "candidate_id")
+            router.select("query_id", "candidate_id", *route_cell)
             .join(
                 codes.select(
                     F.col("vec_id").alias("candidate_id"),
@@ -1960,13 +1965,14 @@ def pq_adc_topk(
                 "candidate_id",
             )
             .join(F.broadcast(lut), ["query_id", "m", "cell"])
-            .groupBy("query_id", "candidate_id")
+            .groupBy("query_id", "candidate_id", *route_cell)
             .agg(
                 F.sum("t").cast("long").alias("ip"),
                 F.sum("cn2").cast("long").alias("rnorm2"),
             )
         )
     else:
+        route_cell = []
         score = (
             codes.join(F.broadcast(lut), ["m", "cell"])
             .filter(F.col("vec_id") != F.col("query_id"))
@@ -1979,19 +1985,39 @@ def pq_adc_topk(
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("adc_raw"), F.asc("candidate_id")
     )
-    shortlist = (
-        score.join(F.broadcast(qn_pq), "query_id")
-        .select(
-            "query_id",
-            "candidate_id",
-            (
-                F.col("ip").cast("double")
-                / (F.col("qnrm") * F.sqrt(F.col("rnorm2").cast("double")))
-            ).alias("adc_raw"),
-        )
-        .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= rerank)
+    scored = score.join(F.broadcast(qn_pq), "query_id").select(
+        "query_id",
+        "candidate_id",
+        *route_cell,
+        (
+            F.col("ip").cast("double")
+            / (F.col("qnrm") * F.sqrt(F.col("rnorm2").cast("double")))
+        ).alias("adc_raw"),
     )
+    if route_cell:
+        # two-stage top-k (r17, guide §2.3): rank within each routed
+        # (query, IVF cell) list first and keep only its top-`rerank`
+        # — exact, because any row in the global per-query top-rerank
+        # has at most rerank−1 better rows overall, hence at most
+        # that many within its own cell, so it always survives the
+        # cell cut (ties are totally ordered by candidate_id, and all
+        # globally-better rows survive too, so adc_rank is unchanged).
+        # The global window's input drops from the probed-list mass
+        # (~n_probe·n/cells rows per query — at 100 TB one task per
+        # query over ~10% of the corpus) to ≤ n_probe·rerank rows per
+        # query, and the per-cell stage partitions by (query, cell) —
+        # n_probe× more, list-bounded partitions.
+        w_cell = Window.partitionBy("query_id", "c_label").orderBy(
+            F.desc("adc_raw"), F.asc("candidate_id")
+        )
+        scored = (
+            scored.withColumn("cell_rank", F.row_number().over(w_cell))
+            .filter(F.col("cell_rank") <= rerank)
+            .drop("cell_rank", "c_label")
+        )
+    shortlist = scored.withColumn(
+        "adc_rank", F.row_number().over(w_adc)
+    ).filter(F.col("adc_rank") <= rerank)
     # exact re-rank of the PQ_RERANK-deep shortlist — the standard
     # refine stage: only queries x PQ_RERANK full vectors are touched,
     # the corpus scan above stayed compressed.
@@ -2071,7 +2097,12 @@ def ivf_pq_topk(
     router = (
         probes.join(lists, "c_label")
         .filter(F.col("candidate_id") != F.col("query_id"))
-        .select("query_id", "candidate_id")
+        # c_label rides along (r17, guide §2.3 two-stage top-k): the
+        # ADC kernel pre-cuts each routed list to its per-(query,
+        # cell) top-`rerank` before the global per-query window, so
+        # the window input is bounded at n_probe·rerank rows per
+        # query instead of the probed-list mass
+        .select("query_id", "candidate_id", "c_label")
     )
     return pq_adc_topk(
         emb,
