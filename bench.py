@@ -347,6 +347,14 @@ _now = time.monotonic
 #: the ~10 s figure every batched/isolated child has shown since r6
 JVM_STARTUP_EST_SEC = 10.0
 
+#: rows under an explicit verdict watch (VERDICT r16 item 5:
+#: dq_knn_recall_eval's 8.12 s driver reading could not be
+#: adjudicated because the isolated column was empty): always joins
+#: the isolated re-run — even when its batched reading no longer
+#: ranks in the slowest-10 — so the watch can close on
+#: driver-protocol numbers instead of another warm-rep adjudication.
+WATCH_ISOLATED = ("dq_knn_recall_eval",)
+
 
 def _budget_sec() -> float:
     """Wall-clock budget for the WHOLE bench invocation (VERDICT r15
@@ -763,6 +771,11 @@ def main() -> None:
             key=lambda k: -abs(timings[k] - prev[k]),
         )[:8]
         slow_names += movers
+        slow_names += [
+            n
+            for n in WATCH_ISOLATED
+            if n in timings and timings[n] == timings[n] and n not in slow_names
+        ]
         # min-of-2 on a bimodal box (VERDICT r14 item 4b): when the
         # merged WARM yardstick spread exceeds the threshold, one
         # isolated sample can land in either machine mode — two fresh
