@@ -729,7 +729,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("m"))
         .filter(F.size("m") <= CONTAIN_DF_CAP)
     )
-    sizes = (
+    # sizes is referenced twice (the lo and hi sides of the directed
+    # join), and Catalyst recomputes non-exchange subtrees per
+    # reference — without the persist the Σ df posting-mass explode +
+    # per-doc count ran twice per action (r17, guide §2.4)
+    sizes = persist_bounded(
         buckets.select(F.explode("m").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
