@@ -397,15 +397,17 @@ def _iso_est_sec(query_sec: float) -> float:
     return JVM_STARTUP_EST_SEC + 2.0 * max(query_sec, 2.0)
 
 
-def _iso_rep1_floor(slow_names: list[str], timings: dict[str, float]) -> float:
+def _iso_rep1_floor(
+    slow_names: list[str], timings: dict[str, float], n_floor: int = 10
+) -> float:
     """Minimum isolated-phase budget: enough (with a 1.5× overrun
-    margin) for ONE sample of each of the slowest-10 — the smallest
-    isolated column a verdict can adjudicate plan-vs-placement with
-    (VERDICT r16 item 2: r16's fixed start-anchored budget was
-    consumed entirely by a slow batched phase and BOTH driver runs
-    recorded ``isolated: {}``)."""
+    margin) for ONE sample of each of the slowest-10 plus any watch
+    rows — the smallest isolated column a verdict can adjudicate
+    plan-vs-placement with (VERDICT r16 item 2: r16's fixed
+    start-anchored budget was consumed entirely by a slow batched
+    phase and BOTH driver runs recorded ``isolated: {}``)."""
     est = 0.0
-    for n in slow_names[:10]:
+    for n in slow_names[:n_floor]:
         t = timings.get(n, float("nan"))
         est += _iso_est_sec(t if t == t else 2.0)
     return 1.5 * est
@@ -770,12 +772,17 @@ def main() -> None:
             ),
             key=lambda k: -abs(timings[k] - prev[k]),
         )[:8]
-        slow_names += movers
-        slow_names += [
+        # watch rows go BEFORE the movers (and inside the rep-1
+        # budget floor below): appended last, the r17 final run's
+        # depleting budget skipped exactly the watch row the column
+        # exists to adjudicate
+        watch = [
             n
             for n in WATCH_ISOLATED
             if n in timings and timings[n] == timings[n] and n not in slow_names
         ]
+        slow_names += watch
+        slow_names += [m for m in movers if m not in slow_names]
         # min-of-2 on a bimodal box (VERDICT r14 item 4b): when the
         # merged WARM yardstick spread exceeds the threshold, one
         # isolated sample can land in either machine mode — two fresh
@@ -800,7 +807,7 @@ def main() -> None:
         t_iso = _now()
         iso_budget = max(
             _budget_sec() - (t_iso - t_start),
-            _iso_rep1_floor(slow_names, timings),
+            _iso_rep1_floor(slow_names, timings, n_floor=10 + len(watch)),
         )
         print(
             f"bench isolated: phase budget {iso_budget:.0f}s "
