@@ -618,10 +618,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("ordered")
     prefix_len = (n - F.ceil(n * NGRAM_JACCARD_THRESHOLD) + 1).cast("int")
-    prefixes = ordered.select(
-        "doc_id",
-        "len_bucket",
-        F.explode(F.slice("ordered", 1, prefix_len)).alias("s"),
+    # prefixes is BOTH sides of the candidate self-join below, and the
+    # renamed projections defeat exchange reuse (the executed plan
+    # showed zero ReusedExchange and the whole explode → df join →
+    # collect_list aggregation chain running twice) — bounded lazy
+    # persist computes the prefix table once per action (r17, §2.4)
+    prefixes = persist_bounded(
+        ordered.select(
+            "doc_id",
+            "len_bucket",
+            F.explode(F.slice("ordered", 1, prefix_len)).alias("s"),
+        )
     )
     a = prefixes.select(
         F.col("doc_id").alias("doc_a"), "len_bucket", "s"

@@ -74,7 +74,7 @@ _PRIORITY = (
     #   SLA bound this round; they lead per the pre-plan and
     #   tools/rotation_audit.py (re-run after this edit: ok=true,
     #   zero breach, zero never-checked).
-    # Rule 1 (changed kernel), 9 rows — every kernel the r17
+    # Rule 1 (changed kernel), 10 rows — every kernel the r17
     #   optimizations touched (each oracle-verified with
     #   tools/compare.py at sf0.01 AND sf0.001 at change time):
     #   - similarity_ivf_pq + similarity_pq_adc (shared pq_adc_topk:
@@ -86,7 +86,8 @@ _PRIORITY = (
     #     corpus_token_budget_split (bounded lazy persists on shared
     #     subtrees that Catalyst recomputed per consumer);
     #   - dedup_containment (persisted the twice-referenced per-doc
-    #     shingle-size table);
+    #     shingle-size table) and dedup_ngram_jaccard (persisted the
+    #     prefix table that is both sides of the candidate self-join);
     #   - graph_bfs_distance / graph_triangle_count /
     #     graph_clustering_coefficient (co-purchase pair build:
     #     self-join → groupBy + pair_combos HOF expansion;
@@ -94,11 +95,12 @@ _PRIORITY = (
     #     weights count row-pair multiplicity — so it is not re-queued).
     # Rule 2 (net-new): ZERO.
     # Then the two r12 pulls (flagship_catalog, raster_clip_pipeline)
-    # and 26 of the remaining 29 r12 rows, complex first. The three
+    # and 25 of the remaining 29 r12 rows, complex first. The four
     # SIMPLEST r12 rows (scalar_epoch_roundtrip, scalar_part_composite,
-    # scalar_event_composite — 0-shuffle scalar projections) roll to
-    # the r18 front, still inside the 6-round SLA (r12 breaches only
-    # after r18).
+    # scalar_event_composite — 0-shuffle scalar projections — and
+    # filter_spatial_bbox, a pushdown-only filter) roll to the r18
+    # front, still inside the 6-round SLA (r12 breaches only after
+    # r18).
     # -- r11 SLA heads (13) --
     "dedup_exact_hash",
     "dedup_span_exact",
@@ -113,7 +115,7 @@ _PRIORITY = (
     "filter_membership_array",
     "text_edit_distance",
     "vector_norms",
-    # -- rule-1: r17-touched kernels (9) --
+    # -- rule-1: r17-touched kernels (10) --
     "similarity_ivf_pq",
     "similarity_pq_adc",
     "text_tfidf_top_terms",
@@ -123,10 +125,11 @@ _PRIORITY = (
     "graph_triangle_count",
     "graph_clustering_coefficient",
     "dedup_containment",
+    "dedup_ngram_jaccard",
     # -- r12 pulls (pre-planned) --
     "flagship_catalog",
     "raster_clip_pipeline",
-    # -- r12 tier (26 of 29), complex first --
+    # -- r12 tier (25 of 29), complex first --
     "agg_core_composite",
     "scd2_event_state",
     "window_session",
@@ -152,12 +155,11 @@ _PRIORITY = (
     "incremental_new_keys",
     "join_semi_anti",
     "filter_pixel_predicates",
-    "filter_spatial_bbox",
     # ---- r17 first 50 end here. R18 PRE-PLAN (written now so the
-    # next builder doesn't re-derive it): slots 1-3 MUST be the three
-    # rolled r12 scalars (scalar_epoch_roundtrip, scalar_part_composite,
-    # scalar_event_composite — they breach the 6-round SLA after
-    # r18); then the r13 tier (46 rows, due r19, landing early),
+    # next builder doesn't re-derive it): slots 1-4 MUST be the four
+    # rolled r12 rows (scalar_epoch_roundtrip, scalar_part_composite,
+    # scalar_event_composite, filter_spatial_bbox — they breach the
+    # 6-round SLA after r18); then the r13 tier (46 rows, due r19, landing early),
     # complex kernels first (analytics_market_basket,
     # profile_table_stats, stats_robust_anomaly, the multimodal
     # augment family, corpus_vocab_topk, the dedup signature family),
@@ -168,6 +170,7 @@ _PRIORITY = (
     "scalar_epoch_roundtrip",
     "scalar_part_composite",
     "scalar_event_composite",
+    "filter_spatial_bbox",
 
     # ================= r16 driver window (50 slots) ================
     # REWRITTEN during the r16 OPTIMIZATION round: the round changed
